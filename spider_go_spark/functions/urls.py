@@ -1,0 +1,152 @@
+"""Vectorized URL kernel: canonicalization, host extraction, hashing.
+
+All heavy lifting happens on pandas Series with vectorized string ops inside
+Arrow-batched pandas UDFs — no per-row Python in the hot path (rows that need
+the rare slow-path dot-segment resolution are isolated first). The 64-bit URL
+hash is Spark's built-in ``xxhash64`` (JVM-side, codegen'd).
+
+Reference analogue: spider-go has no URL handling (it is a generic DAG
+engine); canonicalization is the crawl-engine reading of its `ex()` field
+mapper that computes derived fields per message
+(/root/reference/pkg/spider/workflow.go:347-399).
+
+Canonicalization rules (deterministic, order-stable):
+- strip surrounding whitespace and the fragment,
+- lowercase scheme and host, strip a trailing dot on the host,
+- drop default ports (http:80, https:443),
+- empty path -> "/", collapse duplicate slashes, resolve "." / ".." segments,
+- sort query parameters bytewise (stable dedup requires one canonical order),
+- drop an empty query's "?".
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _normalize_path_slow(path: str) -> str:
+    """Dot-segment removal (RFC 3986 §5.2.4) — slow path, rare rows only."""
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    out = "/" + "/".join(segs)
+    if path.endswith("/") and out != "/":
+        out += "/"
+    return out
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of a Series of raw URL strings.
+
+    Invalid URLs (no scheme://host) canonicalize to ``None``.
+    """
+    s = urls.fillna("").str.strip()
+    parts = s.str.extract(_URL_RE)
+    scheme = parts["scheme"].str.lower()
+    auth = parts["auth"].fillna("")
+    path = parts["path"].fillna("")
+    query = parts["query"]
+
+    # authority: [userinfo@]host[:port] — lowercase host, strip trailing dot
+    userinfo = auth.str.extract(r"^(.*@)", expand=False).fillna("")
+    hostport = auth.str.replace(r"^.*@", "", regex=True)
+    host = hostport.str.replace(r":\d*$", "", regex=True).str.lower().str.rstrip(".")
+    port = hostport.str.extract(r":(\d+)$", expand=False)
+    default_port = scheme.map(_DEFAULT_PORTS)
+    port = port.where(port.notna() & (port != default_port))
+    port_str = (":" + port).fillna("")
+
+    # path: vectorized fast path; slow path only for rows with dot segments
+    # or duplicate slashes (rare in real crawls)
+    path = path.where(path != "", "/")
+    needs_slow = path.str.contains(r"//|/\.(?:/|$)|/\.\.(?:/|$)", regex=True)
+    if needs_slow.any():
+        slow = path[needs_slow].map(_normalize_path_slow)
+        path = path.copy()
+        path[needs_slow] = slow
+
+    # query: sort params bytewise; empty/missing query -> no "?"
+    q = query.copy()
+    has_q = q.notna() & (q != "")
+    if has_q.any():
+        sorted_q = q[has_q].str.split("&").map(lambda ps: "&".join(sorted(ps)))
+        q[has_q] = "?" + sorted_q
+    q = q.where(has_q, "")
+
+    out = scheme + "://" + userinfo + host + port_str + path + q
+    out = out.where(scheme.notna() & (host != ""), None)
+    return out
+
+
+def canonicalize_one(url: str) -> str | None:
+    """Single-URL canonicalization (used by the pure-Python oracle)."""
+    return canonicalize_series(pd.Series([url])).iloc[0]
+
+
+def host_of_series(url_norms: pd.Series) -> pd.Series:
+    """Host component of already-canonical URLs."""
+    return url_norms.str.extract(r"^[a-z0-9+.-]+://(?:[^/?#]*@)?([^/:?#]*)", expand=False)
+
+
+def host_of_one(url_norm: str) -> str | None:
+    h = host_of_series(pd.Series([url_norm])).iloc[0]
+    return None if pd.isna(h) else h
+
+
+def path_of_series(url_norms: pd.Series) -> pd.Series:
+    """Path+query of canonical URLs (the part robots rules match against)."""
+    return url_norms.str.replace(r"^[a-z0-9+.-]+://[^/?#]*", "", regex=True).replace("", "/")
+
+
+# --- Spark-facing pandas UDFs ----------------------------------------------
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def host_udf(url_norms: pd.Series) -> pd.Series:
+    return host_of_series(url_norms)
+
+
+def url_hash_col(url_norm_col: str | Column = "url_norm") -> Column:
+    """64-bit URL hash: Spark built-in xxhash64 (JVM-side)."""
+    c = F.col(url_norm_col) if isinstance(url_norm_col, str) else url_norm_col
+    return F.xxhash64(c)
+
+
+def host_hash_col(host_col: str | Column = "host", buckets: int = 2**31 - 1) -> Column:
+    """Non-negative int host hash for salting/partitioning."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+
+
+# --- Python-side hashing for Bloom shards ----------------------------------
+# Build and probe both run in pandas UDFs, so they only need to agree with
+# each other (exact membership truth comes from the seen_urls anti-join).
+def bloom_hashes(url_norms: pd.Series | np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(urls), k) array of bit indices via double hashing h1 + i*h2 mod m."""
+    vals = np.asarray(url_norms, dtype=object)
+    h1 = pd.util.hash_array(vals, hash_key="sgs-bloom-hash-1")  # 16-byte keys
+    h2 = pd.util.hash_array(vals, hash_key="sgs-bloom-hash-2") | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)

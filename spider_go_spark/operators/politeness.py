@@ -1,0 +1,111 @@
+"""Per-host politeness scheduler: window-ranked priority queues with budgets.
+
+Reference semantics being reproduced (SURVEY.md §2.6):
+- NATS FIFO delivery order (/root/reference/pkg/spider/nats.go:196
+  ``DeliverAllPolicy``) + fan-out in dependency order (workflow.go:140)
+  → here an EXPLICIT strict total order over frontier entries:
+  ``(-priority, discovered_round, discovery_rank, url_norm)``
+  (priority desc, then FIFO discovery order, then canonical URL as the
+  unique tiebreaker — Spark guarantees no implicit order).
+- Per-worker semaphore of 10 concurrent handlers
+  (messenger_worker_nats.go:103-106) → per-host per-round budget
+  ``max_in_flight`` enforced by a window-ranked cut.
+- ``Disabled`` action check drops messages (workflow.go:100-102) →
+  disabled-host filter + robots.txt disallow filter.
+- crawl_delay: a host with crawl_delay_ms d in a round of budget_ms B may
+  fetch at most max(1, B // d) URLs; each assignment carries its scheduled
+  offset (rank-1)*d within the round.
+
+Skew: one hot host (≥30% of the frontier) would saturate a single window
+partition. The budget cut is two-phase: rank within (host, salt) and keep
+the top ``budget`` per salt (bounded output: salt_n × budget per host),
+then rank within host among those survivors and keep the top ``budget``.
+Phase 1 parallelizes the hot host across salt_n tasks; phase 2's groups are
+provably ≤ salt_n × budget rows, so no task ever sees the whole hot host.
+The result is identical to an unsalted single-phase cut because any row in
+the true per-host top-``budget`` is also in the top-``budget`` of its salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions.robots import robots_allowed_udf
+from spider_go_spark.functions.urls import path_of_series  # noqa: F401 (oracle parity)
+
+DEFAULT_BUDGET = 10  # ≙ worker semaphore (messenger_worker_nats.go:103)
+DEFAULT_ROUND_BUDGET_MS = 10_000
+DEFAULT_SALT_N = 16
+
+
+def frontier_order() -> list[Column]:
+    """THE strict total order of the scheduler (also used by the oracle)."""
+    return [
+        F.col("priority").desc(),
+        F.col("discovered_round").asc(),
+        F.col("discovery_rank").asc(),
+        F.col("url_norm").asc(),
+    ]
+
+
+def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Broadcast-join per-host policy onto the frontier and apply the
+    disabled + robots filters. Missing hosts get permissive defaults."""
+    policy = host_policy.select("host", "crawl_delay_ms", "max_in_flight", "robots_txt", "disabled")
+    joined = frontier.join(F.broadcast(policy), "host", "left")
+    joined = joined.fillna(
+        {"crawl_delay_ms": 0, "max_in_flight": default_budget, "disabled": False}
+    )
+    joined = joined.filter(~F.col("disabled"))
+    path = F.regexp_replace("url_norm", r"^[a-z0-9+.-]+://[^/?#]*", "")
+    joined = joined.withColumn("__path", F.when(path == "", "/").otherwise(path))
+    joined = joined.filter(robots_allowed_udf(F.col("robots_txt"), F.col("__path"))).drop("__path")
+    return joined
+
+
+def budget_cut(
+    frontier_with_policy: DataFrame,
+    round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS,
+    salt_n: int = DEFAULT_SALT_N,
+) -> DataFrame:
+    """Keep the per-host top-``effective_budget`` rows under the scheduler
+    order; attach ``host_rank`` and ``scheduled_offset_ms``."""
+    eff_budget = F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.least(
+            F.col("max_in_flight"),
+            F.greatest(F.lit(1), (F.lit(round_budget_ms) / F.col("crawl_delay_ms")).cast("int")),
+        ),
+    ).otherwise(F.col("max_in_flight"))
+    df = frontier_with_policy.withColumn("__budget", eff_budget)
+
+    order = frontier_order()
+    # phase 1: salted pre-cut — bounds every phase-2 group to salt_n × budget
+    df = df.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    df = df.withColumn("__rk1", F.row_number().over(w1)).filter(F.col("__rk1") <= F.col("__budget")).drop("__salt")
+    # phase 2: exact per-host rank among survivors
+    w2 = Window.partitionBy("host").orderBy(*order)
+    df = df.withColumn("host_rank", F.row_number().over(w2)).filter(
+        F.col("host_rank") <= F.col("__budget")
+    )
+    df = df.withColumn(
+        "scheduled_offset_ms", (F.col("host_rank") - 1) * F.col("crawl_delay_ms")
+    )
+    return df.drop("__rk1", "__budget")
+
+
+def schedule_round(
+    frontier: DataFrame,
+    host_policy: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS,
+    salt_n: int = DEFAULT_SALT_N,
+) -> DataFrame:
+    """Full politeness stage: policy join + filters + budget cut."""
+    return budget_cut(
+        apply_policy(frontier, host_policy, default_budget),
+        round_budget_ms=round_budget_ms,
+        salt_n=salt_n,
+    )

@@ -1,0 +1,152 @@
+"""Sharded Bloom-filter URL-seen set with exact-verify anti-join.
+
+Semantics target: EXACT membership, matching the reference's dedup-by-
+unique-index (Mongo composite unique indexes,
+/root/reference/pkg/spider/storage_workflow_mongodb.go:81-119). The
+reference also has an approximate 2-minute dedup window (NATS ``Duplicates``,
+nats.go:161); here the Bloom shards play that "fast approximate" role, but
+false positives are always resolved by an exact anti-join against the
+``seen_urls`` table — so the composed operator is exact.
+
+Scale design (10^10 URLs):
+- ``seen_shards``: S shards of numpy bitmaps, shard_id = pmod(url_hash, S).
+  At 10 bits/URL and S=8192, each shard bitmap is ~1.5 MB — streams through
+  ``cogroup().applyInPandas`` without memory pressure; the probe shuffles
+  candidates once on shard_id and ships each bitmap exactly once per task.
+- ``seen_urls``: exact membership, written partitioned by shard_id so the
+  verify join prunes to only the shards that produced Bloom positives. The
+  verify join input is only (FP_rate × candidates + true duplicates) rows —
+  the Bloom pre-filter is what makes exact dedup affordable at 10^10.
+- Probe-side skew: candidates are hashed uniformly by url_hash, so shard
+  load is balanced regardless of host skew.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions.urls import bloom_hashes
+from spider_go_spark.schemas import SEEN_SHARDS
+
+DEFAULT_BITS_PER_ITEM = 10  # ~1% false positives
+DEFAULT_K = 7
+
+
+def bloom_params(expected_items: int, num_shards: int, bits_per_item: int = DEFAULT_BITS_PER_ITEM):
+    """Per-shard (m_bits, k). m_bits rounded up to a whole number of bytes."""
+    per_shard = max(1, expected_items // max(1, num_shards))
+    m_bits = int(math.ceil(per_shard * bits_per_item / 8.0)) * 8
+    return m_bits, DEFAULT_K
+
+
+def shard_id_col(url_hash_col="url_hash", num_shards: int = 64):
+    c = F.col(url_hash_col) if isinstance(url_hash_col, str) else url_hash_col
+    return F.pmod(c, F.lit(num_shards)).cast("int")
+
+
+def build_shard_updates(
+    new_urls: DataFrame, num_shards: int, m_bits: int, k: int
+) -> DataFrame:
+    """Bloom bitmaps for a batch of new URLs (url_norm, url_hash) → one row
+    per touched shard, conforming to SEEN_SHARDS. Pure map-side grouping on
+    shard_id; each task builds its shard's bitmap in numpy."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        idx = bloom_hashes(pdf["url_norm"].to_numpy(), m_bits, k).ravel()
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bloom_bits": [bits.tobytes()],
+                "n_items": [len(pdf)],
+                "m_bits": [m_bits],
+                "k_hashes": [k],
+            }
+        )
+
+    cands = new_urls.select("url_norm", shard_id_col("url_hash", num_shards).alias("shard_id"))
+    return cands.groupBy("shard_id").applyInPandas(build, SEEN_SHARDS)
+
+
+def merge_shards(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """OR together bitmaps per shard_id (existing ∪ updates)."""
+
+    def or_bitmaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bloom_bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bloom_bits"].iloc[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bloom_bits": [acc.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+                "m_bits": [int(pdf["m_bits"].iloc[0])],
+                "k_hashes": [int(pdf["k_hashes"].iloc[0])],
+            }
+        )
+
+    both = existing.unionByName(updates)
+    return both.groupBy("shard_id").applyInPandas(or_bitmaps, SEEN_SHARDS)
+
+
+def bloom_maybe_seen(candidates: DataFrame, shards: DataFrame, num_shards: int) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` via a cogrouped per-shard probe.
+
+    ``candidates`` must carry url_norm + url_hash. The cogroup ships each
+    shard bitmap once per task (never once per row) and probes the whole
+    candidate group with vectorized numpy bit tests.
+    """
+    from pyspark.sql import types as T
+
+    cands = candidates.withColumn("shard_id", shard_id_col("url_hash", num_shards))
+    # copy the fields — StructType.add on df.schema mutates the df's cache
+    out_schema = T.StructType(
+        list(cands.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(shard_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=False)
+        bits = np.frombuffer(shard_pdf["bloom_bits"].iloc[0], dtype=np.uint8)
+        m_bits = int(shard_pdf["m_bits"].iloc[0])
+        k = int(shard_pdf["k_hashes"].iloc[0])
+        idx = bloom_hashes(cand_pdf["url_norm"].to_numpy(), m_bits, k)
+        hit = (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return cand_pdf.assign(maybe_seen=hit.all(axis=1))
+
+    return (
+        cands.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    shards: DataFrame,
+    seen_urls: DataFrame,
+    num_shards: int,
+) -> DataFrame:
+    """Exact not-seen filter: Bloom pre-filter + exact anti-join for the
+    Bloom positives. Returns candidates (original columns + shard_id)
+    guaranteed not in ``seen_urls``."""
+    tagged = bloom_maybe_seen(candidates, shards, num_shards)
+    definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    # Exact verify: join on (shard_id, url_norm) so the scan of seen_urls
+    # prunes to the shards with positives (seen_urls written partitioned by
+    # shard_id). AQE converts to broadcast when the maybe-side is tiny.
+    verified_new = maybe.join(
+        seen_urls.select("shard_id", "url_norm"), ["shard_id", "url_norm"], "left_anti"
+    )
+    return definite_new.unionByName(verified_new)

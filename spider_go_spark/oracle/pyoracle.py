@@ -1,0 +1,163 @@
+"""Pure-Python oracle of the reference's scheduler semantics.
+
+Implements, in plain single-threaded Python, exactly the semantics documented
+in SURVEY.md §5.1 from the reference:
+
+- FIFO delivery order (/root/reference/pkg/spider/nats.go:196) + fan-out in
+  dependency order (workflow.go:140) → the strict total order
+  ``(-priority, discovered_round, discovery_rank, url_norm)``,
+- per-consumer budget (messenger_worker_nats.go:103-106) → per-host
+  per-round budget with crawl-delay reduction,
+- dedup-on-insert via unique index (storage_workflow_mongodb.go:81-119) →
+  a URL enters the seen set when enqueued, first discovery wins,
+- disabled check (workflow.go:100-102) → disabled-host + robots filters.
+
+It reuses the engine's own canonicalization and synthetic-graph functions on
+single-element inputs, so any divergence the tests catch is in the Spark
+plumbing (shuffles, windows, joins), not in incidental reimplementation
+drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from spider_go_spark.functions.robots import robots_allowed_one
+from spider_go_spark.functions.urls import canonicalize_one, host_of_one, path_of_series
+from spider_go_spark.sources.webgraph import (
+    node_id_of_url,
+    out_links_of_nodes,
+    status_of_nodes,
+)
+
+import pandas as pd
+
+LINK_STRIDE = 4096
+
+
+@dataclass
+class OracleEntry:
+    url: str
+    url_norm: str
+    host: str
+    depth: int
+    priority: float
+    discovered_round: int
+    discovery_rank: int
+
+    def order_key(self):
+        return (-self.priority, self.discovered_round, self.discovery_rank, self.url_norm)
+
+
+@dataclass
+class OracleResult:
+    fetched: list[dict] = field(default_factory=list)  # round, fetch_rank, url_norm, status
+    seen: set[str] = field(default_factory=set)
+    rounds: list[dict] = field(default_factory=list)
+
+
+def _path_of(url_norm: str) -> str:
+    p = path_of_series(pd.Series([url_norm])).iloc[0]
+    return p if p else "/"
+
+
+def crawl_oracle(
+    seeds: list[tuple[str, float]],
+    host_policy: dict[str, dict],
+    n_urls: int,
+    n_hosts: int,
+    default_budget: int = 10,
+    round_budget_ms: int = 10_000,
+    max_rounds: int = 10,
+) -> OracleResult:
+    res = OracleResult()
+    frontier: dict[str, OracleEntry] = {}
+
+    # --- round 0: seed injection (first-wins per canonical URL: highest
+    # priority, then smallest raw url string — mirrors the engine's min-struct
+    # dedup key)
+    by_norm: dict[str, tuple] = {}
+    for raw_url, prio in seeds:
+        norm = canonicalize_one(raw_url)
+        if norm is None:
+            continue
+        key = (-prio, 0, prio, 0, raw_url)
+        if norm not in by_norm or key < by_norm[norm]:
+            by_norm[norm] = key
+    for norm, key in by_norm.items():
+        if norm in res.seen:
+            continue
+        res.seen.add(norm)
+        frontier[norm] = OracleEntry(
+            url=key[4], url_norm=norm, host=host_of_one(norm), depth=0,
+            priority=key[2], discovered_round=0, discovery_rank=0,
+        )
+    res.rounds.append({"round": 0, "n_new": len(frontier)})
+
+    # --- crawl rounds
+    for rnd in range(1, max_rounds + 1):
+        # politeness: filter + per-host budget cut
+        eligible: list[OracleEntry] = []
+        for e in frontier.values():
+            pol = host_policy.get(e.host, {})
+            if pol.get("disabled", False):
+                continue
+            robots = pol.get("robots_txt")
+            if robots and not robots_allowed_one(robots, _path_of(e.url_norm)):
+                continue
+            eligible.append(e)
+        by_host: dict[str, list[OracleEntry]] = {}
+        for e in eligible:
+            by_host.setdefault(e.host, []).append(e)
+        assignments: list[OracleEntry] = []
+        for host, entries in by_host.items():
+            pol = host_policy.get(host, {})
+            budget = pol.get("max_in_flight", default_budget)
+            delay = pol.get("crawl_delay_ms", 0)
+            if delay and delay > 0:
+                budget = min(budget, max(1, int(round_budget_ms / delay)))
+            entries.sort(key=OracleEntry.order_key)
+            assignments.extend(entries[:budget])
+        assignments.sort(key=OracleEntry.order_key)
+        if not assignments:
+            res.rounds.append({"round": rnd, "n_assigned": 0})
+            break
+
+        # fetch in global order
+        new_candidates: list[tuple[tuple, str, OracleEntry]] = []
+        for fetch_rank, e in enumerate(assignments, start=1):
+            node = int(node_id_of_url(pd.Series([e.url_norm])).iloc[0])
+            status = str(status_of_nodes(np.array([node]))[0])
+            res.fetched.append(
+                {"round": rnd, "fetch_rank": fetch_rank, "url_norm": e.url_norm, "status": status}
+            )
+            del frontier[e.url_norm]
+            if status != "200":
+                continue
+            links = out_links_of_nodes(np.array([node]), n_urls, n_hosts)[0]
+            for pos, raw in enumerate(links):
+                norm = canonicalize_one(raw)
+                if norm is None:
+                    continue
+                dr = fetch_rank * LINK_STRIDE + pos
+                cand = OracleEntry(
+                    url=raw, url_norm=norm, host=host_of_one(norm), depth=e.depth + 1,
+                    priority=e.priority, discovered_round=rnd + 1, discovery_rank=dr,
+                )
+                new_candidates.append(((-cand.priority, dr), norm, cand))
+
+        # in-round dedup (first in scheduler order wins) + seen filter + enqueue
+        new_candidates.sort(key=lambda t: t[0])
+        n_new = 0
+        batch_norms: set[str] = set()
+        for _, norm, cand in new_candidates:
+            if norm in batch_norms or norm in res.seen:
+                continue
+            batch_norms.add(norm)
+            res.seen.add(norm)
+            frontier[norm] = cand
+            n_new += 1
+        res.rounds.append({"round": rnd, "n_assigned": len(assignments), "n_new": n_new})
+    return res

@@ -1,0 +1,149 @@
+"""Fixed StructType schemas for every engine table.
+
+The reference keeps all payloads as dynamically-typed JSON documents
+(``map[string]interface{}`` — /root/reference/pkg/spider/workflow.go:104-111);
+this engine replaces them with fixed columnar schemas (SURVEY.md §1.2).
+
+The ``documents`` shape (doc_id + interleaved text/media spans) is the
+authoritative input shape from BASELINE.json ``input_hint``. Span array
+order is significant — the per-row invariant vs the reference is
+span-sequence equality on (kind, text, media_ref, order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- interleaved text+media documents (input_hint, authoritative) ---------
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # text | image | video | link
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+    ]
+)
+
+# --- frontier: the pending-fetch queue -------------------------------------
+# ≙ the reference's NATS `-input` stream of pending task messages
+# (/root/reference/pkg/spider/nats.go:122-124). Partition by salt =
+# host_hash % P so politeness windows shuffle once and hot hosts split.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),  # raw, as discovered
+        T.StructField("url_norm", T.StringType(), False),  # canonical form
+        T.StructField("url_hash", T.LongType(), False),  # xxhash64(url_norm)
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_hash", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("parent_hash", T.LongType(), True),
+        T.StructField("discovered_round", T.IntegerType(), False),
+        # deterministic discovery order for tie-breaking: (parent's rank in
+        # its round, index of this link in the parent's out_links)
+        T.StructField("discovery_rank", T.LongType(), False),
+    ]
+)
+
+# --- URL-seen set ----------------------------------------------------------
+# ≙ Mongo composite unique indexes (storage_workflow_mongodb.go:81-119) +
+# the NATS 2-minute Duplicates window (nats.go:161). Two tables: sharded
+# Bloom bitmaps (fast pre-filter) + exact url_norm membership (ground truth).
+SEEN_SHARDS = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("bloom_bits", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("m_bits", T.LongType(), False),
+        T.StructField("k_hashes", T.IntegerType(), False),
+    ]
+)
+
+SEEN_URLS = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("seen_round", T.IntegerType(), False),
+    ]
+)
+
+# --- per-host politeness/robots config -------------------------------------
+# ≙ WorkerConfig/Config map (storage.go:90-97) + WorkflowAction.Disabled
+# (action.go:12, dropped at workflow.go:100-102). Small → broadcast join.
+HOST_POLICY = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("crawl_delay_ms", T.LongType(), False),
+        T.StructField("max_in_flight", T.IntegerType(), False),
+        T.StructField("robots_txt", T.StringType(), True),
+        T.StructField("disabled", T.BooleanType(), False),
+    ]
+)
+
+# --- fetched documents (round output) --------------------------------------
+# ≙ worker SendOutput values (worker.go:45-53); spans per input_hint.
+FETCHED_DOCS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("fetch_rank", T.LongType(), False),  # global order in round
+        T.StructField("status", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+        T.StructField("out_links", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+# --- lineage: discovery path -----------------------------------------------
+# ≙ Mongo session contexts (storage_workflow_mongodb.go:751-757): which
+# parent discovered which URL, in which round, processed by which partition.
+LINEAGE = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("parent_hash", T.LongType(), True),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("rank_in_round", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+    ]
+)
+
+# --- synthetic web graph (deterministic fetcher input) ----------------------
+WEB_GRAPH = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("out_links", T.ArrayType(T.StringType()), False),
+        T.StructField("doc_template_id", T.IntegerType(), False),
+    ]
+)
+
+# --- per-round metrics (written into round_state checkpoint metadata) ------
+ROUND_METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_fetched", T.LongType(), False),
+        T.StructField("n_links_out", T.LongType(), False),
+        T.StructField("n_new_urls", T.LongType(), False),
+    ]
+)
+
+SEEDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+    ]
+)

@@ -1,0 +1,167 @@
+"""Snapshot-versioned Parquet table layer (the Iceberg commit model, minimal).
+
+The north rule specifies Iceberg tables; this sandbox has no Iceberg runtime
+jar, so this module implements the same commit model in miniature
+(SURVEY.md §7.2):
+
+- a table is a directory of immutable Parquet data directories plus a
+  ``_manifests/`` directory of JSON snapshot manifests,
+- a snapshot manifest lists the data directories that are members of that
+  snapshot (plus row counts and arbitrary properties),
+- a commit = write data files, then atomically rename a temp manifest into
+  place — readers only ever see fully-committed snapshots,
+- reads resolve the latest (or an explicitly pinned) manifest.
+
+This gives atomic round commits and time-travel for bit-identical resume.
+The API is kept Iceberg-shaped (``catalog.load(name)``, ``.append(df)``,
+``.snapshot(id)``) so a real ``iceberg-spark-runtime`` catalog becomes a
+config switch when the jar is available.
+
+Reference analogue: the Mongo collections + NATS streams that hold all
+spider-go state (/root/reference/pkg/spider/nats.go:118-128,
+storage_workflow_mongodb.go:57-80) — replaced by durable, versioned,
+columnar tables (the reference's in-memory streams lose data on restart;
+nats.go:155-158).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    data_dirs: list[str]  # relative to table root
+    row_count: int
+    properties: dict
+
+    @property
+    def empty(self) -> bool:
+        return not self.data_dirs
+
+
+class SnapshotTable:
+    """One snapshot-versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # -- snapshot resolution -------------------------------------------------
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{snapshot_id:09d}.json")
+
+    def snapshot_ids(self) -> list[int]:
+        names = os.listdir(os.path.join(self.path, _MANIFEST_DIR))
+        return sorted(int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json"))
+
+    def current_snapshot_id(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        if snapshot_id is None:
+            return Snapshot(-1, [], 0, {})
+        with open(self._manifest_path(snapshot_id)) as f:
+            m = json.load(f)
+        return Snapshot(m["snapshot_id"], m["data_dirs"], m["row_count"], m.get("properties", {}))
+
+    # -- reads ---------------------------------------------------------------
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap.empty:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.path, d) for d in snap.data_dirs]
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    # -- commits -------------------------------------------------------------
+    def _commit(self, data_dirs: list[str], row_count: int, properties: dict | None) -> Snapshot:
+        cur = self.current_snapshot_id()
+        new_id = 0 if cur is None else cur + 1
+        manifest = {
+            "snapshot_id": new_id,
+            "data_dirs": data_dirs,
+            "row_count": row_count,
+            "properties": properties or {},
+        }
+        tmp = self._manifest_path(new_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path(new_id))  # atomic commit point
+        return Snapshot(new_id, data_dirs, row_count, properties or {})
+
+    def _write_data(self, df: DataFrame, label: str) -> tuple[str, int]:
+        rel = os.path.join(_DATA_DIR, label)
+        out = os.path.join(self.path, rel)
+        if os.path.exists(out):  # failed earlier attempt — never committed
+            shutil.rmtree(out)
+        df.write.mode("overwrite").parquet(out)
+        n = self.spark.read.schema(self.schema).parquet(out).count()
+        return rel, n
+
+    def append(self, df: DataFrame, label: str, properties: dict | None = None) -> Snapshot:
+        """Append ``df`` as a new data dir named ``label`` (e.g. round-000007)."""
+        rel, n = self._write_data(df, label)
+        snap = self.snapshot()
+        return self._commit(snap.data_dirs + [rel], snap.row_count + n, properties)
+
+    def overwrite(self, df: DataFrame, label: str, properties: dict | None = None) -> Snapshot:
+        """Replace table contents with ``df`` (new snapshot; old dirs retained
+        for time-travel until expired)."""
+        rel, n = self._write_data(df, label)
+        return self._commit([rel], n, properties)
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Drop all manifests newer than ``snapshot_id`` (resume support)."""
+        for sid in self.snapshot_ids():
+            if sid > snapshot_id:
+                os.remove(self._manifest_path(sid))
+
+    def expire_snapshots(self, keep_last: int = 3) -> None:
+        """Retention: delete manifests (and unreferenced data dirs) beyond the
+        last ``keep_last`` snapshots. ≙ the reference's 1h stream retention
+        (nats.go:149-158), but explicit and durable."""
+        ids = self.snapshot_ids()
+        if len(ids) <= keep_last:
+            return
+        keep_ids = set(ids[-keep_last:])
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            referenced.update(self.snapshot(sid).data_dirs)
+        for sid in ids:
+            if sid not in keep_ids:
+                os.remove(self._manifest_path(sid))
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for d in os.listdir(data_root):
+            rel = os.path.join(_DATA_DIR, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+
+
+class Catalog:
+    """A directory of SnapshotTables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def load(self, name: str, schema: T.StructType) -> SnapshotTable:
+        return SnapshotTable(self.spark, os.path.join(self.root, name), schema)

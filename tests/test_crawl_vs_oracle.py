@@ -1,0 +1,130 @@
+"""End-to-end oracle replay: the Spark engine must reproduce the pure-Python
+oracle's crawl ordering and URL-seen membership under the same seed list +
+politeness budget (BASELINE.json north_rule)."""
+
+import pandas as pd
+import pytest
+
+from spider_go_spark import schemas
+from spider_go_spark.oracle.pyoracle import crawl_oracle
+from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+from spider_go_spark.sources.webgraph import make_seeds
+
+N_URLS = 300
+N_HOSTS = 6
+MAX_ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def policy_rows():
+    return [
+        ("hot.example.test", 0, 5, None, False),
+        ("h1.example.test", 2000, 10, None, False),  # delay → budget 5
+        ("h2.example.test", 0, 10, "User-agent: *\nDisallow: /p/1\n", False),
+        ("h3.example.test", 0, 10, None, True),  # disabled
+    ]
+
+
+@pytest.fixture(scope="module")
+def crawl_outputs(spark, tmp_path_factory, policy_rows):
+    seeds_df = make_seeds(spark, 40, N_URLS, N_HOSTS)
+    policy_df = spark.createDataFrame(policy_rows, schemas.HOST_POLICY)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path_factory.mktemp("crawl")),
+        n_urls=N_URLS,
+        n_hosts=N_HOSTS,
+        num_shards=4,
+        default_budget=10,
+        max_rounds=MAX_ROUNDS,
+    )
+    engine = CrawlEngine(spark, cfg, policy_df)
+    history = engine.crawl(seeds=seeds_df, max_rounds=MAX_ROUNDS)
+
+    seeds = [(r.url, r.priority) for r in seeds_df.collect()]
+    policy = {
+        h: {"crawl_delay_ms": d, "max_in_flight": m, "robots_txt": r, "disabled": x}
+        for h, d, m, r, x in policy_rows
+    }
+    oracle = crawl_oracle(
+        seeds, policy, N_URLS, N_HOSTS, default_budget=10, max_rounds=MAX_ROUNDS
+    )
+    return engine, history, oracle
+
+
+def test_fetch_ordering_matches_oracle(crawl_outputs):
+    engine, _, oracle = crawl_outputs
+    got = [
+        (r["round"], r["fetch_rank"], r["url_norm"], r["status"])
+        for r in engine.fetched_docs.read()
+        .select("round", "fetch_rank", "url_norm", "status")
+        .collect()
+    ]
+    got.sort()
+    expect = sorted(
+        (d["round"], d["fetch_rank"], d["url_norm"], d["status"]) for d in oracle.fetched
+    )
+    assert got == expect
+
+
+def test_seen_membership_matches_oracle(crawl_outputs):
+    engine, _, oracle = crawl_outputs
+    got = {r.url_norm for r in engine.seen_urls.read().select("url_norm").collect()}
+    assert got == oracle.seen
+
+
+def test_no_url_fetched_twice(crawl_outputs):
+    engine, _, _ = crawl_outputs
+    df = engine.fetched_docs.read()
+    assert df.count() == df.select("url_norm").distinct().count()
+
+
+def test_per_host_budget_invariant(crawl_outputs):
+    engine, _, _ = crawl_outputs
+    from pyspark.sql import functions as F
+
+    per = (
+        engine.fetched_docs.read()
+        .groupBy("round", "host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    budgets = {
+        "hot.example.test": 5,
+        "h1.example.test": 5,  # min(10, 10000//2000)
+        "h2.example.test": 10,
+        "h3.example.test": 0,
+    }
+    for r in per:
+        assert r.n <= budgets.get(r.host, 10), (r.host, r.n)
+
+
+def test_span_sequence_equality(crawl_outputs):
+    """Per-row invariant vs the reference: span-sequence equality
+    (kind, text, media_ref, order) against the synthetic source."""
+    import numpy as np
+
+    from spider_go_spark.sources.webgraph import node_id_of_url, spans_of_nodes
+
+    engine, _, _ = crawl_outputs
+    rows = (
+        engine.fetched_docs.read()
+        .filter("status = '200'")
+        .select("url_norm", "spans")
+        .collect()
+    )
+    assert rows
+    for r in rows[:50]:
+        node = int(node_id_of_url(pd.Series([r.url_norm])).iloc[0])
+        expect = spans_of_nodes(np.array([node]), N_URLS, N_HOSTS)[0]
+        got = [
+            {"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset}
+            for s in r.spans
+        ]
+        assert got == expect, r.url_norm
+
+
+def test_lineage_covers_seen(crawl_outputs):
+    engine, _, _ = crawl_outputs
+    lineage = {r.url_norm for r in engine.lineage.read().select("url_norm").collect()}
+    seen = {r.url_norm for r in engine.seen_urls.read().select("url_norm").collect()}
+    assert lineage == seen

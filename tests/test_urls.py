@@ -1,0 +1,71 @@
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spider_go_spark.functions.urls import (
+    bloom_hashes,
+    canonicalize_one,
+    canonicalize_series,
+    host_of_one,
+    path_of_series,
+)
+
+CASES = [
+    ("http://example.com", "http://example.com/"),
+    ("HTTP://Example.COM/", "http://example.com/"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?", "http://example.com/a"),
+    ("http://example.com/a/./b", "http://example.com/a/b"),
+    ("http://example.com/a/../b", "http://example.com/b"),
+    ("http://example.com//a//b/", "http://example.com/a/b/"),
+    ("http://example.com./a", "http://example.com/a"),
+    ("  http://example.com/a  ", "http://example.com/a"),
+    ("http://user@example.com/a", "http://user@example.com/a"),
+    ("not a url", None),
+    ("ftp//missing-scheme", None),
+    ("", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_cases(raw, expected):
+    assert canonicalize_one(raw) == expected
+
+
+def test_canonicalize_vectorized_matches_single():
+    raws = [c[0] for c in CASES]
+    vec = canonicalize_series(pd.Series(raws)).tolist()
+    single = [canonicalize_one(r) for r in raws]
+    assert vec == single
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(s):
+    url = "http://ex.com/" + s.replace("#", "").replace("?", "")
+    c1 = canonicalize_one(url)
+    if c1 is not None:
+        assert canonicalize_one(c1) == c1
+
+
+def test_host_and_path():
+    assert host_of_one("http://a.b.c:8080/x/y") == "a.b.c"
+    assert host_of_one("http://u@a.b/x") == "a.b"
+    assert path_of_series(pd.Series(["http://a.b/x/y?q=1", "http://a.b"])).tolist() == [
+        "/x/y?q=1",
+        "/",
+    ]
+
+
+def test_bloom_hashes_stable_and_in_range():
+    h1 = bloom_hashes(pd.Series(["u1", "u2"]).to_numpy(object), 1024, 5)
+    h2 = bloom_hashes(pd.Series(["u1", "u2"]).to_numpy(object), 1024, 5)
+    assert (h1 == h2).all()
+    assert h1.shape == (2, 5)
+    assert (h1 >= 0).all() and (h1 < 1024).all()
+    assert (h1[0] != h1[1]).any()
