@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops, as (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins (same column aliases;
+the driver value-hashes under sorted column names). Queries without an
+entry here (non-SQL-expressible, e.g. the crawl round loop itself) get the
+driver's weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +15,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 4-way broadcast star join + aggregation (the frontier ⋈
+    host_policy plan shape) on sf0.001."""
+    from spider_go_spark.queries.relational import region_revenue
+
+    return region_revenue(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spider_go_spark.queries import crawlq, relational, textops, vectorops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(vectorops.QUERIES)
+    out.update(crawlq.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spider_go_spark.queries import crawlq, relational, textops, vectorops
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(textops.ORACLES)
+    out.update(vectorops.ORACLES)
+    out.update(crawlq.ORACLES)
+    return out

@@ -1,0 +1,29 @@
+"""Query catalog: the engine's operator surface as (spark, sf_dir) -> DataFrame
+callables, each paired with an ANSI-SQL oracle string (DuckDB dialect kept to
+the common subset) for the driver's correctness gate.
+
+Three families:
+- :mod:`relational` — SURVEY.md §2 operator analogues (joins, windows, aggs,
+  set ops, pagination, branch routing, expression mapping) over the driver's
+  TPC-H-ish testdata tables;
+- :mod:`textops` — training-data pipeline text operators (dedup exact /
+  MinHash-LSH / SimHash / n-gram Jaccard, quality scoring, language ID,
+  fingerprinting, token counting) over ``documents``;
+- :mod:`vectorops` — similarity search over ``embeddings`` (brute-force
+  cosine top-k, LSH-bucketed ANN).
+
+Column-name parity contract: every computed column is aliased identically in
+the DataFrame code and the oracle SQL (the driver hashes values under sorted
+column names).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
