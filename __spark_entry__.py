@@ -27,22 +27,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from spider_go_spark.queries import crawlq, relational, textops, vectorops
+    from spider_go_spark.queries import crawlq, mediaops, relational, textops, vectorops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(vectorops.QUERIES)
+    out.update(mediaops.QUERIES)
     out.update(crawlq.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_go_spark.queries import crawlq, relational, textops, vectorops
+    from spider_go_spark.queries import crawlq, mediaops, relational, textops, vectorops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
     out.update(vectorops.ORACLES)
+    out.update(mediaops.ORACLES)
     out.update(crawlq.ORACLES)
     return out

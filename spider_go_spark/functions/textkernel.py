@@ -1,0 +1,125 @@
+"""Vectorized text-analysis kernel: tokenization, shingling, deterministic
+hashing, MinHash signatures, SimHash — all as JVM-side Catalyst expressions
+(higher-order array functions), so the hot path stays inside whole-stage
+codegen with zero Python.
+
+The deterministic polynomial hash is chosen to be reproducible in ANSI SQL
+(``POLY_P`` modulus keeps every intermediate within int64), which makes even
+the sketch-based operators (MinHash-LSH, SimHash) verifiable value-for-value
+against an external SQL oracle — the same discipline the crawl engine uses
+for URL hashing (no wall-clock, no engine-private hash functions in
+comparable outputs).
+
+Reference parity note: spider-go has no text operators at all (SURVEY.md
+§2.12); this module is the training-data-pipeline surface the north rule
+adds on top (dedup, quality, language ID, fingerprinting) for the
+interleaved text+media corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Polynomial-hash modulus: ~2^30, keeps acc*31+c < 2^35 ≪ int64 overflow in
+# both Spark and any bigint SQL engine.
+POLY_P = 1_000_000_007
+
+# MinHash permutation family: perm_i(h) = (A_i·h + B_i) mod POLY_P with
+# A_i odd — pairwise-distinct affine permutations, deterministic across runs.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K = LSH_BANDS × LSH_ROWS
+
+SIMHASH_BITS = 30  # POLY_P < 2^30 → 30 usable bits per hash
+
+
+def tokens(col: Column | str) -> Column:
+    r"""Whitespace tokenization (``\s+``) with empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def poly_hash(col: Column | str) -> Column:
+    """Deterministic 30-bit polynomial string hash h(s) = Σ s[i]·31^(n-i) mod P.
+
+    Pure Catalyst (split/transform/aggregate): codegen'd, no UDF. ASCII
+    inputs assumed (token vocabulary of the corpus); non-ASCII would need
+    a codepoint fn on the oracle side too.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % F.lit(POLY_P)
+    )
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined); empty array when < k tokens."""
+    n = F.size(tokens_col)
+    idx = F.sequence(F.lit(0), n - k)
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(mk)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
+    """array<long> of distinct k-shingle hashes for a text column."""
+    sh = shingles(tokens(text_col), k)
+    return F.array_distinct(F.transform(sh, lambda s: _poly_hash_expr(s)))
+
+
+def _poly_hash_expr(s: Column) -> Column:
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % F.lit(POLY_P)
+    )
+
+
+def minhash_signature(hashes_col: Column, num_hashes: int = MINHASH_K) -> Column:
+    """array<long> MinHash signature: sig_i = min over shingle hashes h of
+    (A_i·h + B_i) mod P; P (sentinel > any hash) when the doc has no shingles."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_P)
+
+    sigs = []
+    for i in range(num_hashes):
+        permed = F.transform(hashes_col, perm(2 * i + 1, 10_007 * i + 3))
+        sigs.append(F.coalesce(F.array_min(permed), F.lit(POLY_P).cast("long")))
+    return F.array(*sigs)
+
+
+def lsh_band_signatures(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """array<struct<band_id:int, band_sig:string>> — docs sharing any
+    (band_id, band_sig) are near-duplicate candidates."""
+    out = []
+    for b in range(bands):
+        parts = [F.element_at(sig_col, b * rows + r + 1).cast("string") for r in range(rows)]
+        out.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.concat_ws("_", *parts).alias("band_sig"),
+            )
+        )
+    return F.array(*out)
+
+
+def simhash(hashes_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over shingle hashes: bit j set iff Σ_s (±1 by bit j of h(s)) > 0."""
+    def vote(j: int):
+        return lambda a, h: a + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1)
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(hashes_col, F.lit(0).cast("long"), vote(j))
+        acc = acc + F.when(votes > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long bit-vectors (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

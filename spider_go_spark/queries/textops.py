@@ -1,3 +1,432 @@
-"""Placeholder — filled in below in this round."""
-QUERIES = {}
-ORACLES = {}
+r"""Training-data pipeline text operators over the ``documents`` table.
+
+Exact dedup, n-gram-Jaccard near-dup, MinHash-LSH, SimHash, token stats,
+quality scoring, language ID, fingerprinting — the large-scale corpus-prep
+surface (spider-go has no text ops, SURVEY.md §2.12; these are the north
+rule's training-data additions).
+
+Everything runs as JVM-side Catalyst expressions via
+:mod:`spider_go_spark.functions.textkernel` (no Python in the hot path), and
+— because the hash family is plain int64 arithmetic — even the sketches
+(MinHash, SimHash) have value-exact SQL oracles.
+
+Scale notes (100 TB corpus):
+- per-doc ops (tokens/quality/langid/fingerprint/sketches) are
+  embarrassingly parallel map stages — no shuffle at all;
+- exact dedup is one hash-partitioned groupBy on md5 (uniform keys, no skew);
+- pair generation never does a full cross join: n-gram and MinHash paths
+  both go through an explode→equi-join on (shingle-hash | band signature),
+  so the shuffle is keyed by content and AQE handles hot shingles; the
+  SimHash pair query is the only quadratic one and is for small candidate
+  pools (use simhash + banding at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions import textkernel as tk
+from spider_go_spark.queries import T
+
+# Shared SQL prefix: tokens → distinct 3-shingles → distinct shingle hashes,
+# mirroring textkernel.tokens/shingles/shingle_hashes exactly.
+_HASHES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(tokens)-2, 0)),
+            i -> concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3]))) AS shingles
+  FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+            s -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(s, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007))) AS hashes
+  FROM sh
+)
+"""
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "une", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "una", "por", "como"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def _docs_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", tk.shingle_hashes(F.col("text")).alias("hashes"))
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup: md5-keyed hash groupBy (uniform shuffle keys;
+    the 100 TB-safe baseline dedup)."""
+    d = T(spark, sf, "documents")
+    return (
+        d.withColumn("text_md5", F.md5(F.col("text")))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS first_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, alpha-only tokens
+    (BPE-ish [a-z]+ pieces), total chars. Exact ints — strict parity."""
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("bigint").alias("n_alpha_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "n_token_chars"
+        ),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(tokens)::BIGINT AS n_tokens,
+       len(list_distinct(tokens))::BIGINT AS n_distinct_tokens,
+       len(list_filter(tokens, t -> regexp_full_match(t, '[a-z]+')))::BIGINT AS n_alpha_tokens,
+       list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> length(t)::BIGINT)),
+                   (a,b) -> a+b) AS n_token_chars
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean token length → quality band.
+    Ratios are single exact-int divisions (bit-identical across engines)."""
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+    n_chars_tok = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    avg_len = F.when(n_tok > 0, n_chars_tok.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    band = (
+        F.when((stop_ratio >= 0.05) & (avg_len >= 3.0) & (avg_len <= 8.0), F.lit("good"))
+        .when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit("fair"))
+        .otherwise(F.lit("poor"))
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        band.alias("quality_band"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       n_tokens,
+       stop_ratio,
+       avg_token_len,
+       CASE WHEN stop_ratio >= 0.05 AND avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 'good'
+            WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 'fair'
+            ELSE 'poor' END AS quality_band
+FROM (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         CASE WHEN len(tokens) > 0 THEN
+           len(list_filter(tokens, t -> list_contains(['the','a','of','and','to'], t)))::DOUBLE
+             / len(tokens)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(tokens) > 0 THEN
+           list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> length(t)::BIGINT)),
+                       (a,b) -> a+b)::DOUBLE / len(tokens)::DOUBLE ELSE 0.0 END AS avg_token_len
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+    FROM documents
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID by stopword-marker scoring with a fixed tie-break order
+    (en > fr > de > es > zh)."""
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.col("text"))
+    def contains(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {}
+    for lg, words in _STOPWORDS.items():
+        scores[lg] = F.size(F.filter(toks, contains(words))).cast("bigint")
+    s = scores
+    pred = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when(s["es"] >= s["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return d.select(
+        "doc_id",
+        s["en"].alias("score_en"),
+        s["fr"].alias("score_fr"),
+        s["de"].alias("score_de"),
+        s["es"].alias("score_es"),
+        s["zh"].alias("score_zh"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _score_sql(words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tokens, t -> list_contains([{lst}], t)))::BIGINT"
+
+
+LANG_ID_SQL = rf"""
+SELECT doc_id, score_en, score_fr, score_de, score_es, score_zh,
+       CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+            WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+            WHEN score_de >= score_es AND score_de >= score_zh THEN 'de'
+            WHEN score_es >= score_zh THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM (
+  SELECT doc_id,
+         {_score_sql(_STOPWORDS["en"])} AS score_en,
+         {_score_sql(_STOPWORDS["fr"])} AS score_fr,
+         {_score_sql(_STOPWORDS["de"])} AS score_de,
+         {_score_sql(_STOPWORDS["es"])} AS score_es,
+         {_score_sql(_STOPWORDS["zh"])} AS score_zh
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+    FROM documents
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: min 3-shingle rolling hash per doc
+    (-1 for docs too short to shingle)."""
+    h = _docs_hashes(spark, sf)
+    return h.select(
+        "doc_id",
+        F.coalesce(F.array_min("hashes"), F.lit(-1).cast("long")).alias("fingerprint"),
+        F.size("hashes").cast("bigint").alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINT_SQL = (
+    _HASHES_CTE
+    + """
+SELECT doc_id,
+       coalesce(list_min(hashes), -1)::BIGINT AS fingerprint,
+       len(hashes)::BIGINT AS n_shingles
+FROM hs
+"""
+)
+
+
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, candidates generated by
+    an explode→equi-join on shingle hash (content-keyed shuffle — never a
+    cross join; this is the scale path for exact-verification of candidates)."""
+    h = _docs_hashes(spark, sf).persist()
+    ex = h.select("doc_id", F.explode("hashes").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_id_a"), F.col("hashes").alias("hashes_a"))
+    hb = h.select(F.col("doc_id").alias("doc_id_b"), F.col("hashes").alias("hashes_b"))
+    joined = cand.join(ha, "doc_id_a").join(hb, "doc_id_b")
+    inter = F.size(F.array_intersect("hashes_a", "hashes_b")).cast("bigint")
+    union = F.size("hashes_a").cast("bigint") + F.size("hashes_b").cast("bigint") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return joined.select(
+        "doc_id_a", "doc_id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+NGRAM_JACCARD_PAIRS_SQL = (
+    _HASHES_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT doc_id_a, doc_id_b,
+         (len(list_intersect(x.hashes, y.hashes))::DOUBLE
+          / (len(x.hashes) + len(y.hashes) - len(list_intersect(x.hashes, y.hashes)))::DOUBLE) AS jaccard
+  FROM cand JOIN hs x ON x.doc_id = cand.doc_id_a JOIN hs y ON y.doc_id = cand.doc_id_b
+) WHERE jaccard >= 0.5
+"""
+)
+
+
+# --------------------------------------------------------------------------
+def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands × 4 rows) candidate pairs with shared-band
+    counts — the sub-quadratic near-dup path for 100 TB corpora. Docs with
+    no shingles are excluded (their empty-set signatures would all collide)."""
+    h = _docs_hashes(spark, sf).filter(F.size("hashes") > 0)
+    sig = h.select("doc_id", tk.minhash_signature(F.col("hashes")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = (
+    _HASHES_CTE
+    + """
+, sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           coalesce(list_min(list_transform(hashes,
+             h -> ((2*i+1)*h + 10007*i + 3) % 1000000007)), 1000000007)) AS sig
+  FROM hs WHERE len(hashes) > 0
+), bands AS (
+  SELECT doc_id, band_id,
+         sig[band_id*4+1]::VARCHAR || '_' || sig[band_id*4+2]::VARCHAR || '_'
+           || sig[band_id*4+3]::VARCHAR || '_' || sig[band_id*4+4]::VARCHAR AS band_sig
+  FROM sig, (SELECT unnest(range(0, 4)) AS band_id)
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
+# --------------------------------------------------------------------------
+def simhash_values(spark: SparkSession, sf: str) -> DataFrame:
+    """30-bit SimHash per doc (bitwise majority vote over shingle hashes)."""
+    h = _docs_hashes(spark, sf)
+    return h.select("doc_id", tk.simhash(F.col("hashes")).alias("simhash"))
+
+
+SIMHASH_VALUES_SQL = (
+    _HASHES_CTE
+    + """
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 30), j ->
+         CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hashes,
+                h -> CASE WHEN (h >> j) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)),
+              (a,b) -> a+b) > 0
+         THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a,b) -> a+b) AS simhash
+FROM hs
+"""
+)
+
+
+def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 4 (quadratic verify stage; at
+    scale this runs after banding restricts candidates)."""
+    # materialize signatures once: the 30-aggregate simhash expression must
+    # not be re-evaluated on both sides of the pair join
+    s = simhash_values(spark, sf).filter(F.col("simhash") != 0).persist()
+    s.count()
+    a, b = s.alias("a"), s.alias("b")
+    ham = tk.hamming64(F.col("a.simhash"), F.col("b.simhash")).cast("bigint")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+    )
+
+
+SIMHASH_NEAR_PAIRS_SQL = (
+    _HASHES_CTE
+    + """
+, s AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 30), j ->
+           CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hashes,
+                  h -> CASE WHEN (h >> j) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)),
+                (a,b) -> a+b) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (a,b) -> a+b) AS simhash
+  FROM hs
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE a.simhash <> 0 AND b.simhash <> 0
+  AND bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "token_stats": token_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_values": simhash_values,
+    "simhash_near_pairs": simhash_near_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
+    "simhash_values": SIMHASH_VALUES_SQL,
+    "simhash_near_pairs": SIMHASH_NEAR_PAIRS_SQL,
+}

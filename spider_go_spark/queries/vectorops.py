@@ -1,3 +1,186 @@
-"""Placeholder — filled in below in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- ``ann_cosine_topk`` — brute-force cosine top-k: the exactness baseline.
+  Queries are broadcast; candidates stream; per-query top-k via window rank.
+- ``ann_lsh_buckets`` — random-hyperplane LSH bucketing: the scale path
+  (bucket-join instead of cross-join). Hyperplane weights are deterministic
+  integer lattices so the bucketing is reproducible anywhere.
+- ``embedding_near_dup_pairs`` — embedding-cosine near-duplicate detection
+  (the dedup-by-embedding operator for training-data pipelines).
+
+Float discipline: dot products fold left-to-right over the array in both
+engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), which makes the
+doubles — and therefore the driver's value hashes — bit-identical; no
+rounding needed (verified empirically at sf0.01).
+
+Scale notes (10^9+ vectors): brute force is O(Q·N) — only for small Q with
+broadcast; LSH buckets give sub-linear candidate sets with a content-keyed
+shuffle (band join), the same pattern as MinHash-LSH in textops. spider-go
+has no vector ops (SURVEY.md §2.12); this is north-rule training-data
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spider_go_spark.queries import T
+
+DIMS = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_PLANES = 8
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (order-stable across engines)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+    " i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+# --------------------------------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for each query vector (vec_id < 5) over all
+    other vectors. Broadcast the query side; rank per query."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = j.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+def _plane_weights(h: int) -> list[int]:
+    """Deterministic integer hyperplane: w(h,d) = ((1103515245·(h·64+d) + 12345)
+    mod 2048) − 1024. Exact in doubles, reproducible in any engine."""
+    return [((1103515245 * (h * DIMS + d) + 12345) % 2048) - 1024 for d in range(DIMS)]
+
+
+def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits → bucket id per vector. The
+    bucket-equi-join replaces the cross join at scale."""
+    e = T(spark, sf, "embeddings")
+    bucket = F.lit(0).cast("bigint")
+    for h in range(LSH_PLANES):
+        w = F.array(*[F.lit(float(x)) for x in _plane_weights(h)])
+        d = _dot(F.col("embedding"), w)
+        bucket = bucket + F.when(d >= 0, F.lit(2**h).cast("bigint")).otherwise(F.lit(0))
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+def _plane_sql(h: int) -> str:
+    w = ",".join(str(float(x)) for x in _plane_weights(h))
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+        f" i -> (embedding[i]::DOUBLE) * ([{w}])[i])), (x, y) -> x + y)"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN {2**h}::BIGINT ELSE 0::BIGINT END"
+
+
+ANN_LSH_BUCKETS_SQL = (
+    "SELECT vec_id, ("
+    + " + ".join(_plane_sql(h) for h in range(LSH_PLANES))
+    + ") AS bucket FROM embeddings"
+)
+
+
+# --------------------------------------------------------------------------
+def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4). Quadratic
+    verify stage — at scale, run after ann_lsh_buckets restricts candidates
+    to same-bucket pairs."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    e.count()
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    j = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return j.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEAR_DUP_THRESHOLD
+    )
+
+
+EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+)
+SELECT vec_id_a, vec_id_b, cosine FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         {_dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+}

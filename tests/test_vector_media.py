@@ -1,0 +1,106 @@
+"""Unit tests for similarity search (vectorops) and multimodal plumbing
+(media) against numpy / hashlib references."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from spider_go_spark.functions.media import extract_media_features, real_decode
+from spider_go_spark.queries.vectorops import _dot, _norm, _plane_weights
+
+EMB_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    data = [(int(i), [float(x) for x in rng.standard_normal(64).astype(np.float32)]) for i in range(20)]
+    return spark.createDataFrame(data, EMB_SCHEMA), data
+
+
+def test_dot_and_norm_match_numpy(spark, vecs):
+    sdf, data = vecs
+    rows = sdf.select(
+        "vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        _norm(F.col("embedding")).alias("n"),
+    ).collect()
+    by_id = {i: np.asarray(v, dtype=np.float64) for i, v in data}
+    for r in rows:
+        v = by_id[r["vec_id"]]
+        assert r["d"] == pytest.approx(float(v @ v), rel=1e-12)
+        assert r["n"] == pytest.approx(float(np.sqrt(v @ v)), rel=1e-12)
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    sdf, data = vecs
+    sdf.createOrReplaceTempView("embeddings_test")
+    by_id = {i: np.asarray(v, dtype=np.float64) for i, v in data}
+    # Spark-side: same construction as queries.vectorops.ann_cosine_topk but
+    # on the fixture (query = vec 0, k = 5)
+    e = sdf.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    got = [
+        r["vec_id"]
+        for r in j.select("vec_id", cos.alias("c")).orderBy(F.desc("c"), "vec_id").limit(5).collect()
+    ]
+    qv = by_id[0]
+    sims = {
+        i: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        for i, v in by_id.items()
+        if i != 0
+    }
+    expect = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert got == expect
+
+
+def test_lsh_bucket_matches_numpy(spark, vecs):
+    sdf, data = vecs
+    by_id = {i: np.asarray(v, dtype=np.float64) for i, v in data}
+    bucket = F.lit(0).cast("bigint")
+    for h in range(8):
+        w = F.array(*[F.lit(float(x)) for x in _plane_weights(h)])
+        bucket = bucket + F.when(_dot(F.col("embedding"), w) >= 0, 2**h).otherwise(0)
+    got = {r["vec_id"]: r["b"] for r in sdf.select("vec_id", bucket.alias("b")).collect()}
+    for i, v in by_id.items():
+        expect = sum(
+            (1 << h) if float(v @ np.asarray(_plane_weights(h), dtype=np.float64)) >= 0 else 0
+            for h in range(8)
+        )
+        assert got[i] == expect, i
+
+
+def test_media_features_deterministic_fake(spark):
+    d = spark.createDataFrame(
+        [(0, "hello world"), (1, "abc"), (2, "xyzzy plugh")], ["doc_id", "text"]
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    rows = {r["doc_id"]: r for r in extract_media_features(d).collect()}
+    texts = {0: "hello world", 1: "abc", 2: "xyzzy plugh"}
+    kinds = {0: "image", 1: "audio", 2: "video"}
+    for i, t in texts.items():
+        r = rows[i]
+        n = len(t)
+        assert r["media_kind"] == kinds[i]
+        assert r["n_bytes"] == n
+        assert r["digest"] == hashlib.md5(t.encode()).hexdigest()
+        if kinds[i] == "audio":
+            assert r["width"] is None and r["height"] is None
+        else:
+            assert r["width"] == (n * 7) % 1024 and r["height"] == (n * 13) % 768
+        if kinds[i] == "video":
+            assert r["frame_count"] == (n % 120) + 1
+        else:
+            assert r["frame_count"] is None
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG", "image")
