@@ -51,7 +51,25 @@ def frontier_order() -> list[Column]:
 
 def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:
     """Broadcast-join per-host policy onto the frontier and apply the
-    disabled + robots filters. Missing hosts get permissive defaults."""
+    disabled + robots filters. Missing hosts get permissive defaults.
+
+    The frontier is spread round-robin across all cores first: URL rows are
+    tiny, so a bytes-based input split (128 MB) would run the robots UDF on
+    a handful of tasks; round-robin is skew-immune (never keyed by host).
+    """
+    par = frontier.sparkSession.sparkContext.defaultParallelism
+    frontier = frontier.repartition(par)
+    if host_policy.isEmpty():
+        # permissive fast path: no policies ⇒ no join, no robots UDF pass
+        # over the full frontier (the robots stage is the only Python in
+        # scheduling — skipping it when provably a no-op saves an Arrow
+        # round-trip of the whole frontier every round)
+        return (
+            frontier.withColumn("crawl_delay_ms", F.lit(0).cast("long"))
+            .withColumn("max_in_flight", F.lit(default_budget).cast("int"))
+            .withColumn("robots_txt", F.lit(None).cast("string"))
+            .withColumn("disabled", F.lit(False))
+        )
     policy = host_policy.select("host", "crawl_delay_ms", "max_in_flight", "robots_txt", "disabled")
     joined = frontier.join(F.broadcast(policy), "host", "left")
     joined = joined.fillna(

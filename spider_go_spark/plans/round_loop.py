@@ -155,9 +155,14 @@ class CrawlEngine:
         )
         return c
 
-    def _enqueue(self, candidates: DataFrame, rnd: int, label: str) -> tuple[int, int]:
+    def _enqueue(
+        self, candidates: DataFrame, rnd: int, label: str, base_frontier: DataFrame | None = None
+    ) -> tuple[int, int]:
         """Filter candidates vs seen set, append to frontier + seen + lineage.
-        Returns (n_new, n_candidates)."""
+        ``base_frontier`` is the carried-over frontier (defaults to the
+        current snapshot) — passed in by run_round so the round does ONE
+        frontier rewrite, not two. Returns (n_new, n_candidates)."""
+        candidates = candidates.persist()
         n_cand = candidates.count()
         shards = self.seen_shards.read()
         seen = self.seen_urls.read()
@@ -166,7 +171,7 @@ class CrawlEngine:
         n_new = new.count()
 
         frontier_new = new.select(*[f.name for f in schemas.FRONTIER.fields])
-        prev = self.frontier.read()
+        prev = base_frontier if base_frontier is not None else self.frontier.read()
         self.frontier.overwrite(prev.unionByName(frontier_new), f"round-{rnd:06d}")
 
         self.seen_urls.append(
@@ -178,7 +183,7 @@ class CrawlEngine:
         updates = build_shard_updates(
             new.select("url_norm", "url_hash"), self.cfg.num_shards, self.m_bits, self.k_hashes
         )
-        merged = merge_shards(self.seen_shards.read(), updates)
+        merged = merge_shards(shards, updates)
         self.seen_shards.overwrite(merged, f"round-{rnd:06d}")
 
         self.lineage.append(
@@ -193,6 +198,7 @@ class CrawlEngine:
             f"{label}-{rnd:06d}",
         )
         new.unpersist()
+        candidates.unpersist()
         return n_new, n_cand
 
     # -- round 0: seed injection ------------------------------------------------
@@ -214,6 +220,38 @@ class CrawlEngine:
         self.state_log.commit(0, self._snapshot_ids(), self.cfg.config_version, metrics)
         return metrics
 
+    def add_seeds(self, seeds: DataFrame) -> dict:
+        """Mid-crawl external seed submission (≙ webhook trigger,
+        /root/reference/cmd/webhook-trigger/main.go:32-70: an HTTP POST can
+        start new work in a live system at any time).
+
+        Modeled as its own committed round so exactly-once resume semantics
+        are preserved: the ingestion consumes a round number and commits
+        round_state like any fetch round; a crash before the commit re-runs
+        the ingestion idempotently (already-seen URLs dedup away)."""
+        last = self.state_log.last_round()
+        rnd = 0 if last is None else last + 1
+        raw = seeds.select(
+            "url",
+            "priority",
+            F.lit(None).cast("long").alias("parent_hash"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("long").alias("discovery_rank"),
+        )
+        n_new, n_cand = self._enqueue(self._candidates_from_raw(raw, rnd), rnd, "seeds")
+        metrics = {"n_candidates": n_cand, "n_new": n_new, "n_fetched": 0, "seed_ingestion": 1}
+        self.state_log.commit(rnd, self._snapshot_ids(), self.cfg.config_version, metrics)
+        return metrics
+
+    def ingest_staged(self, staged_dir: str) -> dict:
+        """Drain the streaming seed-ingestion staging area
+        (spider_go_spark.streaming.pipeline.seed_ingestion_query) into the
+        frontier at a round boundary."""
+        staged = self.spark.read.parquet(staged_dir)
+        return self.add_seeds(
+            staged.select(F.col("url_norm").alias("url"), "priority")
+        )
+
     # -- one crawl round ---------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
         frontier = self.frontier.read()
@@ -232,7 +270,12 @@ class CrawlEngine:
             self.state_log.commit(rnd, self._snapshot_ids(), self.cfg.config_version, metrics)
             return metrics
 
-        fetched = synthetic_fetch(assignments, self.cfg.n_urls, self.cfg.n_hosts).persist()
+        # AQE coalesces by *bytes*, which under-parallelizes the CPU-heavy
+        # Arrow fetch stage (URL rows are tiny, fetch work per row is not):
+        # spread assignments across all cores explicitly before mapInPandas
+        par = self.spark.sparkContext.defaultParallelism
+        fetch_input = assignments.repartition(par, "url_hash")
+        fetched = synthetic_fetch(fetch_input, self.cfg.n_urls, self.cfg.n_hosts).persist()
         self.fetched_docs.append(fetched, f"round-{rnd:06d}")
 
         # link extraction from the interleaved spans — built-in array fns,
@@ -263,13 +306,14 @@ class CrawlEngine:
         candidates = self._candidates_from_raw(raw, rnd + 1)
 
         # remove assigned rows from the frontier (broadcast anti-join: the
-        # assignment set is budget-bounded and small relative to the frontier)
+        # assignment set is budget-bounded and small relative to the frontier);
+        # committed together with the newly-enqueued candidates in ONE
+        # frontier rewrite inside _enqueue
         remaining = frontier.join(
             F.broadcast(assignments.select("url_norm")), "url_norm", "left_anti"
         )
-        self.frontier.overwrite(remaining, f"fetched-{rnd:06d}")
 
-        n_new, n_cand = self._enqueue(candidates, rnd + 1, "links")
+        n_new, n_cand = self._enqueue(candidates, rnd + 1, "links", base_frontier=remaining)
         n_fetched = fetched.filter(F.col("status") == "200").count()
         metrics = {
             "n_assigned": n_assigned,

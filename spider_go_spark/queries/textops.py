@@ -61,7 +61,11 @@ _STOPWORDS = {
 
 
 def _docs_hashes(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
+    # the corpus parquet is a single small file → one input split; the
+    # shingle-hash kernel is CPU-heavy, so spread rows across all cores
+    # first (at 100 TB the scan itself yields enough splits and this
+    # repartition disappears behind maxPartitionBytes)
+    d = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return d.select("doc_id", tk.shingle_hashes(F.col("text")).alias("hashes"))
 
 
@@ -307,6 +311,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    # materialize once: the shingle+minhash expression tree must not be
+    # re-evaluated on both sides of the band self-join
+    bands = bands.persist()
+    bands.count()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

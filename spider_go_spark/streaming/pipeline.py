@@ -1,0 +1,113 @@
+"""Structured Streaming surface: streaming seed ingestion + windowed
+event-metric aggregation.
+
+The crawl's main loop is deliberately batch micro-iterations (the north rule
+specifies DataFrame micro-iterations; discrete rounds are also what makes
+bit-identical resume possible — SURVEY.md §1.2). Streaming covers the two
+places the reference is genuinely event-driven:
+
+- **seed ingestion** ≙ webhook trigger (HTTP POST → trigger message,
+  /root/reference/cmd/webhook-trigger/main.go:32-70): a file-source stream
+  watches a drop directory of seed files and appends canonicalized,
+  deduplicated seed batches to a target location between rounds
+  (``foreachBatch`` — the sink adapter pattern; ≙ the reference's
+  side-effecting slack-worker sink, cmd/slack-worker/main.go:31-84).
+- **event-time metrics** ≙ the per-round fetch metrics, as a continuous
+  windowed aggregation with watermarked late-data handling (the reference
+  has no watermarks — SURVEY.md §2.10; NATS just drops after 1 h retention,
+  nats.go:149-158).
+
+Both pipelines support ``availableNow`` triggers so tests drain them
+deterministically and compare against the equivalent batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from spider_go_spark.functions.urls import canonicalize_udf
+from spider_go_spark.schemas import SEEDS
+
+
+def read_seed_stream(spark: SparkSession, drop_dir: str, schema: StructType = SEEDS) -> DataFrame:
+    """File-source stream over a seed drop directory (one parquet file per
+    externally submitted seed batch; ≙ one webhook POST)."""
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(drop_dir)
+
+
+def seed_ingestion_query(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Canonicalize + in-batch-dedup incoming seeds and append them to
+    ``out_dir`` (a plain parquet staging area the crawl driver unions into
+    the frontier at the next round boundary — exactly the reference's
+    trigger-message hand-off, workflow.go:83-127, minus the lost-on-crash
+    in-memory stream).
+
+    foreachBatch gives exactly-once-per-batch appends keyed by the
+    checkpoint; the batch body is the same vectorized kernel the round loop
+    uses (no separate streaming code path to drift out of sync).
+    """
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        out = (
+            batch.withColumn("url_norm", canonicalize_udf(F.col("url")))
+            .filter(F.col("url_norm").isNotNull())
+            .groupBy("url_norm")
+            .agg(F.max("priority").alias("priority"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        read_seed_stream(spark, drop_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_metrics(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream
+    (works on both batch and streaming DataFrames — single definition, no
+    drift between the streaming pipeline and its batch oracle)."""
+    ts = F.col("ts").cast("timestamp")
+    df = events.withColumn("ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window(F.col("ts"), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(F.col("w.start").alias("bucket_start"), "n", "sum_value")
+
+
+def event_metrics_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming twin of relational.tumbling_window_counts: file-source
+    events → watermarked windowed agg → in-memory sink named ``out_table``
+    (complete mode: windows re-emit as late data arrives)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = windowed_event_metrics(stream)
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,9 +90,18 @@ class SnapshotTable:
         return self.spark.read.schema(self.schema).parquet(*paths)
 
     # -- commits -------------------------------------------------------------
-    def _commit(self, data_dirs: list[str], row_count: int, properties: dict | None) -> Snapshot:
+    def _next_snapshot_id(self) -> int:
         cur = self.current_snapshot_id()
-        new_id = 0 if cur is None else cur + 1
+        return 0 if cur is None else cur + 1
+
+    def _referenced_dirs(self) -> set[str]:
+        refs: set[str] = set()
+        for sid in self.snapshot_ids():
+            refs.update(self.snapshot(sid).data_dirs)
+        return refs
+
+    def _commit(self, data_dirs: list[str], row_count: int, properties: dict | None) -> Snapshot:
+        new_id = self._next_snapshot_id()
         manifest = {
             "snapshot_id": new_id,
             "data_dirs": data_dirs,
@@ -108,13 +117,34 @@ class SnapshotTable:
         return Snapshot(new_id, data_dirs, row_count, properties or {})
 
     def _write_data(self, df: DataFrame, label: str) -> tuple[str, int]:
-        rel = os.path.join(_DATA_DIR, label)
+        # bind the dir name to the snapshot id it will commit as: labels may
+        # repeat (e.g. a seed-ingestion round reusing a round number), and a
+        # bare-label dir could collide with a LIVE dir of the current
+        # snapshot — deleting that while a lazy overwrite() input is still
+        # reading it corrupts the table
+        rel = os.path.join(_DATA_DIR, f"{label}-v{self._next_snapshot_id():09d}")
         out = os.path.join(self.path, rel)
-        if os.path.exists(out):  # failed earlier attempt — never committed
-            shutil.rmtree(out)
+        if os.path.exists(out):
+            if rel in self._referenced_dirs():  # never true for a correct
+                # single-writer; guard against deleting committed data
+                raise RuntimeError(f"refusing to overwrite committed data dir {rel}")
+            shutil.rmtree(out)  # failed earlier attempt — never committed
         df.write.mode("overwrite").parquet(out)
-        n = self.spark.read.schema(self.schema).parquet(out).count()
-        return rel, n
+        return rel, self._count_rows(out)
+
+    @staticmethod
+    def _count_rows(out: str) -> int:
+        """Row count from Parquet footers (driver-side metadata read — no
+        Spark job; an extra count job per commit would double the round's
+        job count)."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(out):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+        return n
 
     def append(self, df: DataFrame, label: str, properties: dict | None = None) -> Snapshot:
         """Append ``df`` as a new data dir named ``label`` (e.g. round-000007)."""

@@ -1,0 +1,58 @@
+"""Mid-crawl seed ingestion (webhook analogue): new seeds enter the
+frontier as their own committed round; dedup against the seen set applies;
+resume remains consistent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+from spider_go_spark.schemas import SEEDS
+from spider_go_spark.sources.webgraph import canonical_urls, make_seeds
+import numpy as np
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "crawl"), n_urls=150, n_hosts=5, num_shards=4, max_rounds=2
+    )
+    return CrawlEngine(spark, cfg)
+
+
+def test_add_seeds_midcrawl(spark, engine):
+    engine.crawl(seeds=make_seeds(spark, 10, 150, 5), max_rounds=2)
+    seen_before = engine.seen_urls.read().count()
+    frontier_before = engine.frontier.read().count()
+
+    # one brand-new URL + one already-seen URL (dedups away)
+    seen_url = engine.seen_urls.read().select("url_norm").first()["url_norm"]
+    fresh = [str(u) for u in canonical_urls(np.array([149]), 5)]
+    batch = spark.createDataFrame([(fresh[0], 9.0), (seen_url, 9.0)], SEEDS)
+    m = engine.add_seeds(batch)
+
+    assert m["seed_ingestion"] == 1
+    assert m["n_candidates"] == 2
+    new_expected = 1 if engine.seen_urls.read().filter(F.col("url_norm") == fresh[0]).count() else 0
+    assert m["n_new"] in (0, 1)  # 0 iff the fresh URL was already crawled
+    assert engine.seen_urls.read().count() == seen_before + m["n_new"]
+    assert engine.frontier.read().count() == frontier_before + m["n_new"]
+
+    # the ingestion consumed a round number and committed
+    assert engine.state_log.last_round() == 3
+
+    # continued crawl fetches the ingested URL with top priority
+    hist = engine.crawl(max_rounds=4)
+    if m["n_new"]:
+        fetched = engine.fetched_docs.read().filter(F.col("url_norm") == fresh[0])
+        assert fetched.count() == 1
+
+
+def test_ingest_staged_roundtrip(spark, engine, tmp_path):
+    engine.crawl(seeds=make_seeds(spark, 10, 150, 5), max_rounds=1)
+    staged_dir = str(tmp_path / "staged")
+    fresh = [str(u) for u in canonical_urls(np.array([140, 141]), 5)]
+    spark.createDataFrame(
+        [(u, 5.0, 0) for u in fresh], ["url_norm", "priority", "batch_id"]
+    ).write.parquet(staged_dir)
+    m = engine.ingest_staged(staged_dir)
+    assert m["n_candidates"] == 2

@@ -1,0 +1,73 @@
+"""Structured Streaming tests: seed ingestion (foreachBatch sink) and
+watermarked windowed metrics, each drained with availableNow and compared
+against its batch twin."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.schemas import SEEDS
+from spider_go_spark.streaming.pipeline import (
+    event_metrics_query,
+    seed_ingestion_query,
+    windowed_event_metrics,
+)
+
+
+def test_seed_ingestion_stream(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+    # two webhook batches, with messy dupes that canonicalize together
+    b1 = spark.createDataFrame(
+        [("HTTP://Host.Example.test:80/p/1#frag", 1.0), ("http://host.example.test/p/1", 2.0)],
+        SEEDS,
+    )
+    b2 = spark.createDataFrame([("http://host.example.test/p/2", 0.5)], SEEDS)
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    q = seed_ingestion_query(spark, drop, out, ckpt)
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(drop)
+    q2 = seed_ingestion_query(spark, drop, out, ckpt)
+    q2.awaitTermination(120)
+
+    staged = spark.read.parquet(out)
+    rows = {r["url_norm"]: r for r in staged.collect()}
+    # dupes collapsed to one canonical row with max priority
+    assert set(rows) == {"http://host.example.test/p/1", "http://host.example.test/p/2"}
+    assert rows["http://host.example.test/p/1"]["priority"] == 2.0
+    # second batch processed exactly once (checkpointed offsets)
+    assert staged.count() == 2
+
+
+def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt2")
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1.0),
+            (2, "2024-01-01 00:50:00", 2.0),
+            (3, "2024-01-01 01:05:00", 4.0),
+            (4, "2024-01-01 00:20:00", 8.0),  # late within watermark
+            (5, "2024-01-01 02:59:00", 16.0),
+        ],
+        ["event_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(events_dir)
+
+    q = event_metrics_query(
+        spark, events_dir, events.schema, "stream_metrics", ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["bucket_start"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM stream_metrics").collect()
+    }
+    expect = {
+        str(r["bucket_start"]): (r["n"], r["sum_value"])
+        for r in windowed_event_metrics(events).collect()
+    }
+    assert got == expect
+    assert got[str("2024-01-01 00:00:00")] == (3, 11.0)
