@@ -27,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from spider_go_spark.queries import crawlq, mediaops, relational, textops, vectorops
+    from spider_go_spark.queries import crawlq, mediaops, relational, relational2, textops, vectorops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(relational2.QUERIES)
     out.update(textops.QUERIES)
     out.update(vectorops.QUERIES)
     out.update(mediaops.QUERIES)
@@ -39,10 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_go_spark.queries import crawlq, mediaops, relational, textops, vectorops
+    from spider_go_spark.queries import crawlq, mediaops, relational, relational2, textops, vectorops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(relational2.ORACLES)
     out.update(textops.ORACLES)
     out.update(vectorops.ORACLES)
     out.update(mediaops.ORACLES)

@@ -1,0 +1,182 @@
+"""Second batch of SURVEY.md §2 operator analogues: semi-structured (JSON)
+extraction, cube, explicit-formula variance, date bucketing, string scalar
+functions, and order-stable array aggregation.
+
+Float discipline: variance uses the explicit sum-of-squares formula written
+identically on both sides (single divisions of exact aggregates) instead of
+each engine's built-in var_samp (different one-pass algorithms ⇒ different
+last-ulp doubles ⇒ hash mismatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.queries import T
+
+
+# --------------------------------------------------------------------------
+# JSON extraction — SURVEY §2.9 (the reference's payloads are opaque JSON
+# strings decoded per message, workflow.go:104-111; here: pushed-down typed
+# extraction instead of per-message Unmarshal)
+# --------------------------------------------------------------------------
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Cube — SURVEY §2.5 (grouping sets family; rollup covered in batch 1)
+# --------------------------------------------------------------------------
+def cube_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+CUBE_ORDER_STATUS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Variance via explicit formula (bit-stable across engines)
+# --------------------------------------------------------------------------
+def value_variance(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value")).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "event_type", "n", F.round(var, 4).alias("var_value"), F.round(F.col("s1") / F.col("n"), 4).alias("mean_value")
+    )
+
+
+VALUE_VARIANCE_SQL = """
+SELECT event_type, n,
+       round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_value,
+       round(s1 / n, 4) AS mean_value
+FROM (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(value) AS s1, sum(value * value) AS s2
+  FROM events GROUP BY event_type
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Date bucketing — SURVEY §2.9 (no date functions exist in the reference;
+# needed for revisit scheduling / crawl_after)
+# --------------------------------------------------------------------------
+def orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# String scalar kernel — SURVEY §2.9 (upper/substr/replace/length/trim)
+# --------------------------------------------------------------------------
+def name_string_kernel(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("upper_name"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix8"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.length(F.col("c_name")).cast("bigint").alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("tagged"),
+    )
+
+
+NAME_STRING_KERNEL_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       substring(c_name, 1, 8) AS prefix8,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       length(c_name)::BIGINT AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS tagged
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Order-stable array aggregation — SURVEY §2.8/§2.9 (lineage paths are
+# ordered arrays; order must be explicit, never engine-implicit)
+# --------------------------------------------------------------------------
+def top_balances_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list("c_acctbal"), asc=False).alias("bals"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.slice(F.col("bals"), 1, 5).alias("top5_bal"),
+            F.size(F.col("bals")).cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+TOP_BALANCES_PER_NATION_SQL = """
+SELECT c_nationkey::BIGINT AS nationkey,
+       (list_sort(list(c_acctbal), 'DESC'))[1:5] AS top5_bal,
+       count(*)::BIGINT AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "json_props_extract": json_props_extract,
+    "cube_order_status": cube_order_status,
+    "value_variance": value_variance,
+    "orders_by_month": orders_by_month,
+    "name_string_kernel": name_string_kernel,
+    "top_balances_per_nation": top_balances_per_nation,
+}
+
+ORACLES = {
+    "json_props_extract": JSON_PROPS_EXTRACT_SQL,
+    "cube_order_status": CUBE_ORDER_STATUS_SQL,
+    "value_variance": VALUE_VARIANCE_SQL,
+    "orders_by_month": ORDERS_BY_MONTH_SQL,
+    "name_string_kernel": NAME_STRING_KERNEL_SQL,
+    "top_balances_per_nation": TOP_BALANCES_PER_NATION_SQL,
+}
