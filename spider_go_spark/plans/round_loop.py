@@ -96,6 +96,7 @@ class CrawlEngine:
         self.seen_urls = self.catalog.load("seen_urls", schemas.SEEN_URLS)
         self.fetched_docs = self.catalog.load("fetched_docs", schemas.FETCHED_DOCS)
         self.lineage = self.catalog.load("lineage", schemas.LINEAGE)
+        self.fetch_metrics = self.catalog.load("fetch_metrics", schemas.ROUND_METRICS)
         self.state_log = RoundStateLog(config.workdir)
         self.m_bits, self.k_hashes = bloom_params(config.expected_urls, config.num_shards)
         if host_policy is None:
@@ -110,6 +111,7 @@ class CrawlEngine:
             "seen_urls": self.seen_urls,
             "fetched_docs": self.fetched_docs,
             "lineage": self.lineage,
+            "fetch_metrics": self.fetch_metrics,
         }
 
     def _snapshot_ids(self) -> dict[str, int]:
@@ -277,6 +279,22 @@ class CrawlEngine:
         fetch_input = assignments.repartition(par, "url_hash")
         fetched = synthetic_fetch(fetch_input, self.cfg.n_urls, self.cfg.n_hosts).persist()
         self.fetched_docs.append(fetched, f"round-{rnd:06d}")
+
+        # per-partition fetch metrics (north rule): one row per task of the
+        # fetch stage — observability into skew without any extra shuffle
+        # beyond the tiny metric agg itself
+        metrics_rows = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.count(F.when(F.col("status") == "200", 1)).alias("n_ok"),
+            F.sum(F.size("out_links")).cast("long").alias("n_links_out"),
+        ).select(
+            F.lit(rnd).cast("int").alias("round"),
+            "partition_id",
+            "n_fetched",
+            "n_ok",
+            "n_links_out",
+        )
+        self.fetch_metrics.append(metrics_rows, f"round-{rnd:06d}")
 
         # link extraction from the interleaved spans — built-in array fns,
         # JVM-side (≙ dep fan-out loop workflow.go:140-191 / explode(links))

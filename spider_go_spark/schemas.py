@@ -130,14 +130,16 @@ WEB_GRAPH = T.StructType(
     ]
 )
 
-# --- per-round metrics (written into round_state checkpoint metadata) ------
+# --- per-partition fetch metrics table (north rule: "per-partition lineage
+# and fetch metrics in Iceberg"; aggregate round totals additionally go into
+# the round_state checkpoint metadata) --------------------------------------
 ROUND_METRICS = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("n_fetched", T.LongType(), False),
+        T.StructField("n_ok", T.LongType(), False),
         T.StructField("n_links_out", T.LongType(), False),
-        T.StructField("n_new_urls", T.LongType(), False),
     ]
 )
 
