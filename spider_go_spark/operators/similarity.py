@@ -1,0 +1,125 @@
+"""Similarity-search operators over embedding columns.
+
+Two strategies with one contract (query vectors → top-k neighbors):
+
+- :func:`brute_force_topk` — exact cosine over the full corpus. O(Q·N);
+  right when Q is small (queries broadcast, corpus streams, per-query
+  window rank). The exactness baseline.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: corpus and queries
+  hash to sign-pattern buckets; candidates are same-bucket (optionally
+  near-bucket) pairs joined on bucket id — a content-keyed equi-join
+  instead of a cross join. Sub-linear candidates at 10^9+ vectors; recall
+  tunable via number of planes / multi-probe radius.
+
+spider-go has no vector ops (SURVEY.md §2.12); this is the north-rule
+training-data surface ("similarity search: brute-force cosine top-k as the
+baseline; an IVF or LSH-bucketed variant as the scale path").
+
+Hyperplane weights are deterministic integer lattices (exact in doubles,
+reproducible in any engine — same discipline as the text-kernel hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIMS = 64
+LSH_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product (order-stable across engines)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def plane_weights(h: int, dims: int = DIMS) -> list[int]:
+    """Deterministic integer hyperplane h: w(h,d) = ((1103515245·(h·dims+d)
+    + 12345) mod 2048) − 1024."""
+    return [((1103515245 * (h * dims + d) + 12345) % 2048) - 1024 for d in range(dims)]
+
+
+def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dims: int = DIMS) -> Column:
+    """Sign-pattern bucket id (0 .. 2^planes − 1) for an embedding column."""
+    bucket = F.lit(0).cast("bigint")
+    for h in range(planes):
+        w = F.array(*[F.lit(float(x)) for x in plane_weights(h, dims)])
+        bucket = bucket + F.when(dot(emb, w) >= 0, F.lit(2**h).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def _scored(
+    queries: DataFrame, candidates: DataFrame, join_on, k: int
+) -> DataFrame:
+    """Common scoring tail: cosine + per-query window rank ≤ k."""
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = (
+        candidates.join(queries, join_on)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()  # multi-probe can surface the same pair via several buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def _prep(df: DataFrame, id_col: str, emb_col: str, side: str) -> DataFrame:
+    pref = {"q": ("query_id", "q_emb", "q_nrm"), "c": ("neighbor_id", "c_emb", "c_nrm")}[side]
+    return df.select(
+        F.col(id_col).alias(pref[0]),
+        F.col(emb_col).alias(pref[1]),
+        norm(F.col(emb_col)).alias(pref[2]),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streaming corpus."""
+    q = F.broadcast(_prep(queries, id_col, emb_col, "q"))
+    c = _prep(corpus, id_col, emb_col, "c")
+    return _scored(q, c, F.lit(True), k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = LSH_PLANES,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket(s)
+    — an equi-join on bucket id (shuffle keyed by content, no cross join).
+
+    Multi-probe: each query also probes the buckets within Hamming distance
+    ``probe_radius`` of its own sign pattern (radius 1 ⇒ 1 + planes probe
+    buckets per query), trading a linear factor in candidates for a large
+    recall gain — the standard LSH recall knob. Only the (small) query side
+    explodes; the corpus is hashed exactly once."""
+    q = _prep(queries, id_col, emb_col, "q").withColumn(
+        "bucket0", lsh_bucket(F.col("q_emb"), planes)
+    )
+    if probe_radius >= 1:
+        flips = F.array(
+            F.lit(0), *[F.lit(2**h).cast("bigint") for h in range(planes)]
+        )
+        q = q.withColumn(
+            "bucket", F.explode(F.transform(flips, lambda m: F.col("bucket0").bitwiseXOR(m)))
+        ).drop("bucket0")
+    else:
+        q = q.withColumnRenamed("bucket0", "bucket")
+    c = _prep(corpus, id_col, emb_col, "c").withColumn(
+        "bucket", lsh_bucket(F.col("c_emb"), planes)
+    )
+    return _scored(F.broadcast(q), c, "bucket", k)

@@ -173,14 +173,58 @@ SELECT vec_id_a, vec_id_b, cosine FROM (
 """
 
 
+# --------------------------------------------------------------------------
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (the scale path): candidates restricted to the
+    query's sign-pattern bucket — equi-join on bucket id, never a cross
+    join. Same output contract as ann_cosine_topk; recall is tested in
+    tests/test_similarity.py."""
+    from spider_go_spark.operators.similarity import lsh_topk
+
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(e, q, k=TOP_K, planes=LSH_PLANES)
+
+
+_BUCKET_CTE = (
+    "SELECT vec_id, embedding, ("
+    + " + ".join(_plane_sql(h) for h in range(LSH_PLANES))
+    + f"""
+  ) AS bucket,
+  sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings"""
+)
+
+# multi-probe radius 1 ≙ candidates within Hamming distance 1 of the
+# query's bucket (the exploded-probe equi-join and this inequality join
+# produce the same candidate set; the join strategies differ by design —
+# the engine's must scale, the oracle's must only be correct)
+ANN_LSH_TOPK_SQL = f"""
+WITH e AS ({_BUCKET_CTE}),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON bit_count(xor(c.bucket, q.bucket)) <= 1 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
 }
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
 }
