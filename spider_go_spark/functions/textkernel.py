@@ -70,14 +70,7 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
 def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
     """array<long> of distinct k-shingle hashes for a text column."""
     sh = shingles(tokens(text_col), k)
-    return F.array_distinct(F.transform(sh, lambda s: _poly_hash_expr(s)))
-
-
-def _poly_hash_expr(s: Column) -> Column:
-    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch))
-    return F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % F.lit(POLY_P)
-    )
+    return F.array_distinct(F.transform(sh, lambda s: poly_hash(s)))
 
 
 def minhash_signature(hashes_col: Column, num_hashes: int = MINHASH_K) -> Column:

@@ -53,12 +53,13 @@ def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: in
     """Broadcast-join per-host policy onto the frontier and apply the
     disabled + robots filters. Missing hosts get permissive defaults.
 
-    The frontier is spread round-robin across all cores first: URL rows are
-    tiny, so a bytes-based input split (128 MB) would run the robots UDF on
-    a handful of tasks; round-robin is skew-immune (never keyed by host).
+    With a non-empty policy the frontier is spread round-robin across all
+    cores first: URL rows are tiny, so a bytes-based input split (128 MB)
+    would run the robots UDF on a handful of tasks; round-robin is
+    skew-immune (never keyed by host). The empty-policy fast path skips the
+    repartition too — there is no per-row work before budget_cut's own
+    window shuffle, so a shuffle here would be pure waste.
     """
-    par = frontier.sparkSession.sparkContext.defaultParallelism
-    frontier = frontier.repartition(par)
     if host_policy.isEmpty():
         # permissive fast path: no policies ⇒ no join, no robots UDF pass
         # over the full frontier (the robots stage is the only Python in
@@ -70,6 +71,8 @@ def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: in
             .withColumn("robots_txt", F.lit(None).cast("string"))
             .withColumn("disabled", F.lit(False))
         )
+    par = frontier.sparkSession.sparkContext.defaultParallelism
+    frontier = frontier.repartition(par)
     policy = host_policy.select("host", "crawl_delay_ms", "max_in_flight", "robots_txt", "disabled")
     joined = frontier.join(F.broadcast(policy), "host", "left")
     joined = joined.fillna(

@@ -67,4 +67,10 @@ def global_rank(
             seen += len(pdf)
             yield pdf.assign(**{rank_col: range(start + 1, start + 1 + len(pdf))})
 
-    return with_pid.mapInPandas(add_rank, out_schema).drop("__pid")
+    # materialize the ranked result, then release the internal cache —
+    # otherwise every call leaks one CacheManager entry (with_pid) that the
+    # caller can never unpersist
+    out = with_pid.mapInPandas(add_rank, out_schema).drop("__pid").persist()
+    out.count()
+    with_pid.unpersist()
+    return out

@@ -139,8 +139,16 @@ def filter_unseen(
 ) -> DataFrame:
     """Exact not-seen filter: Bloom pre-filter + exact anti-join for the
     Bloom positives. Returns candidates (original columns + shard_id)
-    guaranteed not in ``seen_urls``."""
-    tagged = bloom_maybe_seen(candidates, shards, num_shards)
+    guaranteed not in ``seen_urls``.
+
+    The probe output is materialized exactly once: both branches
+    (definite-new and maybe-seen) consume ``tagged``, and without a persist
+    Spark re-executes the whole cogrouped probe for each branch (two
+    FlatMapCoGroupsInPandas stages over the full candidate set). The result
+    is returned persisted+materialized and the intermediate cache released;
+    the CALLER must unpersist the returned DataFrame when done.
+    """
+    tagged = bloom_maybe_seen(candidates, shards, num_shards).persist()
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     # Exact verify: join on (shard_id, url_norm) so the scan of seen_urls
@@ -149,4 +157,7 @@ def filter_unseen(
     verified_new = maybe.join(
         seen_urls.select("shard_id", "url_norm"), ["shard_id", "url_norm"], "left_anti"
     )
-    return definite_new.unionByName(verified_new)
+    result = definite_new.unionByName(verified_new).persist()
+    result.count()
+    tagged.unpersist()
+    return result

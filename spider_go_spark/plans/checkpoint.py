@@ -47,11 +47,19 @@ class RoundStateLog:
         rs = self.committed_rounds()
         return rs[-1] if rs else None
 
-    def commit(self, rnd: int, snapshots: dict[str, int], config_version: int, metrics: dict) -> None:
+    def commit(
+        self,
+        rnd: int,
+        snapshots: dict[str, int],
+        config_version: int,
+        metrics: dict,
+        config_fingerprint: str | None = None,
+    ) -> None:
         state = {
             "round": rnd,
             "snapshots": snapshots,
             "config_version": config_version,
+            "config_fingerprint": config_fingerprint,
             "metrics": metrics,
         }
         tmp = self._path(rnd) + ".tmp"

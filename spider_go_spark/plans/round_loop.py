@@ -34,8 +34,7 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +54,6 @@ from spider_go_spark.operators.seen import (
     build_shard_updates,
     filter_unseen,
     merge_shards,
-    shard_id_col,
 )
 from spider_go_spark.plans.checkpoint import RoundStateLog
 from spider_go_spark.sources.webgraph import synthetic_fetch
@@ -85,6 +83,18 @@ class CrawlConfig:
         if not self.expected_urls:
             self.expected_urls = self.n_urls
 
+    def fingerprint(self) -> str:
+        """Semantic-config fingerprint committed with every round_state:
+        resuming under a config that changes crawl semantics or Bloom
+        geometry must fail loudly, not silently diverge (the reference's
+        flow Version increment serves the same invalidation role,
+        storage_workflow_mongodb.go:701-715)."""
+        parts = (
+            self.n_urls, self.n_hosts, self.num_shards, self.expected_urls,
+            self.default_budget, self.round_budget_ms, self.salt_n,
+        )
+        return "-".join(str(p) for p in parts)
+
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, config: CrawlConfig, host_policy: DataFrame | None = None):
@@ -102,6 +112,20 @@ class CrawlEngine:
         if host_policy is None:
             host_policy = spark.createDataFrame([], schemas.HOST_POLICY)
         self.host_policy = host_policy
+
+    def _commit_state(self, rnd: int, metrics: dict) -> None:
+        """Atomic round commit + retention sweep (keep_snapshots manifests
+        per table — ≙ the reference's 1 h stream retention, nats.go:149-158,
+        made explicit and durable)."""
+        self.state_log.commit(
+            rnd,
+            self._snapshot_ids(),
+            self.cfg.config_version,
+            metrics,
+            config_fingerprint=self.cfg.fingerprint(),
+        )
+        for table in self._tables().values():
+            table.expire_snapshots(keep_last=self.cfg.keep_snapshots)
 
     # -- helpers ---------------------------------------------------------------
     def _tables(self) -> dict[str, SnapshotTable]:
@@ -168,9 +192,11 @@ class CrawlEngine:
         n_cand = candidates.count()
         shards = self.seen_shards.read()
         seen = self.seen_urls.read()
-        new = filter_unseen(candidates, shards, seen, self.cfg.num_shards)
-        new = new.select(*[f.name for f in schemas.FRONTIER.fields], "shard_id").persist()
-        n_new = new.count()
+        # filter_unseen returns persisted+materialized; projections below
+        # read the cache, and we unpersist it at the end of the commit
+        unseen = filter_unseen(candidates, shards, seen, self.cfg.num_shards)
+        new = unseen.select(*[f.name for f in schemas.FRONTIER.fields], "shard_id")
+        n_new = unseen.count()
 
         frontier_new = new.select(*[f.name for f in schemas.FRONTIER.fields])
         prev = base_frontier if base_frontier is not None else self.frontier.read()
@@ -199,7 +225,7 @@ class CrawlEngine:
             ),
             f"{label}-{rnd:06d}",
         )
-        new.unpersist()
+        unseen.unpersist()
         candidates.unpersist()
         return n_new, n_cand
 
@@ -219,7 +245,7 @@ class CrawlEngine:
         )
         n_new, n_cand = self._enqueue(self._candidates_from_raw(raw, 0), 0, "seeds")
         metrics = {"n_candidates": n_cand, "n_new": n_new, "n_fetched": 0}
-        self.state_log.commit(0, self._snapshot_ids(), self.cfg.config_version, metrics)
+        self._commit_state(0, metrics)
         return metrics
 
     def add_seeds(self, seeds: DataFrame) -> dict:
@@ -242,14 +268,21 @@ class CrawlEngine:
         )
         n_new, n_cand = self._enqueue(self._candidates_from_raw(raw, rnd), rnd, "seeds")
         metrics = {"n_candidates": n_cand, "n_new": n_new, "n_fetched": 0, "seed_ingestion": 1}
-        self.state_log.commit(rnd, self._snapshot_ids(), self.cfg.config_version, metrics)
+        self._commit_state(rnd, metrics)
         return metrics
 
     def ingest_staged(self, staged_dir: str) -> dict:
         """Drain the streaming seed-ingestion staging area
         (spider_go_spark.streaming.pipeline.seed_ingestion_query) into the
         frontier at a round boundary."""
-        staged = self.spark.read.parquet(staged_dir)
+        from pyspark.errors import AnalysisException
+
+        try:
+            staged = self.spark.read.parquet(staged_dir)
+        except AnalysisException:
+            # nothing staged yet (the streaming query has not committed any
+            # batch): a graceful no-op, not a crashed crawl driver
+            return {"n_candidates": 0, "n_new": 0, "n_fetched": 0, "seed_ingestion": 1}
         return self.add_seeds(
             staged.select(F.col("url_norm").alias("url"), "priority")
         )
@@ -264,12 +297,15 @@ class CrawlEngine:
             round_budget_ms=self.cfg.round_budget_ms,
             salt_n=self.cfg.salt_n,
         )
-        assignments = global_rank(assignments, frontier_order(), rank_col="fetch_rank")
-        assignments = assignments.withColumn("round", F.lit(rnd).cast("int")).persist()
-        n_assigned = assignments.count()
+        # global_rank returns its result persisted+materialized (it must pin
+        # the sampled range boundaries); derive lazily from that one cache
+        ranked = global_rank(assignments, frontier_order(), rank_col="fetch_rank")
+        assignments = ranked.withColumn("round", F.lit(rnd).cast("int"))
+        n_assigned = ranked.count()
         if n_assigned == 0:
-            metrics = {"n_assigned": 0, "n_fetched": 0, "n_candidates": 0, "n_new": 0}
-            self.state_log.commit(rnd, self._snapshot_ids(), self.cfg.config_version, metrics)
+            ranked.unpersist()
+            metrics = {"n_assigned": 0, "n_fetched": 0, "n_ok": 0, "n_candidates": 0, "n_new": 0}
+            self._commit_state(rnd, metrics)
             return metrics
 
         # AQE coalesces by *bytes*, which under-parallelizes the CPU-heavy
@@ -332,15 +368,18 @@ class CrawlEngine:
         )
 
         n_new, n_cand = self._enqueue(candidates, rnd + 1, "links", base_frontier=remaining)
-        n_fetched = fetched.filter(F.col("status") == "200").count()
+        # n_fetched = every fetch attempt (matches the fetch_metrics table);
+        # n_ok = 200s only (previously misnamed n_fetched)
+        n_ok = fetched.filter(F.col("status") == "200").count()
         metrics = {
             "n_assigned": n_assigned,
-            "n_fetched": n_fetched,
+            "n_fetched": n_assigned,
+            "n_ok": n_ok,
             "n_candidates": n_cand,
             "n_new": n_new,
         }
-        self.state_log.commit(rnd, self._snapshot_ids(), self.cfg.config_version, metrics)
-        assignments.unpersist()
+        self._commit_state(rnd, metrics)
+        ranked.unpersist()
         fetched.unpersist()
         return metrics
 
@@ -350,6 +389,15 @@ class CrawlEngine:
         exists, resumes from it (bit-identically); else requires ``seeds``."""
         max_rounds = max_rounds or self.cfg.max_rounds
         state = self.state_log.restore(self._tables())
+        if state is not None:
+            committed = state.get("config_fingerprint")
+            if committed is not None and committed != self.cfg.fingerprint():
+                raise ValueError(
+                    "refusing to resume: CrawlConfig changed since the checkpoint "
+                    f"(committed {committed!r} != current {self.cfg.fingerprint()!r}); "
+                    "a changed config silently breaks bit-identical resume "
+                    "(and a changed Bloom geometry corrupts shard merges)"
+                )
         history: list[dict] = []
         if state is None:
             if seeds is None:

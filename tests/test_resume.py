@@ -78,3 +78,23 @@ def test_resume_discards_uncommitted_partial_state(spark, tmp_path):
     full = CrawlEngine(spark, _cfg(tmp_path / "full2"))
     full.crawl(seeds=seeds, max_rounds=MAX_ROUNDS)
     assert _table_contents(full) == _table_contents(resumed)
+
+
+def test_resume_refuses_changed_config(spark, tmp_path):
+    """Resuming under a semantically different CrawlConfig must fail loudly
+    (silent divergence / Bloom-geometry corruption otherwise)."""
+    import pytest
+    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+    from spider_go_spark.sources.webgraph import make_seeds
+
+    wd = str(tmp_path / "cfg-guard")
+    cfg = CrawlConfig(workdir=wd, n_urls=150, n_hosts=5, num_shards=4, max_rounds=2)
+    CrawlEngine(spark, cfg).crawl(seeds=make_seeds(spark, 10, 150, 5), max_rounds=1)
+
+    changed = CrawlConfig(workdir=wd, n_urls=150, n_hosts=5, num_shards=8, max_rounds=2)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        CrawlEngine(spark, changed).crawl(max_rounds=2)
+
+    # unchanged config still resumes
+    same = CrawlConfig(workdir=wd, n_urls=150, n_hosts=5, num_shards=4, max_rounds=2)
+    CrawlEngine(spark, same).crawl(max_rounds=2)
