@@ -67,10 +67,51 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(mk)).otherwise(F.array().cast("array<string>"))
 
 
+# Token-hash combiner base: shingle hash = fold of per-token hashes with
+# h' = (h·COMBINE_A + tok_hash) mod P. Hashing tokens once and combining
+# (instead of re-hashing every character of every overlapping shingle) cuts
+# the char passes k-fold; all intermediates stay < P·COMBINE_A ≈ 2^80? no:
+# (P-1)·COMBINE_A + (P-1) < 1e9·1e6 + 1e9 ≈ 1e15 ≪ 2^63 — int64-safe in any
+# engine, same reproducibility contract as poly_hash.
+COMBINE_A = 1_000_003
+
+
+def token_hashes(text_col: Column | str) -> Column:
+    """array<long> of per-token polynomial hashes.
+
+    IMPORTANT: materialize this as a real column (one projection) before
+    feeding it to :func:`combine_windows` — Catalyst does not
+    common-subexpression-eliminate through higher-order-function lambdas, so
+    inlining this expression into the window combiner re-evaluates the whole
+    token-hash array per element access (O(n²) char hashing)."""
+    return F.transform(tokens(text_col), lambda t: poly_hash(t))
+
+
+def combine_windows(th_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-window combined hashes over a token-hash array column:
+    h = fold(h·COMBINE_A + tok_hash mod P), built from k shifted slices
+    zip_with-folded together. The slice form references the th expression
+    only k times (vs n·k for per-element access inside a transform lambda —
+    Catalyst re-evaluates HOF-captured expressions per reference, and
+    CollapseProject undoes any projection-splitting attempt)."""
+    th = F.col(th_col) if isinstance(th_col, str) else th_col
+    n = F.size(th)
+    win = n - (k - 1)
+    mk = F.slice(th, 1, win)
+    for j in range(1, k):
+        mk = F.zip_with(
+            mk,
+            F.slice(th, j + 1, win),
+            lambda h, c: (h * F.lit(COMBINE_A) + c) % F.lit(POLY_P),
+        )
+    return F.when(n >= k, F.array_distinct(mk)).otherwise(F.array().cast("array<long>"))
+
+
 def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
-    """array<long> of distinct k-shingle hashes for a text column."""
-    sh = shingles(tokens(text_col), k)
-    return F.array_distinct(F.transform(sh, lambda s: poly_hash(s)))
+    """array<long> of distinct k-shingle hashes for a text column. One-shot
+    convenience for small inputs/tests; pipelines should materialize
+    :func:`token_hashes` first (see that docstring)."""
+    return combine_windows(token_hashes(text_col), k)
 
 
 def minhash_signature(hashes_col: Column, num_hashes: int = MINHASH_K) -> Column:

@@ -163,7 +163,48 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Session windows — SURVEY §2.6/§2.10 (absent in reference; the event-time
+# session primitive for revisit/visit analysis). Oracle via gaps-and-islands.
+# --------------------------------------------------------------------------
+def session_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy("user_id", w.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_COUNTS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 minutes
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
+    "session_counts": session_counts,
     "json_props_extract": json_props_extract,
     "cube_order_status": cube_order_status,
     "value_variance": value_variance,
@@ -173,6 +214,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_counts": SESSION_COUNTS_SQL,
     "json_props_extract": JSON_PROPS_EXTRACT_SQL,
     "cube_order_status": CUBE_ORDER_STATUS_SQL,
     "value_variance": VALUE_VARIANCE_SQL,

@@ -29,25 +29,27 @@ from pyspark.sql import functions as F
 from spider_go_spark.functions import textkernel as tk
 from spider_go_spark.queries import T
 
-# Shared SQL prefix: tokens → distinct 3-shingles → distinct shingle hashes,
-# mirroring textkernel.tokens/shingles/shingle_hashes exactly.
+# Shared SQL prefix: tokens → per-token polynomial hashes → combined
+# 3-token-window hashes, mirroring textkernel.tokens/poly_hash/
+# shingle_hashes exactly (tokens hashed once, windows combined with
+# h' = h·1000003 + tok_hash mod P).
 _HASHES_CTE = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
   FROM documents
-), sh AS (
+), th AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(0, greatest(len(tokens)-2, 0)),
-            i -> concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3]))) AS shingles
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
   FROM toks
 ), hs AS (
   SELECT doc_id,
-         list_distinct(list_transform(shingles,
-            s -> list_reduce(
-                   list_prepend(0::BIGINT,
-                     list_transform(string_split(s, ''), c -> unicode(c)::BIGINT)),
-                   (a, b) -> (a*31 + b) % 1000000007))) AS hashes
-  FROM sh
+         list_distinct(list_transform(range(0, greatest(len(th)-2, 0)),
+            i -> ((th[i+1]*1000003 + th[i+2]) % 1000000007 * 1000003 + th[i+3]) % 1000000007)) AS hashes
+  FROM th
 )
 """
 
@@ -64,9 +66,19 @@ def _docs_hashes(spark: SparkSession, sf: str) -> DataFrame:
     # the corpus parquet is a single small file → one input split; the
     # shingle-hash kernel is CPU-heavy, so spread rows across all cores
     # first (at 100 TB the scan itself yields enough splits and this
-    # repartition disappears behind maxPartitionBytes)
+    # repartition disappears behind maxPartitionBytes).
+    # shingle_hashes' slice-based combiner re-evaluates the token-hash array
+    # only k (=3) times per row — cheap enough to fuse into one parallel
+    # projection (Catalyst re-evaluates HOF-captured expressions per
+    # reference, so the per-element-access form would be O(n·k) re-evals).
     d = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return d.select("doc_id", tk.shingle_hashes(F.col("text")).alias("hashes"))
+    h = d.select("doc_id", tk.shingle_hashes(F.col("text")).alias("hashes"))
+    # second (cheap) exchange = materialization barrier: downstream sketch
+    # expressions (MinHash's 16 permutations, SimHash's 30 bit-votes) each
+    # reference `hashes`, and Catalyst re-evaluates HOF expressions per
+    # reference within a projection — shipping the computed array through a
+    # shuffle makes those references column reads instead
+    return h.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -374,23 +386,59 @@ FROM hs
 )
 
 
+SIMHASH_BANDS = 5  # 30 bits → 5 bands × 6 bits; Hamming ≤ 4 < 5 bands ⟹
+# pigeonhole: at least one band is bit-identical, so a band equi-join loses
+# no pair — sub-quadratic candidates with EXACT results (no recall loss)
+
+
 def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming ≤ 4 (quadratic verify stage; at
-    scale this runs after banding restricts candidates)."""
+    """SimHash near-dup pairs at Hamming ≤ 4. Candidates come from a banded
+    equi-join (pigeonhole over 5×6-bit bands — content-keyed shuffle, not a
+    cross join), then the exact Hamming filter verifies.
+
+    Selectivity caveat: on corpora with one shared vocabulary (like the
+    synthetic testdata) signatures cluster and band buckets grow large —
+    banding is lossless but approaches quadratic candidates there; on
+    heterogeneous corpora buckets stay small and the join is sub-quadratic.
+    """
     # materialize signatures once: the 30-aggregate simhash expression must
-    # not be re-evaluated on both sides of the pair join
+    # not be re-evaluated per band / per join side
     s = simhash_values(spark, sf).filter(F.col("simhash") != 0).persist()
     s.count()
-    a, b = s.alias("a"), s.alias("b")
-    ham = tk.hamming64(F.col("a.simhash"), F.col("b.simhash")).cast("bigint")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("band_id"),
+                        F.shiftright(F.col("simhash"), 6 * j).bitwiseAND(F.lit(63)).alias("band_bits"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
+            F.col("a.simhash").alias("sh_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            ham.alias("hamming"),
+            F.col("b.simhash").alias("sh_b"),
         )
-        .filter(F.col("hamming") <= 4)
+        .distinct()
+    )
+    ham = tk.hamming64(F.col("sh_a"), F.col("sh_b")).cast("bigint")
+    return cand.select("doc_id_a", "doc_id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 4
     )
 
 

@@ -71,3 +71,42 @@ def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert got[str("2024-01-01 00:00:00")] == (3, 11.0)
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """Streaming exact dedup of a URL stream (dropDuplicates keyed on the
+    canonical URL, state persisted in the checkpoint across restarts) —
+    the streaming face of the crawl's seen-set semantics."""
+    src = str(tmp_path / "urls")
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(src)
+    cols = ["url_norm", "priority"]
+    spark.createDataFrame(
+        [("http://h/p/1", 1.0), ("http://h/p/2", 1.0), ("http://h/p/1", 2.0)], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .dropDuplicates(["url_norm"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second batch repeats an old URL and adds a new one; dedup state spans
+    # the restart via the checkpoint
+    spark.createDataFrame(
+        [("http://h/p/2", 9.0), ("http://h/p/3", 1.0)], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    urls = sorted(r["url_norm"] for r in spark.read.parquet(out).collect())
+    assert urls == ["http://h/p/1", "http://h/p/2", "http://h/p/3"]

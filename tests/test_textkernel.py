@@ -16,16 +16,19 @@ def py_poly_hash(s: str) -> int:
     return h
 
 
-def py_shingles(text: str, k: int = 3) -> list[str]:
+def py_shingle_hashes(text: str, k: int = 3) -> set[int]:
+    """Reference combine: tokens hashed once, k-windows folded with
+    h' = h*COMBINE_A + tok_hash mod P (mirrors textkernel.shingle_hashes)."""
     toks = [t for t in text.split() if t]
     if len(toks) < k:
-        return []
-    out, seen = [], set()
+        return set()
+    th = [py_poly_hash(t) for t in toks]
+    out = set()
     for i in range(len(toks) - k + 1):
-        s = " ".join(toks[i : i + k])
-        if s not in seen:
-            seen.add(s)
-            out.append(s)
+        h = th[i]
+        for j in range(1, k):
+            h = (h * tk.COMBINE_A + th[i + j]) % P
+        out.add(h)
     return out
 
 
@@ -52,8 +55,7 @@ def test_poly_hash_matches_python(spark, df):
 def test_shingle_hashes_match_python(spark, df):
     rows = df.select("text", tk.shingle_hashes(F.col("text")).alias("hs")).collect()
     for r in rows:
-        expect = sorted({py_poly_hash(s) for s in py_shingles(r["text"])})
-        assert sorted(r["hs"]) == expect, r["text"]
+        assert sorted(r["hs"]) == sorted(py_shingle_hashes(r["text"])), r["text"]
 
 
 def test_minhash_signature_matches_python(spark, df):
@@ -61,7 +63,7 @@ def test_minhash_signature_matches_python(spark, df):
         "text", tk.minhash_signature(tk.shingle_hashes(F.col("text"))).alias("sig")
     ).collect()
     for r in rows:
-        hashes = {py_poly_hash(s) for s in py_shingles(r["text"])}
+        hashes = py_shingle_hashes(r["text"])
         for i, got in enumerate(r["sig"]):
             a, b = 2 * i + 1, 10_007 * i + 3
             expect = min(((a * h + b) % P for h in hashes), default=P)
@@ -91,7 +93,7 @@ def test_simhash_matches_python(spark, df):
         "text", tk.simhash(tk.shingle_hashes(F.col("text"))).alias("sh")
     ).collect()
     for r in rows:
-        hashes = list({py_poly_hash(s) for s in py_shingles(r["text"])})
+        hashes = list(py_shingle_hashes(r["text"]))
         expect = 0
         for j in range(tk.SIMHASH_BITS):
             votes = sum(1 if (h >> j) % 2 == 1 else -1 for h in hashes)
