@@ -110,3 +110,49 @@ def test_streaming_url_dedup(spark, tmp_path):
 
     urls = sorted(r["url_norm"] for r in spark.read.parquet(out).collect())
     assert urls == ["http://h/p/1", "http://h/p/2", "http://h/p/3"]
+
+
+def test_stateful_budget_limiter(spark, tmp_path):
+    """applyInPandasWithState per-host admission budget: state persists
+    across micro-batches (and across query restarts via the checkpoint)."""
+    from spider_go_spark.streaming.stateful import CANDIDATE_SCHEMA, admit_stream
+
+    src = str(tmp_path / "cands")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt-state")
+    os.makedirs(src)
+
+    def run():
+        q = (
+            admit_stream(
+                spark.readStream.schema(CANDIDATE_SCHEMA).parquet(src), host_budget=3
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: host A gets 2 of budget 3; host B gets 1
+    spark.createDataFrame(
+        [("a", "http://a/1", 2.0), ("a", "http://a/2", 1.0), ("b", "http://b/1", 5.0)],
+        CANDIDATE_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # batch 2 (fresh query, state restored from checkpoint): host A has only
+    # 1 budget unit left -> highest-priority of the two is admitted
+    spark.createDataFrame(
+        [("a", "http://a/3", 0.5), ("a", "http://a/4", 9.0)], CANDIDATE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    rows = {r["url_norm"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"http://a/1", "http://a/2", "http://b/1", "http://a/4"}
+    assert rows["http://a/1"]["admitted_rank"] == 1  # higher priority first
+    assert rows["http://a/2"]["admitted_rank"] == 2
+    assert rows["http://a/4"]["admitted_rank"] == 3  # budget exhausted after this
+    assert rows["http://b/1"]["admitted_rank"] == 1
