@@ -96,6 +96,27 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
     times["crawl_3_rounds"] = round(crawl_sec, 3)
 
+    # steady-state round: one big fetch round on a prepared 280k-URL
+    # frontier — the sustained-throughput figure (seed injection and
+    # termination excluded; matches the BENCH/run_scaling.py workload shape)
+    workdir2 = tempfile.mkdtemp(prefix="bench-steady-")
+    try:
+        from spider_go_spark.plans.round_loop import CrawlConfig as _CC
+        from spider_go_spark.plans.round_loop import CrawlEngine as _CE
+
+        cfg2 = _CC(
+            workdir=workdir2, n_urls=2_000_000, n_hosts=500, num_shards=64,
+            max_rounds=2, default_budget=1_000_000,
+        )
+        eng2 = _CE(spark, cfg2)
+        eng2.inject_seeds(make_seeds(spark, 300_000, cfg2.n_urls, cfg2.n_hosts))
+        t0 = time.time()
+        m2 = eng2.run_round(1)
+        steady_sec = time.time() - t0
+    finally:
+        shutil.rmtree(workdir2, ignore_errors=True)
+    times["crawl_steady_round"] = round(steady_sec, 3)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_ops_plus_crawl_rounds_wall_sec",
@@ -110,6 +131,12 @@ def main() -> None:
             "wall_sec": round(crawl_sec, 3),
             "urls_fetched_per_sec": round(n_fetched / crawl_sec, 2) if crawl_sec else None,
             "candidates_deduped_per_sec": round(n_deduped / crawl_sec, 2) if crawl_sec else None,
+        },
+        "crawl_steady_round": {
+            "n_urls_fetched": m2["n_fetched"],
+            "n_candidates_deduped": m2["n_candidates"],
+            "wall_sec": round(steady_sec, 3),
+            "urls_fetched_per_sec": round(m2["n_fetched"] / steady_sec, 2) if steady_sec else None,
         },
     }
     print(json.dumps(out))
