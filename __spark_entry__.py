@@ -11,7 +11,13 @@ driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# self-sufficient import path: the spider_go_spark package lives next to
+# this file; the driver may import this module by path from any CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
