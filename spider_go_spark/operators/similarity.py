@@ -90,6 +90,58 @@ def brute_force_topk(
     return _scored(q, c, F.lit(True), k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid (one broadcast centroid pass — the centroid
+    set is tiny and ships to every task); each query probes its ``nprobe``
+    nearest lists and ranks only those lists' members.
+
+    Deterministic: list assignment ranks by (cosine desc, centroid id asc).
+    Centroid choice is the caller's (deterministic anchors here; a k-means
+    refinement drops in without changing this operator). At 10^9+ vectors
+    the candidate set per query is ~nprobe/C of the corpus, joined on
+    centroid id — content-keyed shuffle, no cross join.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(emb_col).alias("cent_emb"),
+            norm(F.col(emb_col)).alias("cent_nrm"),
+        )
+    )
+
+    def assign(df: DataFrame, side: str, probes: int) -> DataFrame:
+        idc, embc, nrmc = {
+            "q": ("query_id", "q_emb", "q_nrm"),
+            "c": ("neighbor_id", "c_emb", "c_nrm"),
+        }[side]
+        p = _prep(df, id_col, emb_col, side)
+        cos = dot(F.col(embc), F.col("cent_emb")) / (F.col(nrmc) * F.col("cent_nrm"))
+        scored = p.crossJoin(cent).select(
+            idc, embc, nrmc, "centroid_id", cos.alias("cent_cos")
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("cent_cos").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probes)
+            .drop("cent_cos", "crank")
+        )
+
+    q = assign(queries, "q", nprobe)
+    c = assign(corpus, "c", 1)
+    return _scored(F.broadcast(q), c, "centroid_id", k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -203,8 +203,34 @@ GROUP BY user_id, session_id
 """
 
 
+# --------------------------------------------------------------------------
+# Exact percentiles — SURVEY §2.5 (exact sort-based aggregate; both engines
+# use the same (n−1)·p linear interpolation, verified bit-exact)
+# --------------------------------------------------------------------------
+def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("median"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS median,
+       quantile_cont(value, 0.75) AS p75,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "session_counts": session_counts,
+    "value_percentiles": value_percentiles,
     "json_props_extract": json_props_extract,
     "cube_order_status": cube_order_status,
     "value_variance": value_variance,
@@ -215,6 +241,7 @@ QUERIES = {
 
 ORACLES = {
     "session_counts": SESSION_COUNTS_SQL,
+    "value_percentiles": VALUE_PERCENTILES_SQL,
     "json_props_extract": JSON_PROPS_EXTRACT_SQL,
     "cube_order_status": CUBE_ORDER_STATUS_SQL,
     "value_variance": VALUE_VARIANCE_SQL,

@@ -215,8 +215,58 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+N_CENTROIDS = 16  # deterministic anchors: vec_id < 16
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN top-k: corpus partitioned into inverted lists by
+    nearest deterministic anchor centroid; queries probe their 2 nearest
+    lists. Same output contract as the other ANN queries."""
+    from spider_go_spark.operators.similarity import ivf_topk
+
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS)
+    return ivf_topk(e, q, cent, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb, nrm AS cent_nrm
+  FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, embedding, nrm, centroid_id, crank FROM (
+    SELECT v.vec_id, v.embedding, v.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_dot_sql("v.embedding", "c.cent_emb")} / (v.nrm * c.cent_nrm) DESC,
+                      c.centroid_id ASC) AS crank
+    FROM e v CROSS JOIN cent c
+  )
+), scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM assigned q JOIN assigned c
+    ON c.centroid_id = q.centroid_id AND c.crank = 1 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND q.crank <= {IVF_NPROBE}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -224,6 +274,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,

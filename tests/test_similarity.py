@@ -89,3 +89,25 @@ def test_lsh_topk_is_subset_of_bucketmates(spark, corpus):
         .collect()
     }
     assert all(r["neighbor_id"] in mates for r in out)
+
+
+def test_ivf_recall_and_candidate_reduction(spark, corpus):
+    """IVF inverted lists: recall vs exact on clustered data; candidates are
+    restricted to the probed lists."""
+    from spider_go_spark.operators.similarity import ivf_topk
+
+    sdf, _ = corpus
+    q = sdf.filter(F.col("vec_id") < 20)
+    cent = sdf.filter(F.col("vec_id") % 30 == 0)  # 10 deterministic anchors
+    exact = brute_force_topk(sdf, q, k=K).persist()
+    approx = ivf_topk(sdf, q, cent, k=K, nprobe=2).persist()
+
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q1] & ap.get(q1, set())) / len(ex[q1]) for q1 in ex]
+    assert sum(recalls) / len(recalls) >= 0.6  # clustered corpus, nprobe=2
+    exact.unpersist()
+    approx.unpersist()
