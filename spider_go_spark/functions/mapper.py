@@ -72,10 +72,16 @@ class _Parser:
     """Recursive descent over: or → and → cmp → add → mul → unary → postfix
     → atom."""
 
-    def __init__(self, tokens: list[tuple[str, str]], str_cols: set[str]):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        str_cols: set[str],
+        functions: dict | None = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.str_cols = str_cols  # column names statically known to be strings
+        self.functions = functions or {}
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -210,13 +216,48 @@ class _Parser:
             if len(args) != 1:
                 raise ExprError("string() takes one argument")
             return _Val(args[0].col.cast("string"), "str")
-        raise ExprError(f"unknown function {name!r} (supported: len, string)")
+        if name in self.functions or name in _FUNCTION_REGISTRY:
+            fn = self.functions.get(name, _FUNCTION_REGISTRY.get(name))
+            out = fn(*[a.col for a in args])
+            if isinstance(out, tuple):  # (Column, static-kind) form
+                return _Val(out[0], out[1])
+            return _Val(out, "col")
+        known = sorted({"len", "string", *self.functions, *_FUNCTION_REGISTRY})
+        raise ExprError(f"unknown function {name!r} (supported: {', '.join(known)})")
 
 
-def compile_expression(src: str, str_cols: set[str] | None = None) -> Column:
+# Registered environment functions ≙ expr-lang's custom env functions
+# (/root/reference/examples/expression/main.go:53-55 registers
+# get_referred_username(id) into the program env). A registered fn takes
+# Column args and returns a Column (builtin, pandas UDF, or composition) —
+# or a (Column, kind) pair to participate in the static `+`-overload typing.
+_FUNCTION_REGISTRY: dict = {}
+
+
+def register_function(name: str, fn) -> None:
+    """Register ``name`` so mapper expressions can call it. ``fn`` maps
+    Column args → Column (optionally (Column, kind)). Pandas UDFs and plain
+    ``pyspark.sql.functions`` compositions both qualify — the expression
+    engine stays declarative either way."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ExprError(f"bad function name {name!r}")
+    _FUNCTION_REGISTRY[name] = fn
+
+
+def unregister_function(name: str) -> None:
+    _FUNCTION_REGISTRY.pop(name, None)
+
+
+def compile_expression(
+    src: str,
+    str_cols: set[str] | None = None,
+    functions: dict | None = None,
+) -> Column:
     """Compile one expr-lang-dialect expression to a Column (once per plan —
-    vs the reference's per-message expr.Compile, workflow.go:379-385)."""
-    return _Parser(_tokenize(src), str_cols or set()).parse().col
+    vs the reference's per-message expr.Compile, workflow.go:379-385).
+    ``functions`` adds per-call env functions on top of the module registry
+    (≙ expr.Env custom functions)."""
+    return _Parser(_tokenize(src), str_cols or set(), functions).parse().col
 
 
 @dataclass(frozen=True)
@@ -226,25 +267,29 @@ class Mapper:
     mode: str
     value: str
 
-    def to_column(self, str_cols: set[str] | None = None) -> Column:
+    def to_column(
+        self, str_cols: set[str] | None = None, functions: dict | None = None
+    ) -> Column:
         if self.mode == "fixed":
             return F.lit(self.value)
         if self.mode == "key":
             return F.col(self.value)
         if self.mode == "expression":
-            return compile_expression(self.value, str_cols)
+            return compile_expression(self.value, str_cols, functions)
         # empty mode → empty string (workflow.go:361-363)
         if not self.mode:
             return F.lit("")
         raise ExprError(f"unknown mapper mode {self.mode!r}")
 
 
-def apply_mappers(df: DataFrame, mappers: dict[str, Mapper]) -> DataFrame:
+def apply_mappers(
+    df: DataFrame, mappers: dict[str, Mapper], functions: dict | None = None
+) -> DataFrame:
     """≙ the ex() projection loop (workflow.go:347-399): build the output
     record field-by-field. String-typed input columns are detected from the
     schema so ``+`` concat/arithmetic overloading matches the dynamic
     semantics."""
     str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
     return df.select(
-        *[m.to_column(str_cols).alias(name) for name, m in mappers.items()]
+        *[m.to_column(str_cols, functions).alias(name) for name, m in mappers.items()]
     )

@@ -49,7 +49,12 @@ def frontier_order() -> list[Column]:
     ]
 
 
-def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: int = DEFAULT_BUDGET) -> DataFrame:
+def apply_policy(
+    frontier: DataFrame,
+    host_policy: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    policy_empty: bool | None = None,
+) -> DataFrame:
     """Broadcast-join per-host policy onto the frontier and apply the
     disabled + robots filters. Missing hosts get permissive defaults.
 
@@ -59,8 +64,15 @@ def apply_policy(frontier: DataFrame, host_policy: DataFrame, default_budget: in
     skew-immune (never keyed by host). The empty-policy fast path skips the
     repartition too — there is no per-row work before budget_cut's own
     window shuffle, so a shuffle here would be pure waste.
+
+    ``policy_empty``: the emptiness of the policy plan, if the caller
+    already knows it (CrawlEngine memoizes it once — the policy DataFrame
+    is fixed at engine construction, so running an ``isEmpty()`` job per
+    round would recompute the same answer every round).
     """
-    if host_policy.isEmpty():
+    if policy_empty is None:
+        policy_empty = host_policy.isEmpty()
+    if policy_empty:
         # permissive fast path: no policies ⇒ no join, no robots UDF pass
         # over the full frontier (the robots stage is the only Python in
         # scheduling — skipping it when provably a no-op saves an Arrow
@@ -123,10 +135,11 @@ def schedule_round(
     default_budget: int = DEFAULT_BUDGET,
     round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS,
     salt_n: int = DEFAULT_SALT_N,
+    policy_empty: bool | None = None,
 ) -> DataFrame:
     """Full politeness stage: policy join + filters + budget cut."""
     return budget_cut(
-        apply_policy(frontier, host_policy, default_budget),
+        apply_policy(frontier, host_policy, default_budget, policy_empty=policy_empty),
         round_budget_ms=round_budget_ms,
         salt_n=salt_n,
     )

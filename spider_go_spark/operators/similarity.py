@@ -109,14 +109,30 @@ def ivf_topk(
     refinement drops in without changing this operator). At 10^9+ vectors
     the candidate set per query is ~nprobe/C of the corpus, joined on
     centroid id — content-keyed shuffle, no cross join.
+
+    List assignment is a PURE PROJECTION: the (tiny) centroid set is
+    collected once at plan-build time and inlined as literal arrays, and the
+    per-row nearest-centroid argmax is a ``sort_array`` over per-centroid
+    cosine structs — no crossJoin, no Window, no Exchange. At 10^9 vectors ×
+    C centroids the previous crossJoin+row_number formulation shuffled
+    O(N·C) rows solely to compute a row-local argmax; this form shuffles
+    nothing until the centroid-keyed candidate join itself.
     """
-    cent = F.broadcast(
+    # Tiny dim collect (≙ broadcasting centroids to every task, but folded
+    # into the expression tree instead of a join build side). Norms are
+    # computed with the SAME norm() expression on the literal arrays, so
+    # doubles stay bit-identical with the window-ranked formulation and the
+    # DuckDB oracle; Catalyst constant-folds them.
+    cent_rows = sorted(
         centroids.select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(emb_col).alias("cent_emb"),
-            norm(F.col(emb_col)).alias("cent_nrm"),
-        )
+            F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb")
+        ).collect(),
+        key=lambda r: r["centroid_id"],
     )
+    cent_exprs = []
+    for r in cent_rows:
+        arr = F.array(*[F.lit(float(x)) for x in r["cent_emb"]])
+        cent_exprs.append((r["centroid_id"], arr, norm(arr)))
 
     def assign(df: DataFrame, side: str, probes: int) -> DataFrame:
         idc, embc, nrmc = {
@@ -124,18 +140,25 @@ def ivf_topk(
             "c": ("neighbor_id", "c_emb", "c_nrm"),
         }[side]
         p = _prep(df, id_col, emb_col, side)
-        cos = dot(F.col(embc), F.col("cent_emb")) / (F.col(nrmc) * F.col("cent_nrm"))
-        scored = p.crossJoin(cent).select(
-            idc, embc, nrmc, "centroid_id", cos.alias("cent_cos")
+        # (−cos, centroid_id) structs sorted ascending ≡ rank by
+        # (cos desc, centroid_id asc) — identical tie-break to the oracle.
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-(dot(F.col(embc), arr) / (F.col(nrmc) * nrm))).alias("negcos"),
+                        F.lit(cid).alias("centroid_id"),
+                    )
+                    for cid, arr, nrm in cent_exprs
+                ]
+            )
         )
-        w = Window.partitionBy(idc).orderBy(
-            F.col("cent_cos").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .drop("cent_cos", "crank")
-        )
+        return p.select(
+            idc,
+            embc,
+            nrmc,
+            F.explode(F.slice(ranked, 1, probes)).alias("probe"),
+        ).select(idc, embc, nrmc, F.col("probe.centroid_id").alias("centroid_id"))
 
     q = assign(queries, "q", nprobe)
     c = assign(corpus, "c", 1)

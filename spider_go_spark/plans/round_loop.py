@@ -112,6 +112,10 @@ class CrawlEngine:
         if host_policy is None:
             host_policy = spark.createDataFrame([], schemas.HOST_POLICY)
         self.host_policy = host_policy
+        # memoized once: the policy plan is fixed at engine construction, so
+        # re-running the isEmpty() job every scheduling round would recompute
+        # the same answer (one extra Spark job per round for nothing)
+        self._policy_empty = host_policy.isEmpty()
 
     def _commit_state(self, rnd: int, metrics: dict) -> None:
         """Atomic round commit + retention sweep (keep_snapshots manifests
@@ -296,6 +300,7 @@ class CrawlEngine:
             default_budget=self.cfg.default_budget,
             round_budget_ms=self.cfg.round_budget_ms,
             salt_n=self.cfg.salt_n,
+            policy_empty=self._policy_empty,
         )
         # global_rank returns its result persisted+materialized (it must pin
         # the sampled range boundaries); derive lazily from that one cache

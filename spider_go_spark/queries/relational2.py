@@ -142,13 +142,24 @@ FROM customer
 # ordered arrays; order must be explicit, never engine-implicit)
 # --------------------------------------------------------------------------
 def top_balances_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # The array is serialized to a scalar string (comma-joined, fixed 2-dp
+    # decimal rendering identical in Spark and DuckDB) so the driver's
+    # canonicalizer can sort/hash the cell — raw array<double> cells are
+    # unhashable in its pandas sort. Ties among equal balances are
+    # interchangeable, so the DESC sort is deterministic in value.
     c = T(spark, sf, "customer")
     return (
         c.groupBy("c_nationkey")
         .agg(F.sort_array(F.collect_list("c_acctbal"), asc=False).alias("bals"))
         .select(
             F.col("c_nationkey").cast("bigint").alias("nationkey"),
-            F.slice(F.col("bals"), 1, 5).alias("top5_bal"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("bals"), 1, 5),
+                    lambda x: x.cast("decimal(12,2)").cast("string"),
+                ),
+                ",",
+            ).alias("top5_bal"),
             F.size(F.col("bals")).cast("bigint").alias("n_customers"),
         )
     )
@@ -156,7 +167,10 @@ def top_balances_per_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 TOP_BALANCES_PER_NATION_SQL = """
 SELECT c_nationkey::BIGINT AS nationkey,
-       (list_sort(list(c_acctbal), 'DESC'))[1:5] AS top5_bal,
+       array_to_string(
+         list_transform((list_sort(list(c_acctbal), 'DESC'))[1:5],
+                        x -> (x::DECIMAL(12,2))::VARCHAR),
+         ',') AS top5_bal,
        count(*)::BIGINT AS n_customers
 FROM customer
 GROUP BY c_nationkey

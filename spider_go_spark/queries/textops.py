@@ -275,8 +275,13 @@ FROM hs
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, candidates generated by
     an explode→equi-join on shingle hash (content-keyed shuffle — never a
-    cross join; this is the scale path for exact-verification of candidates)."""
-    h = _docs_hashes(spark, sf).persist()
+    cross join; this is the scale path for exact-verification of candidates).
+
+    The shingle-hash table is materialized with an eager localCheckpoint
+    (NOT persist): three plan branches read it, but no CacheManager entry is
+    created, so repeated invocation leaks nothing — the checkpoint blocks
+    are released by the ContextCleaner when the result is dropped."""
+    h = _docs_hashes(spark, sf).localCheckpoint(eager=True)
     ex = h.select("doc_id", F.explode("hashes").alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -324,9 +329,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
     # materialize once: the shingle+minhash expression tree must not be
-    # re-evaluated on both sides of the band self-join
-    bands = bands.persist()
-    bands.count()
+    # re-evaluated on both sides of the band self-join. Eager localCheckpoint
+    # instead of persist → no CacheManager leak across invocations.
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -402,9 +407,9 @@ def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     heterogeneous corpora buckets stay small and the join is sub-quadratic.
     """
     # materialize signatures once: the 30-aggregate simhash expression must
-    # not be re-evaluated per band / per join side
-    s = simhash_values(spark, sf).filter(F.col("simhash") != 0).persist()
-    s.count()
+    # not be re-evaluated per band / per join side. Eager localCheckpoint
+    # instead of persist → no CacheManager leak across invocations.
+    s = simhash_values(spark, sf).filter(F.col("simhash") != 0).localCheckpoint(eager=True)
     bands = s.select(
         "doc_id",
         "simhash",

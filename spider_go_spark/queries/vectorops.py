@@ -142,10 +142,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4). Quadratic
     verify stage — at scale, run after ann_lsh_buckets restricts candidates
     to same-bucket pairs."""
+    # Eager localCheckpoint (not persist): materializes the norm column once
+    # for both join sides without leaking a CacheManager entry per call.
     e = T(spark, sf, "embeddings").select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    ).persist()
-    e.count()
+    ).localCheckpoint(eager=True)
     a = e.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
     )

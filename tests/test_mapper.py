@@ -81,3 +81,43 @@ def test_compiled_once_stays_jvm(spark, df):
     out = apply_mappers(df, {"v": Mapper("expression", "score * 2 + n")})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_custom_function_per_call(spark, df):
+    """≙ expr-lang env functions (examples/expression/main.go:53-55:
+    get_referred_username(id) registered into the program env)."""
+    fns = {"double_it": lambda c: c * 2, "shout": lambda c: (F.upper(c), "str")}
+    out = df.select(
+        compile_expression("double_it(n) + 1", functions=fns).alias("a"),
+        compile_expression("shout(name) + '!'", functions=fns).alias("b"),
+    ).collect()
+    assert [r["a"] for r in out] == [7, 15]
+    assert [r["b"] for r in out] == ["ALPHA!", "BETA!"]
+
+
+def test_custom_function_registry_and_pandas_udf(spark, df):
+    """Module-level registry + a pandas UDF as the env function body —
+    the vectorized analogue of the reference's Go callback."""
+    from pyspark.sql.functions import pandas_udf
+
+    from spider_go_spark.functions.mapper import register_function, unregister_function
+
+    @pandas_udf("string")
+    def referred_username(ids):
+        return "user-" + ids.astype("string")
+
+    register_function("get_referred_username", lambda c: (referred_username(c), "str"))
+    try:
+        out = apply_mappers(
+            df, {"u": Mapper("expression", "get_referred_username(id)")}
+        ).collect()
+        assert [r["u"] for r in out] == ["user-1", "user-2"]
+    finally:
+        unregister_function("get_referred_username")
+    with pytest.raises(ExprError):
+        compile_expression("get_referred_username(1)")
+
+
+def test_custom_function_multi_arg(spark, df):
+    fns = {"clamp": lambda c, lo, hi: F.least(F.greatest(c, lo), hi)}
+    assert ev(df, "clamp(n, 4, 6)", functions=fns) == [4, 6]

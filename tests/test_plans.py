@@ -91,3 +91,22 @@ def test_explode_fanout_generates(spark):
     assert "Generate explode" in plan
     # partial (map-side) aggregation before the shuffle
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_assignment_is_projection_only(spark):
+    """IVF list assignment must be a pure map stage: the per-row nearest-
+    centroid argmax is a sort_array over literal-centroid cosine structs —
+    never a crossJoin + per-vector Window (that formulation shuffles O(N·C)
+    rows at 10^9-vector scale). The only Window left in the whole plan is
+    the final per-query top-k rank; the only joins are the centroid-keyed
+    candidate equi-join and broadcasts."""
+    import re
+
+    from spider_go_spark.queries.vectorops import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF))
+    # exactly one Window operator (the top-k rank; WindowGroupLimit rows are
+    # the pushed-down partial/final limit of that same window, not extras)
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
