@@ -82,10 +82,18 @@ def apply_policy(
             .withColumn("max_in_flight", F.lit(default_budget).cast("int"))
             .withColumn("robots_txt", F.lit(None).cast("string"))
             .withColumn("disabled", F.lit(False))
+            .withColumn("revisit_after_rounds", F.lit(None).cast("int"))
         )
     par = frontier.sparkSession.sparkContext.defaultParallelism
     frontier = frontier.repartition(par)
-    policy = host_policy.select("host", "crawl_delay_ms", "max_in_flight", "robots_txt", "disabled")
+    if "revisit_after_rounds" not in host_policy.columns:  # pre-revisit policies
+        host_policy = host_policy.withColumn(
+            "revisit_after_rounds", F.lit(None).cast("int")
+        )
+    policy = host_policy.select(
+        "host", "crawl_delay_ms", "max_in_flight", "robots_txt", "disabled",
+        "revisit_after_rounds",
+    )
     joined = frontier.join(F.broadcast(policy), "host", "left")
     joined = joined.fillna(
         {"crawl_delay_ms": 0, "max_in_flight": default_budget, "disabled": False}

@@ -74,6 +74,10 @@ def crawl_oracle(
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
+    # revisit queue (≙ cron-trigger scheduled jobs): url_norm → (entry
+    # carrying discovered_round = eligibility round, next_round). A URL is
+    # in the frontier XOR the revisit queue.
+    revisit: dict[str, tuple[OracleEntry, int]] = {}
 
     # --- round 0: seed injection (first-wins per canonical URL: highest
     # priority, then smallest raw url string — mirrors the engine's min-struct
@@ -98,9 +102,13 @@ def crawl_oracle(
 
     # --- crawl rounds
     for rnd in range(1, max_rounds + 1):
+        # scheduling pool = frontier ∪ revisit entries whose round arrived
+        pool = list(frontier.values()) + [
+            e for e, nxt in revisit.values() if nxt <= rnd
+        ]
         # politeness: filter + per-host budget cut
         eligible: list[OracleEntry] = []
-        for e in frontier.values():
+        for e in pool:
             pol = host_policy.get(e.host, {})
             if pol.get("disabled", False):
                 continue
@@ -123,6 +131,8 @@ def crawl_oracle(
         assignments.sort(key=OracleEntry.order_key)
         if not assignments:
             res.rounds.append({"round": rnd, "n_assigned": 0})
+            if revisit:  # pending refetches keep the crawl alive
+                continue
             break
 
         # fetch in global order
@@ -133,7 +143,19 @@ def crawl_oracle(
             res.fetched.append(
                 {"round": rnd, "fetch_rank": fetch_rank, "url_norm": e.url_norm, "status": status}
             )
-            del frontier[e.url_norm]
+            frontier.pop(e.url_norm, None)  # revisit-sourced rows aren't here
+            revisit.pop(e.url_norm, None)
+            k = host_policy.get(e.host, {}).get("revisit_after_rounds") or 0
+            if k > 0:  # (re)schedule the refetch; re-enters the scheduler
+                # order at its eligibility round
+                revisit[e.url_norm] = (
+                    OracleEntry(
+                        url=e.url, url_norm=e.url_norm, host=e.host, depth=e.depth,
+                        priority=e.priority, discovered_round=rnd + k,
+                        discovery_rank=e.discovery_rank,
+                    ),
+                    rnd + k,
+                )
             if status != "200":
                 continue
             links = out_links_of_nodes(np.array([node]), n_urls, n_hosts)[0]

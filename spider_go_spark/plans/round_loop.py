@@ -23,18 +23,25 @@ fetched — so the frontier never contains duplicates and a URL is fetched at
 most once, ever.
 
 Scale notes (10^10 frontier):
-- the frontier rewrite each round removes only assigned rows via a
-  broadcast anti-join (assignments ≤ Σ per-host budgets ≪ frontier);
+- frontier maintenance is PARTITION-SCOPED: the frontier table is
+  hash-bucketed by pmod(url_hash, frontier_buckets) and each round rewrites
+  ONLY the buckets containing assigned or newly-enqueued rows (an
+  Iceberg-style overwrite-by-partition-filter commit). A round touching
+  10^7 of 10^10 rows reads+writes the touched buckets, never the ~2 TB
+  whole table; assigned-row removal is a bucket-pruned anti-join on
+  (url_hash, url_norm) with no broadcast hint — AQE picks the strategy;
 - candidates shuffle once on shard_id for the seen probe (uniform by hash,
   immune to host skew); the politeness window is the only host-keyed
   shuffle and it is salted;
-- nothing ever collects to the driver except per-partition counts and
-  snapshot metadata.
+- nothing ever collects to the driver except per-partition counts,
+  touched-bucket ids (≤ frontier_buckets ints), and snapshot metadata.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,9 +75,20 @@ LINK_STRIDE = 4096
 @dataclass
 class CrawlConfig:
     workdir: str
+    # tenant id: every engine-table row is scoped to a crawl_id (≙ the
+    # reference's per-workflow scoping, storage_workflow_mongodb.go:213-222);
+    # multiple crawls share one catalog, interleaving at round granularity.
+    # NOT part of the semantic fingerprint — each crawl validates against
+    # its own committed entries.
+    crawl_id: str = "default"
     n_urls: int = 10_000
     n_hosts: int = 20
     num_shards: int = 16
+    # frontier hash-bucket count (partition-scoped rewrites). At the 10^10
+    # design point size so one bucket ≈ a few GB: e.g. 4096 buckets ≈ 2.4M
+    # rows/bucket. Local tests keep it small so multiple buckets stay
+    # untouched per round (the pruning is observable).
+    frontier_buckets: int = 16
     expected_urls: int = 0  # bloom sizing; defaults to n_urls
     default_budget: int = DEFAULT_BUDGET
     round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS
@@ -92,32 +110,161 @@ class CrawlConfig:
         parts = (
             self.n_urls, self.n_hosts, self.num_shards, self.expected_urls,
             self.default_budget, self.round_budget_ms, self.salt_n,
+            self.frontier_buckets,
         )
         return "-".join(str(p) for p in parts)
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, config: CrawlConfig, host_policy: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        host_policy: DataFrame | None = None,
+        docs_sink: Callable[[int, DataFrame], None] | None = None,
+    ):
+        """``docs_sink(round, docs_df)`` — pluggable external side-effect
+        sink for each round's fetched documents (≙ the reference's
+        slack-worker, /root/reference/cmd/slack-worker/main.go:31-84: a
+        worker whose only job is pushing results to an external system).
+        Called AFTER the round commits; an ack file records delivery, so a
+        crash between commit and sink replays the sink on resume — per-round
+        at-least-once with the round number as the idempotence key (true
+        exactly-once is impossible for external side effects; this matches
+        foreachBatch's contract)."""
         self.spark = spark
         self.cfg = config
+        self.docs_sink = docs_sink
         self.catalog = Catalog(spark, config.workdir)
-        self.frontier = self.catalog.load("frontier", schemas.FRONTIER)
-        self.seen_shards = self.catalog.load("seen_shards", schemas.SEEN_SHARDS)
-        self.seen_urls = self.catalog.load("seen_urls", schemas.SEEN_URLS)
-        self.fetched_docs = self.catalog.load("fetched_docs", schemas.FETCHED_DOCS)
-        self.lineage = self.catalog.load("lineage", schemas.LINEAGE)
-        self.fetch_metrics = self.catalog.load("fetch_metrics", schemas.ROUND_METRICS)
+        # the frontier bucket count is a CATALOG property, not a per-crawl
+        # one: tenants sharing the catalog must agree on the bucket
+        # transform or partition-scoped rewrites would scatter each other's
+        # rows across mappings
+        self._pin_catalog_property("frontier_buckets", config.frontier_buckets)
+        # table schemas are the base schemas + the crawl_id tenant column;
+        # operators stay crawl-agnostic (the engine filters reads / stamps
+        # writes)
+        self.frontier = self.catalog.load("frontier", schemas.with_crawl_id(schemas.FRONTIER))
+        self.seen_shards = self.catalog.load("seen_shards", schemas.with_crawl_id(schemas.SEEN_SHARDS))
+        self.seen_urls = self.catalog.load("seen_urls", schemas.with_crawl_id(schemas.SEEN_URLS))
+        self.fetched_docs = self.catalog.load("fetched_docs", schemas.with_crawl_id(schemas.FETCHED_DOCS))
+        self.lineage = self.catalog.load("lineage", schemas.with_crawl_id(schemas.LINEAGE))
+        self.fetch_metrics = self.catalog.load("fetch_metrics", schemas.with_crawl_id(schemas.ROUND_METRICS))
+        self.revisit = self.catalog.load("revisit", schemas.with_crawl_id(schemas.REVISIT))
         self.state_log = RoundStateLog(config.workdir)
         self.m_bits, self.k_hashes = bloom_params(config.expected_urls, config.num_shards)
         if host_policy is None:
             host_policy = spark.createDataFrame([], schemas.HOST_POLICY)
         self.host_policy = host_policy
-        # memoized once: the policy plan is fixed at engine construction, so
-        # re-running the isEmpty() job every scheduling round would recompute
-        # the same answer (one extra Spark job per round for nothing)
-        self._policy_empty = host_policy.isEmpty()
+        # memoized once: the policy plan is fixed until update_policy(), so
+        # re-running these jobs every scheduling round would recompute the
+        # same answers (extra Spark jobs per round for nothing)
+        self._memoize_policy()
 
-    def _commit_state(self, rnd: int, metrics: dict) -> None:
+    def _memoize_policy(self) -> None:
+        self._policy_empty = self.host_policy.isEmpty()
+        self._has_revisit = (
+            not self._policy_empty
+            and "revisit_after_rounds" in self.host_policy.columns
+            and not self.host_policy.filter("revisit_after_rounds > 0").isEmpty()
+        )
+
+    def update_policy(self, new_policy: DataFrame) -> DataFrame:
+        """Config pickup at a round boundary ≙ the reference's cron trigger
+        polling flow configs, diffing them, and (re)scheduling work
+        (cmd/cron-trigger/main.go:82-229). Returns the classified diff
+        (added / removed / changed / unchanged per host — the
+        config_diff_fullouter shape applied to the live policy), swaps the
+        policy plan, and bumps config_version. Call between rounds; the
+        next scheduled round sees the new policy."""
+        if "revisit_after_rounds" not in new_policy.columns:
+            new_policy = new_policy.withColumn(
+                "revisit_after_rounds", F.lit(None).cast("int")
+            )
+        old = self.host_policy
+        if "revisit_after_rounds" not in old.columns:
+            old = old.withColumn("revisit_after_rounds", F.lit(None).cast("int"))
+        cols = ["crawl_delay_ms", "max_in_flight", "robots_txt", "disabled", "revisit_after_rounds"]
+        o = old.select(
+            "host", F.lit(True).alias("_in_old"),
+            *[F.col(c).alias(f"old_{c}") for c in cols],
+        )
+        n = new_policy.select(
+            "host", F.lit(True).alias("_in_new"),
+            *[F.col(c).alias(f"new_{c}") for c in cols],
+        )
+        same = F.lit(True)
+        for c in cols:
+            same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        diff = o.join(n, "host", "full_outer").select(
+            "host",
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(same, F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+        self.host_policy = new_policy
+        self.cfg.config_version += 1
+        self._memoize_policy()
+        return diff
+
+    # -- external document sink ---------------------------------------------------
+    def _sink_ack_path(self, rnd: int) -> str:
+        d = os.path.join(self.cfg.workdir, "_sink_acks", self.cfg.crawl_id)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"round-{rnd:06d}.ack")
+
+    def _deliver_sink(self, rnd: int) -> bool:
+        """Deliver round ``rnd``'s fetched docs to the sink unless already
+        acked. Returns True if the sink ran."""
+        if self.docs_sink is None:
+            return False
+        ack = self._sink_ack_path(rnd)
+        if os.path.exists(ack):
+            return False
+        docs = self.fetched_docs.read().filter(
+            self._cid & (F.col("round") == F.lit(rnd))
+        )
+        self.docs_sink(rnd, docs)
+        tmp = ack + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("delivered")
+        os.rename(tmp, ack)  # atomic: crash before ⇒ redelivery on resume
+        return True
+
+    def _replay_unacked_sinks(self) -> None:
+        """On resume: redeliver committed fetch rounds the sink never acked
+        (died between round commit and sink ack)."""
+        if self.docs_sink is None:
+            return
+        for e in self.state_log.entries(self.cfg.crawl_id):
+            if e["metrics"].get("n_fetched", 0) > 0:
+                self._deliver_sink(e["round"])
+
+    def _pin_catalog_property(self, key: str, value) -> None:
+        import json
+        import os
+
+        path = os.path.join(self.cfg.workdir, "_catalog.json")
+        meta = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            if key in meta and meta[key] != value:
+                raise ValueError(
+                    f"catalog property {key}={meta[key]} does not match this "
+                    f"engine's config ({value}); all crawls sharing a catalog "
+                    "must agree on it"
+                )
+        if meta.get(key) != value:
+            meta[key] = value
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, sort_keys=True)
+            os.replace(tmp, path)
+
+    def _commit_state(self, rnd: int, metrics: dict, op: str = "round") -> None:
         """Atomic round commit + retention sweep (keep_snapshots manifests
         per table — ≙ the reference's 1 h stream retention, nats.go:149-158,
         made explicit and durable)."""
@@ -127,6 +274,8 @@ class CrawlEngine:
             self.cfg.config_version,
             metrics,
             config_fingerprint=self.cfg.fingerprint(),
+            crawl_id=self.cfg.crawl_id,
+            op=op,
         )
         for table in self._tables().values():
             table.expire_snapshots(keep_last=self.cfg.keep_snapshots)
@@ -140,14 +289,24 @@ class CrawlEngine:
             "fetched_docs": self.fetched_docs,
             "lineage": self.lineage,
             "fetch_metrics": self.fetch_metrics,
+            "revisit": self.revisit,
         }
 
     def _snapshot_ids(self) -> dict[str, int]:
         return {name: t.current_snapshot_id() for name, t in self._tables().items()}
 
+    @property
+    def _cid(self):
+        return F.col("crawl_id") == F.lit(self.cfg.crawl_id)
+
+    @property
+    def _frontier_cols(self) -> list[str]:
+        return ["crawl_id", *[f.name for f in schemas.FRONTIER.fields]]
+
     def _candidates_from_raw(self, raw: DataFrame, rnd: int) -> DataFrame:
         """raw(url, priority, parent_hash, depth, discovery_rank) →
-        canonicalized, hashed, in-batch-deduped frontier candidates."""
+        canonicalized, hashed, in-batch-deduped frontier candidates
+        (stamped with this engine's crawl_id)."""
         c = raw.withColumn("url_norm", canonicalize_udf(F.col("url"))).filter(
             F.col("url_norm").isNotNull()
         )
@@ -183,43 +342,87 @@ class CrawlEngine:
                 F.col("k.dr").alias("discovery_rank"),
             )
         )
-        return c
+        return c.withColumn("crawl_id", F.lit(self.cfg.crawl_id))
+
+    def _bucket_col(self):
+        return F.pmod(F.col("url_hash"), F.lit(self.cfg.frontier_buckets)).cast("int")
 
     def _enqueue(
-        self, candidates: DataFrame, rnd: int, label: str, base_frontier: DataFrame | None = None
+        self, candidates: DataFrame, rnd: int, label: str, assigned: DataFrame | None = None
     ) -> tuple[int, int]:
         """Filter candidates vs seen set, append to frontier + seen + lineage.
-        ``base_frontier`` is the carried-over frontier (defaults to the
-        current snapshot) — passed in by run_round so the round does ONE
-        frontier rewrite, not two. Returns (n_new, n_candidates)."""
+        ``assigned`` is this round's fetched assignment set — its rows leave
+        the frontier in the SAME partition-scoped commit that adds the new
+        candidates. Only frontier buckets holding assigned or new rows are
+        read and rewritten (replace_buckets); every other bucket's data dirs
+        carry over untouched. Returns (n_new, n_candidates)."""
         candidates = candidates.persist()
         n_cand = candidates.count()
-        shards = self.seen_shards.read()
-        seen = self.seen_urls.read()
+        shards_all = self.seen_shards.read()
+        shards = shards_all.filter(self._cid).drop("crawl_id")
+        seen = self.seen_urls.read().filter(self._cid)
         # filter_unseen returns persisted+materialized; projections below
         # read the cache, and we unpersist it at the end of the commit
         unseen = filter_unseen(candidates, shards, seen, self.cfg.num_shards)
-        new = unseen.select(*[f.name for f in schemas.FRONTIER.fields], "shard_id")
+        new = unseen.select(*self._frontier_cols, "shard_id")
         n_new = unseen.count()
 
-        frontier_new = new.select(*[f.name for f in schemas.FRONTIER.fields])
-        prev = base_frontier if base_frontier is not None else self.frontier.read()
-        self.frontier.overwrite(prev.unionByName(frontier_new), f"round-{rnd:06d}")
+        frontier_new = new.select(*self._frontier_cols).withColumn(
+            "__bucket", self._bucket_col()
+        )
+        # touched-bucket ids: tiny collects (≤ frontier_buckets ints) over
+        # already-materialized inputs (unseen is cached; assigned is the
+        # persisted ranked assignment set)
+        touched = {
+            r["__bucket"] for r in frontier_new.select("__bucket").distinct().collect()
+        }
+        if assigned is not None:
+            assigned_keys = assigned.select("crawl_id", "url_hash", "url_norm")
+            touched |= {
+                r["__bucket"]
+                for r in assigned_keys.select(self._bucket_col().alias("__bucket"))
+                .distinct()
+                .collect()
+            }
+        # NOT filtered by crawl_id: touched buckets may hold other tenants'
+        # rows, which must carry through the rewrite untouched
+        prev_touched = self.frontier.read_buckets(sorted(touched))
+        if assigned is not None:
+            # no broadcast hint: at the 10^7-fetch design point the
+            # assignment set is hundreds of MB — join on (crawl_id, url_hash,
+            # url_norm) over pruned buckets and let AQE pick the strategy
+            prev_touched = prev_touched.join(
+                assigned_keys, ["crawl_id", "url_hash", "url_norm"], "left_anti"
+            )
+        replaced = prev_touched.withColumn("__bucket", self._bucket_col()).unionByName(
+            frontier_new
+        )
+        # one output file per touched bucket (repartition by the bucket key
+        # before the partitioned write)
+        replaced = replaced.repartition(max(len(touched), 1), "__bucket")
+        self.frontier.replace_buckets(replaced, sorted(touched), f"round-{rnd:06d}")
 
         self.seen_urls.append(
             new.select(
-                "url_hash", "url_norm", "shard_id", F.lit(rnd).cast("int").alias("seen_round")
+                "crawl_id", "url_hash", "url_norm", "shard_id",
+                F.lit(rnd).cast("int").alias("seen_round"),
             ),
             f"round-{rnd:06d}",
         )
         updates = build_shard_updates(
             new.select("url_norm", "url_hash"), self.cfg.num_shards, self.m_bits, self.k_hashes
         )
-        merged = merge_shards(shards, updates)
-        self.seen_shards.overwrite(merged, f"round-{rnd:06d}")
+        merged = merge_shards(shards, updates).withColumn(
+            "crawl_id", F.lit(self.cfg.crawl_id)
+        )
+        # other tenants' Bloom shards carry over untouched (the shard table
+        # is tiny: num_shards rows per crawl)
+        others = shards_all.filter(~self._cid)
+        self.seen_shards.overwrite(others.unionByName(merged), f"round-{rnd:06d}")
 
         self.lineage.append(
             new.select(
+                "crawl_id",
                 "url_hash",
                 "url_norm",
                 "parent_hash",
@@ -261,7 +464,7 @@ class CrawlEngine:
         are preserved: the ingestion consumes a round number and commits
         round_state like any fetch round; a crash before the commit re-runs
         the ingestion idempotently (already-seen URLs dedup away)."""
-        last = self.state_log.last_round()
+        last = self.state_log.last_round(self.cfg.crawl_id)
         rnd = 0 if last is None else last + 1
         raw = seeds.select(
             "url",
@@ -278,24 +481,53 @@ class CrawlEngine:
     def ingest_staged(self, staged_dir: str) -> dict:
         """Drain the streaming seed-ingestion staging area
         (spider_go_spark.streaming.pipeline.seed_ingestion_query) into the
-        frontier at a round boundary."""
-        from pyspark.errors import AnalysisException
+        frontier at a round boundary.
 
-        try:
-            staged = self.spark.read.parquet(staged_dir)
-        except AnalysisException:
+        Drains exactly the ``batch_id=N`` directories present when called
+        (a concurrently-arriving batch waits for the next boundary), and
+        deletes them AFTER the ingestion round commits — so the staging
+        area stays bounded instead of re-ingesting all history every call.
+        A crash between commit and delete re-ingests those batches once,
+        which the seen-set dedup absorbs (enqueue is idempotent by
+        url_norm)."""
+        import glob
+        import shutil
+
+        batch_dirs = sorted(glob.glob(os.path.join(staged_dir, "batch_id=*")))
+        if not batch_dirs:
             # nothing staged yet (the streaming query has not committed any
             # batch): a graceful no-op, not a crashed crawl driver
             return {"n_candidates": 0, "n_new": 0, "n_fetched": 0, "seed_ingestion": 1}
-        return self.add_seeds(
+        staged = self.spark.read.parquet(*batch_dirs)
+        res = self.add_seeds(
             staged.select(F.col("url_norm").alias("url"), "priority")
         )
+        for d in batch_dirs:
+            shutil.rmtree(d)
+        res["n_batches_drained"] = len(batch_dirs)
+        return res
 
     # -- one crawl round ---------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
-        frontier = self.frontier.read()
+        frontier = self.frontier.read().filter(self._cid)
+        # revisit eligibility (≙ cron trigger firing, cmd/cron-trigger/
+        # main.go:82-229): fetched URLs whose recrawl round has arrived
+        # rejoin the scheduling pool. Invariant: a URL is in the revisit
+        # queue XOR the frontier (it left the frontier when assigned; link
+        # rediscovery dedups against the seen set), so the union never
+        # duplicates.
+        # (skipped entirely — no extra jobs — when the policy has no revisit
+        # intervals and the queue is empty; row_count is manifest metadata)
+        use_revisit = self._has_revisit or self.revisit.snapshot().row_count > 0
+        pool = frontier
+        if use_revisit:
+            rev_all = self.revisit.read()
+            eligible = rev_all.filter(
+                self._cid & (F.col("next_round") <= F.lit(rnd))
+            ).drop("next_round")
+            pool = frontier.unionByName(eligible)
         assignments = schedule_round(
-            frontier,
+            pool,
             self.host_policy,
             default_budget=self.cfg.default_budget,
             round_budget_ms=self.cfg.round_budget_ms,
@@ -309,7 +541,11 @@ class CrawlEngine:
         n_assigned = ranked.count()
         if n_assigned == 0:
             ranked.unpersist()
-            metrics = {"n_assigned": 0, "n_fetched": 0, "n_ok": 0, "n_candidates": 0, "n_new": 0}
+            n_pending = rev_all.filter(self._cid).count() if use_revisit else 0
+            metrics = {
+                "n_assigned": 0, "n_fetched": 0, "n_ok": 0, "n_candidates": 0,
+                "n_new": 0, "n_revisit_pending": n_pending,
+            }
             self._commit_state(rnd, metrics)
             return metrics
 
@@ -319,7 +555,9 @@ class CrawlEngine:
         par = self.spark.sparkContext.defaultParallelism
         fetch_input = assignments.repartition(par, "url_hash")
         fetched = synthetic_fetch(fetch_input, self.cfg.n_urls, self.cfg.n_hosts).persist()
-        self.fetched_docs.append(fetched, f"round-{rnd:06d}")
+        self.fetched_docs.append(
+            fetched.withColumn("crawl_id", F.lit(self.cfg.crawl_id)), f"round-{rnd:06d}"
+        )
 
         # per-partition fetch metrics (north rule): one row per task of the
         # fetch stage — observability into skew without any extra shuffle
@@ -329,6 +567,7 @@ class CrawlEngine:
             F.count(F.when(F.col("status") == "200", 1)).alias("n_ok"),
             F.sum(F.size("out_links")).cast("long").alias("n_links_out"),
         ).select(
+            F.lit(self.cfg.crawl_id).alias("crawl_id"),
             F.lit(rnd).cast("int").alias("round"),
             "partition_id",
             "n_fetched",
@@ -364,15 +603,47 @@ class CrawlEngine:
         )
         candidates = self._candidates_from_raw(raw, rnd + 1)
 
-        # remove assigned rows from the frontier (broadcast anti-join: the
-        # assignment set is budget-bounded and small relative to the frontier);
-        # committed together with the newly-enqueued candidates in ONE
-        # frontier rewrite inside _enqueue
-        remaining = frontier.join(
-            F.broadcast(assignments.select("url_norm")), "url_norm", "left_anti"
-        )
+        # assigned rows leave the frontier inside _enqueue's partition-scoped
+        # commit (bucket-pruned anti-join — no broadcast of the assignment
+        # set, no whole-frontier rewrite)
+        n_new, n_cand = self._enqueue(candidates, rnd + 1, "links", assigned=assignments)
 
-        n_new, n_cand = self._enqueue(candidates, rnd + 1, "links", base_frontier=remaining)
+        # revisit queue maintenance (partition-scoped, like the frontier):
+        # assigned rows leave the queue; assignments on hosts with a revisit
+        # interval (re)enter with next_round = rnd + k. A URL not scheduled
+        # this round (over budget) stays queued and eligible.
+        n_pending = 0
+        if use_revisit:
+            keys = ["crawl_id", "url_hash", "url_norm"]
+            nr = (F.lit(rnd) + F.col("revisit_after_rounds")).cast("int")
+            new_revisits = assignments.filter(
+                F.col("revisit_after_rounds").isNotNull()
+                & (F.col("revisit_after_rounds") > 0)
+            ).select(
+                "crawl_id", "url", "url_norm", "url_hash", "host", "host_hash",
+                "depth", "priority", "parent_hash",
+                nr.alias("discovered_round"),  # re-enters the scheduler order
+                # at its eligibility round
+                "discovery_rank",
+                nr.alias("next_round"),
+            )
+            touched_rev = sorted(
+                r["__b"]
+                for r in assignments.select(self._bucket_col().alias("__b"))
+                .distinct()
+                .collect()
+            )
+            remaining = self.revisit.read_buckets(touched_rev).join(
+                assignments.select(*keys), keys, "left_anti"
+            )
+            replaced = (
+                remaining.unionByName(new_revisits)
+                .withColumn("__bucket", self._bucket_col())
+                .repartition(max(len(touched_rev), 1), "__bucket")
+            )
+            self.revisit.replace_buckets(replaced, touched_rev, f"round-{rnd:06d}")
+            n_pending = self.revisit.snapshot().row_count
+
         # n_fetched = every fetch attempt (matches the fetch_metrics table);
         # n_ok = 200s only (previously misnamed n_fetched)
         n_ok = fetched.filter(F.col("status") == "200").count()
@@ -382,8 +653,10 @@ class CrawlEngine:
             "n_ok": n_ok,
             "n_candidates": n_cand,
             "n_new": n_new,
+            "n_revisit_pending": n_pending,
         }
         self._commit_state(rnd, metrics)
+        self._deliver_sink(rnd)
         ranked.unpersist()
         fetched.unpersist()
         return metrics
@@ -393,7 +666,7 @@ class CrawlEngine:
         """Run (or resume) the crawl to completion. If a committed round_state
         exists, resumes from it (bit-identically); else requires ``seeds``."""
         max_rounds = max_rounds or self.cfg.max_rounds
-        state = self.state_log.restore(self._tables())
+        state = self.state_log.restore(self._tables(), self.cfg.crawl_id)
         if state is not None:
             committed = state.get("config_fingerprint")
             if committed is not None and committed != self.cfg.fingerprint():
@@ -411,9 +684,51 @@ class CrawlEngine:
             next_round = 1
         else:
             next_round = state["round"] + 1
+            # redeliver any committed-but-unacked sink rounds (died between
+            # round commit and external delivery)
+            self._replay_unacked_sinks()
         for rnd in range(next_round, max_rounds + 1):
             m = self.run_round(rnd)
             history.append(m)
-            if m.get("n_assigned", 1) == 0:  # frontier exhausted — terminate
+            # terminate when the frontier is exhausted AND no refetch is
+            # scheduled; pending revisits keep the loop alive through empty
+            # rounds until their eligibility round arrives (cron semantics)
+            if m.get("n_assigned", 1) == 0 and m.get("n_revisit_pending", 0) == 0:
                 break
         return history
+
+    # -- scoped cascade delete ----------------------------------------------------
+    def drop_crawl(self) -> dict:
+        """Remove EVERY row of this engine's crawl_id from every engine
+        table — ≙ the reference's DeleteFlow cascade (flow → actions → deps
+        → contexts, storage_workflow_mongodb.go:560-609) — leaving other
+        crawls in the shared catalog untouched.
+
+        The frontier delete is partition-scoped (only buckets holding this
+        crawl's rows are rewritten); the append-only tables get one
+        compacting overwrite each (scoped deletes are rare administrative
+        ops — full-history rewrite is acceptable there, matching Iceberg's
+        copy-on-write DELETE). A committed ``drop`` entry makes the
+        post-delete snapshots the new restore point, so the dropped crawl
+        no longer resumes and other crawls resume over the cleaned state."""
+        label = f"drop-{self.cfg.crawl_id}"
+        mine = self.frontier.read().filter(self._cid)
+        touched = sorted(
+            r["__bucket"]
+            for r in mine.select(self._bucket_col().alias("__bucket")).distinct().collect()
+        )
+        if touched:
+            kept = (
+                self.frontier.read_buckets(touched)
+                .filter(~self._cid)
+                .withColumn("__bucket", self._bucket_col())
+                .repartition(max(len(touched), 1), "__bucket")
+            )
+            self.frontier.replace_buckets(kept, touched, label)
+        for name, t in self._tables().items():
+            if name == "frontier":
+                continue
+            t.overwrite(t.read().filter(~self._cid), label)
+        metrics = {"dropped_crawl": self.cfg.crawl_id}
+        self._commit_state(self.state_log.last_round(self.cfg.crawl_id) or 0, metrics, op="drop")
+        return metrics

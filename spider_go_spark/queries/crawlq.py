@@ -55,10 +55,107 @@ def crawl_frontier_lineage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def schedule_one_round(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE politeness scheduling round over a static frontier, driven
+    through the real ``schedule_round`` operator (policy broadcast join +
+    disabled filter + crawl-delay budget + salted two-phase window cut +
+    per-host offsets) — and value-checked against a plain ANSI-SQL oracle.
+
+    The iterative crawl is not SQL-expressible, but a single round over a
+    fixed frontier IS: the salted two-phase cut is provably identical to a
+    single per-host window (politeness.py module docstring), so the oracle
+    uses the single-window form. Frontier and policy are derived
+    deterministically from lineitem/nation; robots bodies are null here
+    (robots semantics are covered by the pytest oracle-replay suite)."""
+    from spider_go_spark.operators.politeness import schedule_round
+    from spider_go_spark.queries import T
+
+    li = T(spark, sf, "lineitem")
+    na = T(spark, sf, "nation")
+    host = F.concat(
+        F.lit("h"), (F.col("l_suppkey") % 25).cast("string"), F.lit(".example.test")
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"),
+        F.col("l_orderkey").cast("string"), F.lit("/"),
+        F.col("l_linenumber").cast("string"),
+    )
+    frontier = li.select(
+        url.alias("url_norm"),
+        host.alias("host"),
+        F.col("l_discount").cast("double").alias("priority"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("discovery_rank"),
+    ).withColumns(
+        {
+            "url_hash": F.xxhash64(F.col("url_norm")),  # salt key only — the
+            # two-phase cut's output is salt-invariant, so the oracle never
+            # needs this value
+            "discovered_round": F.lit(0).cast("int"),
+        }
+    )
+    policy = na.filter(F.col("n_nationkey") % 4 != 3).select(
+        F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.test")).alias("host"),
+        (F.col("n_nationkey") * 300).cast("long").alias("crawl_delay_ms"),
+        (F.lit(5) + F.col("n_nationkey") % 7).cast("int").alias("max_in_flight"),
+        F.lit(None).cast("string").alias("robots_txt"),
+        (F.col("n_nationkey") % 5 == 0).alias("disabled"),
+    )
+    out = schedule_round(frontier, policy, policy_empty=False)
+    return out.select(
+        "url_norm",
+        "host",
+        "priority",
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+        F.col("scheduled_offset_ms").cast("bigint").alias("scheduled_offset_ms"),
+    )
+
+
+SCHEDULE_ONE_ROUND_SQL = """
+WITH f AS (
+  SELECT 'http://h' || (l_suppkey % 25)::VARCHAR || '.example.test/p/'
+           || l_orderkey::VARCHAR || '/' || l_linenumber::VARCHAR AS url_norm,
+         'h' || (l_suppkey % 25)::VARCHAR || '.example.test' AS host,
+         l_discount::DOUBLE AS priority,
+         (l_orderkey * 8 + l_linenumber)::BIGINT AS discovery_rank
+  FROM lineitem
+), p AS (
+  SELECT 'h' || n_nationkey::VARCHAR || '.example.test' AS host,
+         (n_nationkey * 300)::BIGINT AS crawl_delay_ms,
+         (5 + n_nationkey % 7)::INT AS max_in_flight,
+         (n_nationkey % 5 = 0) AS disabled
+  FROM nation
+  WHERE n_nationkey % 4 <> 3
+), j AS (
+  SELECT f.*, coalesce(p.crawl_delay_ms, 0) AS delay,
+         coalesce(p.max_in_flight, 10) AS mif,
+         coalesce(p.disabled, false) AS dis
+  FROM f LEFT JOIN p ON f.host = p.host
+), e AS (
+  SELECT *, CASE WHEN delay > 0
+                 THEN least(mif, greatest(1, CAST(trunc(10000.0 / delay) AS INT)))
+                 ELSE mif END AS budget
+  FROM j WHERE NOT dis
+), r AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY host
+              ORDER BY priority DESC, discovery_rank ASC, url_norm ASC
+            ) AS host_rank
+  FROM e
+)
+SELECT url_norm, host, priority, host_rank::BIGINT AS host_rank,
+       ((host_rank - 1) * delay)::BIGINT AS scheduled_offset_ms
+FROM r WHERE host_rank <= budget
+"""
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_frontier_lineage": crawl_frontier_lineage,
+    "schedule_one_round": schedule_one_round,
 }
 
-# Non-SQL-expressible (iterative, stateful): no oracle entries → rows-only.
-ORACLES: dict[str, str] = {}
+# The iterative crawl queries are non-SQL-expressible (rows-only checks);
+# the single scheduling round has a full value-exact oracle.
+ORACLES: dict[str, str] = {
+    "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
+}

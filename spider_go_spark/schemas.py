@@ -14,6 +14,18 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+
+def with_crawl_id(schema: T.StructType) -> T.StructType:
+    """Tenant-scope a table schema: every engine-owned table carries a
+    ``crawl_id`` column, ≙ the reference's per-workflow row scoping (every
+    Mongo query filters by workflow id,
+    /root/reference/pkg/spider/storage_workflow_mongodb.go:213-222). Base
+    schemas stay crawl-agnostic — operators never see the column; the
+    engine filters on read and stamps on write."""
+    return T.StructType(
+        [T.StructField("crawl_id", T.StringType(), False), *schema.fields]
+    )
+
 # --- interleaved text+media documents (input_hint, authoritative) ---------
 SPAN = T.StructType(
     [
@@ -85,7 +97,20 @@ HOST_POLICY = T.StructType(
         T.StructField("max_in_flight", T.IntegerType(), False),
         T.StructField("robots_txt", T.StringType(), True),
         T.StructField("disabled", T.BooleanType(), False),
+        # revisit policy ≙ the reference's cron trigger re-scheduling work on
+        # an interval (cmd/cron-trigger/main.go:82-229), expressed in round
+        # granularity: a URL fetched in round r becomes eligible for refetch
+        # in round r + revisit_after_rounds. NULL/0 = never refetch.
+        T.StructField("revisit_after_rounds", T.IntegerType(), True),
     ]
+)
+
+# --- revisit queue: fetched URLs awaiting their recrawl round ---------------
+# ≙ the cron-trigger's scheduled-job table. Bucketed like the frontier
+# (pmod(url_hash, frontier_buckets)) so consuming/inserting rows is a
+# partition-scoped rewrite.
+REVISIT = T.StructType(
+    [*FRONTIER.fields, T.StructField("next_round", T.IntegerType(), False)]
 )
 
 # --- fetched documents (round output) --------------------------------------

@@ -44,16 +44,23 @@ def seed_ingestion_query(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Canonicalize + in-batch-dedup incoming seeds and append them to
-    ``out_dir`` (a plain parquet staging area the crawl driver unions into
-    the frontier at the next round boundary — exactly the reference's
+    """Canonicalize + in-batch-dedup incoming seeds and stage them under
+    ``out_dir`` (a parquet staging area the crawl driver drains into the
+    frontier at the next round boundary — exactly the reference's
     trigger-message hand-off, workflow.go:83-127, minus the lost-on-crash
     in-memory stream).
 
-    foreachBatch gives exactly-once-per-batch appends keyed by the
-    checkpoint; the batch body is the same vectorized kernel the round loop
-    uses (no separate streaming code path to drift out of sync).
+    Delivery guarantee — stated precisely: foreachBatch is AT-LEAST-once
+    (a batch retried after a failure re-runs), so each batch writes to its
+    own deterministic ``batch_id=N`` directory with overwrite — the retry
+    is idempotent, never a duplicate append. ``CrawlEngine.ingest_staged``
+    deletes drained batch directories after its round commits; a crash
+    between commit and delete re-ingests those batches once more, which the
+    seen-set dedup absorbs (the enqueue is idempotent by url_norm). The
+    batch body is the same vectorized kernel the round loop uses (no
+    separate streaming code path to drift out of sync).
     """
+    import os
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         out = (
@@ -61,9 +68,10 @@ def seed_ingestion_query(
             .filter(F.col("url_norm").isNotNull())
             .groupBy("url_norm")
             .agg(F.max("priority").alias("priority"))
-            .withColumn("batch_id", F.lit(batch_id))
         )
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     writer = (
         read_seed_stream(spark, drop_dir)

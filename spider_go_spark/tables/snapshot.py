@@ -44,6 +44,11 @@ class Snapshot:
     data_dirs: list[str]  # relative to table root
     row_count: int
     properties: dict
+    # hash-bucket partitioned tables (the Iceberg bucket-transform model):
+    # bucket id → list of data dirs holding that bucket's rows. data_dirs is
+    # always the flat union, so readers/expiry work identically either way.
+    bucket_dirs: dict[int, list[str]] | None = None
+    bucket_rows: dict[int, int] | None = None  # bucket id → row count
 
     @property
     def empty(self) -> bool:
@@ -79,7 +84,15 @@ class SnapshotTable:
             return Snapshot(-1, [], 0, {})
         with open(self._manifest_path(snapshot_id)) as f:
             m = json.load(f)
-        return Snapshot(m["snapshot_id"], m["data_dirs"], m["row_count"], m.get("properties", {}))
+        bd = m.get("bucket_dirs")
+        br = m.get("bucket_rows")
+        if bd is not None:
+            bd = {int(k): v for k, v in bd.items()}
+        if br is not None:
+            br = {int(k): v for k, v in br.items()}
+        return Snapshot(
+            m["snapshot_id"], m["data_dirs"], m["row_count"], m.get("properties", {}), bd, br
+        )
 
     # -- reads ---------------------------------------------------------------
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -100,7 +113,14 @@ class SnapshotTable:
             refs.update(self.snapshot(sid).data_dirs)
         return refs
 
-    def _commit(self, data_dirs: list[str], row_count: int, properties: dict | None) -> Snapshot:
+    def _commit(
+        self,
+        data_dirs: list[str],
+        row_count: int,
+        properties: dict | None,
+        bucket_dirs: dict[int, list[str]] | None = None,
+        bucket_rows: dict[int, int] | None = None,
+    ) -> Snapshot:
         new_id = self._next_snapshot_id()
         manifest = {
             "snapshot_id": new_id,
@@ -108,15 +128,19 @@ class SnapshotTable:
             "row_count": row_count,
             "properties": properties or {},
         }
+        if bucket_dirs is not None:
+            manifest["bucket_dirs"] = {str(k): v for k, v in sorted(bucket_dirs.items())}
+        if bucket_rows is not None:
+            manifest["bucket_rows"] = {str(k): v for k, v in sorted(bucket_rows.items())}
         tmp = self._manifest_path(new_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path(new_id))  # atomic commit point
-        return Snapshot(new_id, data_dirs, row_count, properties or {})
+        return Snapshot(new_id, data_dirs, row_count, properties or {}, bucket_dirs, bucket_rows)
 
-    def _write_data(self, df: DataFrame, label: str) -> tuple[str, int]:
+    def _write_data(self, df: DataFrame, label: str, partition_by: str | None = None) -> tuple[str, int]:
         # bind the dir name to the snapshot id it will commit as: labels may
         # repeat (e.g. a seed-ingestion round reusing a round number), and a
         # bare-label dir could collide with a LIVE dir of the current
@@ -125,11 +149,17 @@ class SnapshotTable:
         rel = os.path.join(_DATA_DIR, f"{label}-v{self._next_snapshot_id():09d}")
         out = os.path.join(self.path, rel)
         if os.path.exists(out):
-            if rel in self._referenced_dirs():  # never true for a correct
-                # single-writer; guard against deleting committed data
+            # bucketed commits reference subdirs (rel/__bucket=K), so match
+            # by prefix, not equality
+            if any(r == rel or r.startswith(rel + "/") for r in self._referenced_dirs()):
+                # never true for a correct single-writer; guard against
+                # deleting committed data
                 raise RuntimeError(f"refusing to overwrite committed data dir {rel}")
             shutil.rmtree(out)  # failed earlier attempt — never committed
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out)
         return rel, self._count_rows(out)
 
     @staticmethod
@@ -158,6 +188,70 @@ class SnapshotTable:
         rel, n = self._write_data(df, label)
         return self._commit([rel], n, properties)
 
+    # -- hash-bucket partitioned commits (Iceberg bucket-transform model) ----
+    def read_buckets(self, bucket_ids, snapshot_id: int | None = None) -> DataFrame:
+        """Read ONLY the given buckets' data dirs — the partition-pruned scan
+        that makes partition-scoped rewrites cheap (untouched buckets are
+        neither read nor written)."""
+        snap = self.snapshot(snapshot_id)
+        bd = snap.bucket_dirs or {}
+        paths = [
+            os.path.join(self.path, d) for b in bucket_ids for d in bd.get(int(b), [])
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        touched,
+        label: str,
+        bucket_col: str = "__bucket",
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Commit a partition-scoped rewrite: ``df`` (which carries
+        ``bucket_col``) REPLACES the listed ``touched`` buckets; every other
+        bucket's dirs carry over into the new snapshot untouched — never
+        re-read, never re-written (the Iceberg overwrite-by-partition-filter
+        model). A touched bucket with no rows in ``df`` simply disappears.
+
+        The data is written once, partitioned by ``bucket_col`` (the bucket
+        value lives in the subdir name, not in the files — the column is
+        derivable, e.g. pmod(url_hash, P), so readers reconstruct it)."""
+        touched = {int(b) for b in touched}
+        prev = self.snapshot()
+        prev_bd = dict(prev.bucket_dirs or {})
+        prev_br = dict(prev.bucket_rows or {})
+        if prev.data_dirs and prev.bucket_dirs is None:
+            raise RuntimeError(
+                "replace_buckets on a table with non-bucketed data: the "
+                "existing rows have no bucket mapping to carry over"
+            )
+        rel, _n = self._write_data(df, label, partition_by=bucket_col)
+        out = os.path.join(self.path, rel)
+        written: dict[int, list[str]] = {}
+        written_rows: dict[int, int] = {}
+        for d in sorted(os.listdir(out)):
+            if d.startswith(bucket_col + "="):
+                b = int(d.split("=", 1)[1])
+                written[b] = [os.path.join(rel, d)]
+                written_rows[b] = self._count_rows(os.path.join(out, d))
+        stray = set(written) - touched
+        if stray:
+            raise RuntimeError(
+                f"replace_buckets: df contains rows in undeclared buckets {sorted(stray)}"
+            )
+        new_bd = {b: dirs for b, dirs in prev_bd.items() if b not in touched}
+        new_br = {b: prev_br.get(b, 0) for b in new_bd}
+        new_bd.update(written)
+        new_br.update(written_rows)
+        data_dirs = sorted(d for dirs in new_bd.values() for d in dirs)
+        return self._commit(
+            data_dirs, sum(new_br.values()), properties,
+            bucket_dirs=new_bd, bucket_rows=new_br,
+        )
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Drop all manifests newer than ``snapshot_id`` (resume support)."""
         for sid in self.snapshot_ids():
@@ -181,7 +275,9 @@ class SnapshotTable:
         data_root = os.path.join(self.path, _DATA_DIR)
         for d in os.listdir(data_root):
             rel = os.path.join(_DATA_DIR, d)
-            if rel not in referenced:
+            # bucketed snapshots reference subdirs (rel/__bucket=K): the
+            # top-level dir is live if it or any child is referenced
+            if not any(r == rel or r.startswith(rel + "/") for r in referenced):
                 shutil.rmtree(os.path.join(data_root, d))
 
 

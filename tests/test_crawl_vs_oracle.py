@@ -18,10 +18,10 @@ MAX_ROUNDS = 4
 @pytest.fixture(scope="module")
 def policy_rows():
     return [
-        ("hot.example.test", 0, 5, None, False),
-        ("h1.example.test", 2000, 10, None, False),  # delay → budget 5
-        ("h2.example.test", 0, 10, "User-agent: *\nDisallow: /p/1\n", False),
-        ("h3.example.test", 0, 10, None, True),  # disabled
+        ("hot.example.test", 0, 5, None, False, None),
+        ("h1.example.test", 2000, 10, None, False, None),  # delay → budget 5
+        ("h2.example.test", 0, 10, "User-agent: *\nDisallow: /p/1\n", False, None),
+        ("h3.example.test", 0, 10, None, True, None),  # disabled
     ]
 
 
@@ -42,8 +42,11 @@ def crawl_outputs(spark, tmp_path_factory, policy_rows):
 
     seeds = [(r.url, r.priority) for r in seeds_df.collect()]
     policy = {
-        h: {"crawl_delay_ms": d, "max_in_flight": m, "robots_txt": r, "disabled": x}
-        for h, d, m, r, x in policy_rows
+        h: {
+            "crawl_delay_ms": d, "max_in_flight": m, "robots_txt": r,
+            "disabled": x, "revisit_after_rounds": rv,
+        }
+        for h, d, m, r, x, rv in policy_rows
     }
     oracle = crawl_oracle(
         seeds, policy, N_URLS, N_HOSTS, default_budget=10, max_rounds=MAX_ROUNDS

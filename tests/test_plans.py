@@ -58,7 +58,7 @@ def test_crawl_schedule_plan_is_arrow_only(spark):
     from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
 
     policy = spark.createDataFrame(
-        [("h1.example.test", 100, 3, "User-agent: *\nDisallow: /private", False)],
+        [("h1.example.test", 100, 3, "User-agent: *\nDisallow: /private", False, None)],
         schemas.HOST_POLICY,
     )
     frontier = spark.createDataFrame(

@@ -34,7 +34,7 @@ def _policy(spark, rows):
 def test_budget_respected_and_order(spark):
     rows = [(f"http://a.test/{i}", "a.test", 0, float(i % 3), i) for i in range(20)]
     frontier = _frontier(spark, rows)
-    policy = _policy(spark, [("a.test", 0, 5, None, False)])
+    policy = _policy(spark, [("a.test", 0, 5, None, False, None)])
     out = schedule_round(frontier, policy).collect()
     assert len(out) == 5
     # the top-5 under (priority desc, round, discovery_rank, url_norm)
@@ -47,7 +47,7 @@ def test_crawl_delay_reduces_budget(spark):
     rows = [(f"http://d.test/{i}", "d.test", 0, 1.0, i) for i in range(30)]
     frontier = _frontier(spark, rows)
     # delay 3000ms in a 10000ms round → at most 3 fetches
-    policy = _policy(spark, [("d.test", 3000, 20, None, False)])
+    policy = _policy(spark, [("d.test", 3000, 20, None, False, None)])
     out = schedule_round(frontier, policy, round_budget_ms=10_000).collect()
     assert len(out) == 3
     assert sorted(r.scheduled_offset_ms for r in out) == [0, 3000, 6000]
@@ -64,8 +64,8 @@ def test_disabled_and_robots_filters(spark):
     policy = _policy(
         spark,
         [
-            ("x.test", 0, 10, "User-agent: *\nDisallow: /private\n", False),
-            ("dead.test", 0, 10, None, True),
+            ("x.test", 0, 10, "User-agent: *\nDisallow: /private\n", False, None),
+            ("dead.test", 0, 10, None, True, None),
         ],
     )
     got = sorted(r.url_norm for r in schedule_round(frontier, policy).collect())
@@ -78,7 +78,7 @@ def test_salting_does_not_change_result(spark, salt_n):
     rows = [(f"http://hot.test/{i:04d}", "hot.test", 0, float(i % 5), i) for i in range(200)]
     rows += [(f"http://c{j}.test/{i}", f"c{j}.test", 0, 1.0, i) for j in range(5) for i in range(8)]
     frontier = _frontier(spark, rows)
-    policy = _policy(spark, [("hot.test", 0, 7, None, False)])
+    policy = _policy(spark, [("hot.test", 0, 7, None, False, None)])
     out = schedule_round(frontier, policy, salt_n=salt_n)
     got = sorted((r.url_norm, r.host_rank) for r in out.collect())
     # reference: unsalted single-phase cut
