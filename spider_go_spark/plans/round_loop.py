@@ -348,7 +348,12 @@ class CrawlEngine:
         return F.pmod(F.col("url_hash"), F.lit(self.cfg.frontier_buckets)).cast("int")
 
     def _enqueue(
-        self, candidates: DataFrame, rnd: int, label: str, assigned: DataFrame | None = None
+        self,
+        candidates: DataFrame,
+        rnd: int,
+        label: str,
+        assigned: DataFrame | None = None,
+        assigned_buckets: list[int] | None = None,
     ) -> tuple[int, int]:
         """Filter candidates vs seen set, append to frontier + seen + lineage.
         ``assigned`` is this round's fetched assignment set — its rows leave
@@ -378,12 +383,14 @@ class CrawlEngine:
         }
         if assigned is not None:
             assigned_keys = assigned.select("crawl_id", "url_hash", "url_norm")
-            touched |= {
-                r["__bucket"]
-                for r in assigned_keys.select(self._bucket_col().alias("__bucket"))
-                .distinct()
-                .collect()
-            }
+            if assigned_buckets is None:  # caller may pass its own collect
+                assigned_buckets = [
+                    r["__bucket"]
+                    for r in assigned_keys.select(self._bucket_col().alias("__bucket"))
+                    .distinct()
+                    .collect()
+                ]
+            touched |= set(assigned_buckets)
         # NOT filtered by crawl_id: touched buckets may hold other tenants'
         # rows, which must carry through the rewrite untouched
         prev_touched = self.frontier.read_buckets(sorted(touched))
@@ -561,20 +568,23 @@ class CrawlEngine:
 
         # per-partition fetch metrics (north rule): one row per task of the
         # fetch stage — observability into skew without any extra shuffle
-        # beyond the tiny metric agg itself
-        metrics_rows = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        # beyond the tiny metric agg itself. Collected once (≤ par rows):
+        # the driver derives the round's n_ok from it instead of running a
+        # second full count pass over the cached fetch output.
+        metric_rows = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
             F.count(F.lit(1)).alias("n_fetched"),
             F.count(F.when(F.col("status") == "200", 1)).alias("n_ok"),
             F.sum(F.size("out_links")).cast("long").alias("n_links_out"),
-        ).select(
-            F.lit(self.cfg.crawl_id).alias("crawl_id"),
-            F.lit(rnd).cast("int").alias("round"),
-            "partition_id",
-            "n_fetched",
-            "n_ok",
-            "n_links_out",
+        ).collect()
+        n_ok = sum(r["n_ok"] for r in metric_rows)
+        metrics_df = self.spark.createDataFrame(
+            [
+                (self.cfg.crawl_id, rnd, r["partition_id"], r["n_fetched"], r["n_ok"], r["n_links_out"])
+                for r in metric_rows
+            ],
+            schemas.with_crawl_id(schemas.ROUND_METRICS),
         )
-        self.fetch_metrics.append(metrics_rows, f"round-{rnd:06d}")
+        self.fetch_metrics.append(metrics_df, f"round-{rnd:06d}")
 
         # link extraction from the interleaved spans — built-in array fns,
         # JVM-side (≙ dep fan-out loop workflow.go:140-191 / explode(links))
@@ -605,8 +615,18 @@ class CrawlEngine:
 
         # assigned rows leave the frontier inside _enqueue's partition-scoped
         # commit (bucket-pruned anti-join — no broadcast of the assignment
-        # set, no whole-frontier rewrite)
-        n_new, n_cand = self._enqueue(candidates, rnd + 1, "links", assigned=assignments)
+        # set, no whole-frontier rewrite). Bucket ids are collected ONCE off
+        # the persisted assignment set and shared with the revisit rewrite.
+        assigned_buckets = sorted(
+            r["__b"]
+            for r in assignments.select(self._bucket_col().alias("__b"))
+            .distinct()
+            .collect()
+        )
+        n_new, n_cand = self._enqueue(
+            candidates, rnd + 1, "links",
+            assigned=assignments, assigned_buckets=assigned_buckets,
+        )
 
         # revisit queue maintenance (partition-scoped, like the frontier):
         # assigned rows leave the queue; assignments on hosts with a revisit
@@ -627,12 +647,7 @@ class CrawlEngine:
                 "discovery_rank",
                 nr.alias("next_round"),
             )
-            touched_rev = sorted(
-                r["__b"]
-                for r in assignments.select(self._bucket_col().alias("__b"))
-                .distinct()
-                .collect()
-            )
+            touched_rev = assigned_buckets
             remaining = self.revisit.read_buckets(touched_rev).join(
                 assignments.select(*keys), keys, "left_anti"
             )
@@ -645,8 +660,7 @@ class CrawlEngine:
             n_pending = self.revisit.snapshot().row_count
 
         # n_fetched = every fetch attempt (matches the fetch_metrics table);
-        # n_ok = 200s only (previously misnamed n_fetched)
-        n_ok = fetched.filter(F.col("status") == "200").count()
+        # n_ok = 200s only, summed from the collected per-partition metrics
         metrics = {
             "n_assigned": n_assigned,
             "n_fetched": n_assigned,

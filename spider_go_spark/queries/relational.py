@@ -334,6 +334,55 @@ LIMIT 20 OFFSET 40
 """
 
 
+def clamp_page(page: int, page_size: int) -> tuple[int, int]:
+    """≙ the REST control plane's pagination clamps
+    (/root/reference/pkg/spider/apis/flow.go:108-116): page < 1 → 1;
+    page_size outside [1, 100] → the default 20."""
+    if page < 1:
+        page = 1
+    if page_size < 1 or page_size > 100:
+        page_size = 20
+    return page, page_size
+
+
+def list_page(df: DataFrame, order, page: int, page_size: int) -> DataFrame:
+    """≙ ListFlows (storage_workflow_mongodb.go:408-459): clamp, skip
+    (page−1)·size, limit size, sort desc, and attach the total row count
+    (the FlowListResponse ``total`` field) — the count aggregate broadcasts
+    as a single row, never a second full pass on the client."""
+    page, page_size = clamp_page(page, page_size)
+    total = df.select(F.count(F.lit(1)).cast("bigint").alias("total"))
+    page_rows = df.orderBy(order).offset((page - 1) * page_size).limit(page_size)
+    return (
+        page_rows.crossJoin(F.broadcast(total))
+        .withColumn("page", F.lit(page).cast("bigint"))
+        .withColumn("page_size", F.lit(page_size).cast("bigint"))
+    )
+
+
+def pagination_clamped(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-range pagination inputs (page −3, size 500) clamp to
+    (1, 20) exactly as the reference's HTTP layer does, and the response
+    carries total/page/page_size like FlowListResponse."""
+    o = T(spark, sf, "orders")
+    return list_page(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        F.col("o_orderkey").desc(),
+        page=-3,
+        page_size=500,
+    )
+
+
+PAGINATION_CLAMPED_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       (SELECT count(*) FROM orders)::BIGINT AS total,
+       1::BIGINT AS page, 20::BIGINT AS page_size
+FROM orders
+ORDER BY o_orderkey DESC
+LIMIT 20 OFFSET 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Expression mapper — SURVEY §2.9 (ex(): fixed / key / expression modes)
 # --------------------------------------------------------------------------
@@ -454,6 +503,7 @@ QUERIES = {
     "lag_interevent_gap": lag_interevent_gap,
     "branch_routing": branch_routing,
     "pagination_page3": pagination_page3,
+    "pagination_clamped": pagination_clamped,
     "expr_mapper_projection": expr_mapper_projection,
     "config_diff_fullouter": config_diff_fullouter,
     "distinct_users": distinct_users,
@@ -473,6 +523,7 @@ ORACLES = {
     "lag_interevent_gap": LAG_INTEREVENT_GAP_SQL,
     "branch_routing": BRANCH_ROUTING_SQL,
     "pagination_page3": PAGINATION_PAGE3_SQL,
+    "pagination_clamped": PAGINATION_CLAMPED_SQL,
     "expr_mapper_projection": EXPR_MAPPER_PROJECTION_SQL,
     "config_diff_fullouter": CONFIG_DIFF_FULLOUTER_SQL,
     "distinct_users": DISTINCT_USERS_SQL,

@@ -110,3 +110,19 @@ def test_ivf_assignment_is_projection_only(spark):
     assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagination_clamps(spark):
+    """≙ the REST layer's ListFlows clamps (apis/flow.go:108-116)."""
+    from spider_go_spark.queries.relational import clamp_page, list_page
+
+    assert clamp_page(-3, 500) == (1, 20)
+    assert clamp_page(0, 0) == (1, 20)
+    assert clamp_page(2, 100) == (2, 100)
+    assert clamp_page(2, 101) == (2, 20)
+    assert clamp_page(7, 1) == (7, 1)
+
+    df = spark.range(50).withColumnRenamed("id", "k")
+    page = list_page(df, F.col("k").desc(), page=2, page_size=10).collect()
+    assert [r.k for r in page] == list(range(39, 29, -1))
+    assert all(r.total == 50 and r.page == 2 and r.page_size == 10 for r in page)
