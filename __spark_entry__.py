@@ -32,27 +32,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return region_revenue(spark, SF_SMOKE)
 
 
+_QUERY_MODULES = (
+    "relational",
+    "relational2",
+    "textops",
+    "vectorops",
+    "mediaops",
+    "temporal",
+    "pipelineops",
+    "crawlq",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from spider_go_spark.queries import crawlq, mediaops, relational, relational2, textops, vectorops
+    import importlib
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(relational2.QUERIES)
-    out.update(textops.QUERIES)
-    out.update(vectorops.QUERIES)
-    out.update(mediaops.QUERIES)
-    out.update(crawlq.QUERIES)
+    for m in _QUERY_MODULES:
+        out.update(importlib.import_module(f"spider_go_spark.queries.{m}").QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_go_spark.queries import crawlq, mediaops, relational, relational2, textops, vectorops
+    import importlib
 
     out: dict[str, str] = {}
-    out.update(relational.ORACLES)
-    out.update(relational2.ORACLES)
-    out.update(textops.ORACLES)
-    out.update(vectorops.ORACLES)
-    out.update(mediaops.ORACLES)
-    out.update(crawlq.ORACLES)
+    for m in _QUERY_MODULES:
+        out.update(importlib.import_module(f"spider_go_spark.queries.{m}").ORACLES)
     return out

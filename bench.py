@@ -40,6 +40,9 @@ HEADLINE = [
     "ann_cosine_topk",        # brute-force ANN
     "ann_lsh_buckets",        # LSH bucketing
     "media_features",         # Arrow mapInPandas multimodal stage
+    "asof_last_click",        # as-of join (union + running window)
+    "pagerank_top20",         # iterative integer PageRank (5 rounds)
+    "pack_sequences",         # sequence packing window
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the

@@ -1,0 +1,106 @@
+"""Iterative graph algorithms in fixed-point integer arithmetic.
+
+PageRank is the canonical frontier-prioritization signal for a crawl
+engine (the reference's scheduler has no ranking beyond FIFO —
+SURVEY.md §2.12 — but any 10^10-URL crawl needs one). The twist here is
+*bit-exact cross-engine reproducibility*: floating-point PageRank sums
+contributions in shuffle order, so two runs (or two engines) disagree in
+the last ulp and a value-hash oracle can never pass. Instead ranks are
+kept in integer micro-units (SCALE = 10^6) and every operation is int64:
+
+- contribution of u to each out-neighbor: ``rank_u div outdeg(u)``
+  (truncating integer division),
+- damping: ``floor(s · d)`` for d = DAMPING_PPM/SCALE, computed as
+  ``(s div SCALE)·DAMPING_PPM + ((s mod SCALE)·DAMPING_PPM) div SCALE``
+  — algebraically identical to ``(s·DAMPING_PPM) div SCALE`` (write
+  s = q·SCALE + r; the q term is integral) but every intermediate stays
+  below s + SCALE·DAMPING_PPM, so it cannot overflow int64 even when the
+  total rank mass of a 10^9-node graph concentrates on one node.
+
+Integer sums are associative and commutative — the groupBy order does not
+matter, so the result is identical on any partitioning, any engine.
+
+Scale shape per iteration: one shuffle for the contribution groupBy and a
+broadcast-or-shuffle join back to the node list; lineage is truncated with
+an eager localCheckpoint each iteration (no CacheManager entries, and the
+plan does not grow exponentially with iteration count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+DAMPING_PPM = 850_000  # d = 0.85
+TELEPORT_U = SCALE - DAMPING_PPM  # (1-d) in micro-units = 150_000
+
+
+def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """(node, rank_u) after ``iters`` synchronous PageRank iterations over
+    ``edges(src, dst)``; rank_u is in micro-units (initial mass = SCALE per
+    node). Dangling nodes keep the teleport term only — both sides of the
+    oracle implement the same simplified (non-redistributed) contract.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank_u", F.lit(SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.expr("rank_u div outdeg").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, "node", "left")
+            .withColumn("s0", F.coalesce(F.col("s"), F.lit(0).cast("long")))
+            .select(
+                "node",
+                F.expr(
+                    f"{TELEPORT_U} + (s0 div {SCALE}) * {DAMPING_PPM}"
+                    f" + ((s0 % {SCALE}) * {DAMPING_PPM}) div {SCALE}"
+                )
+                .cast("long")
+                .alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`pagerank_int`: unrolled fixed-iteration CTE
+    chain (standard SQL forbids aggregation in a recursive CTE term, so the
+    loop is unrolled — exactly as many joins/groupBys as the Spark plan).
+    ``edges_cte`` must define ``edges(src, dst)``; returns a query ending in
+    ``rank{iters}(node, rank_u)`` ready for a final SELECT."""
+    parts = [
+        edges_cte,
+        """
+, nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
+rank0 AS (SELECT node, 1000000::BIGINT AS rank_u FROM nodes)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", rank{i + 1} AS (
+  SELECT n.node,
+         ({TELEPORT_U} + (coalesce(a.s, 0) // {SCALE}) * {DAMPING_PPM}
+          + ((coalesce(a.s, 0) % {SCALE}) * {DAMPING_PPM}) // {SCALE})::BIGINT AS rank_u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_u // e.outdeg)::BIGINT AS s
+    FROM e JOIN rank{i} r ON e.src = r.node GROUP BY e.dst
+  ) a ON n.node = a.node
+)
+"""
+        )
+    return "".join(parts)

@@ -10,7 +10,12 @@ Three families:
   MinHash-LSH / SimHash / n-gram Jaccard, quality scoring, language ID,
   fingerprinting, token counting) over ``documents``;
 - :mod:`vectorops` — similarity search over ``embeddings`` (brute-force
-  cosine top-k, LSH-bucketed ANN).
+  cosine top-k, LSH-bucketed ANN);
+- :mod:`temporal` — as-of and bounded range joins over ``events``
+  (single-shuffle linear plans; DuckDB native ASOF JOIN as the oracle);
+- :mod:`pipelineops` — train/val/test hash splits, weighted corpus mixing,
+  benchmark contamination checks, sequence packing, and fixed-point-integer
+  PageRank (bit-exact vs an unrolled-CTE SQL oracle).
 
 Column-name parity contract: every computed column is aliased identically in
 the DataFrame code and the oracle SQL (the driver hashes values under sorted

@@ -1,0 +1,218 @@
+"""Training-data pipeline operators beyond text/vector dedup: deterministic
+train/val/test splits, weighted corpus mixing, benchmark-contamination
+checks, sequence packing, and PageRank frontier prioritization.
+
+These are the operations a 100 TB pretraining-data build runs between
+"crawl" and "tokenize" (the reference engine stops at fetch+store —
+SURVEY.md §2.12); each is implemented as the scale-shaped Spark plan
+(map-only hash decisions, single-window packing, shingle-join
+contamination, integer PageRank) and every one is value-exact against a
+DuckDB oracle — including PageRank, via fixed-point integer arithmetic
+(operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.operators import sampling
+from spider_go_spark.operators.graph import pagerank_int, pagerank_oracle_sql
+from spider_go_spark.queries import T
+from spider_go_spark.queries.textops import _HASHES_CTE, _docs_hashes
+
+# --------------------------------------------------------------------------
+# Train/val/test split — stratified report
+# --------------------------------------------------------------------------
+
+
+def train_split_strata(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 deterministic hash split of ``documents``, reported per
+    (lang, split): a document's split is a pure function of doc_id —
+    stable under appends, repartitioning, and engine choice."""
+    d = sampling.hash_split(T(spark, sf, "documents"), "doc_id")
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+_BUCKET = sampling.id_bucket_sql("doc_id")
+
+TRAIN_SPLIT_STRATA_SQL = f"""
+SELECT lang,
+       CASE WHEN {_BUCKET} < 800 THEN 'train'
+            WHEN {_BUCKET} < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Weighted corpus mixing
+# --------------------------------------------------------------------------
+
+
+def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source keep rates (ppt) derived
+    from the source id — 1000/500/250/125 by source-index mod 4, the
+    "oversample curated, downsample bulk" pattern of pretraining mixes.
+    Map-only filter; returns the kept membership itself (doc_id, source,
+    n_chars) so the oracle checks every sampling decision, not just counts."""
+    d = T(spark, sf, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    w = (
+        F.when(idx % 4 == 0, 1000)
+        .when(idx % 4 == 1, 500)
+        .when(idx % 4 == 2, 250)
+        .otherwise(125)
+    )
+    kept = sampling.weighted_mix(d, "doc_id", w)
+    return kept.select("doc_id", "source", "n_chars")
+
+
+CORPUS_MIX_WEIGHTED_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_BUCKET} < CASE (substr(source, 4)::INT) % 4
+                  WHEN 0 THEN 1000 WHEN 1 THEN 500
+                  WHEN 2 THEN 250 ELSE 125 END
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination check
+# --------------------------------------------------------------------------
+
+
+def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Which training documents share ≥ 3 distinct 3-gram shingles with a
+    benchmark document? (Benchmark set: doc_id % 97 == 0 — stands in for an
+    eval-set manifest.) The scale path is the same content-keyed shingle
+    equi-join as n-gram dedup: candidates come from hash equality — never
+    an all-pairs comparison — and only the small benchmark side explodes
+    into the join twice."""
+    h = _docs_hashes(spark, sf).localCheckpoint(eager=True)
+    bench = h.filter(F.col("doc_id") % 97 == 0)
+    train = h.filter(F.col("doc_id") % 97 != 0)
+    tx = train.select("doc_id", F.explode("hashes").alias("h"))
+    bx = bench.select(F.col("doc_id").alias("bench_doc_id"), F.explode("hashes").alias("h"))
+    return (
+        tx.join(bx, "h")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+CONTAMINATION_CHECK_SQL = (
+    _HASHES_CTE
+    + """
+, tx AS (SELECT doc_id, unnest(hashes) AS h FROM hs WHERE doc_id % 97 <> 0),
+bx AS (SELECT doc_id AS bench_doc_id, unnest(hashes) AS h FROM hs WHERE doc_id % 97 = 0)
+SELECT tx.doc_id, bx.bench_doc_id, count(*)::BIGINT AS n_shared
+FROM tx JOIN bx USING (h)
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 2000  # tokens per packed sequence
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents into fixed token-budget bins per language (greedy in
+    doc_id order — the deterministic, window-expressible packing; see
+    operators/sampling.pack_bins), reporting each bin's document count and
+    token total."""
+    d = T(spark, sf, "documents")
+    from spider_go_spark.functions import textkernel as tk
+
+    sized = d.select("lang", "doc_id", F.size(tk.tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    packed = sampling.pack_bins(sized, "lang", "doc_id", "n_tokens", PACK_BUDGET)
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH sized AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, n_tokens,
+         (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          // {PACK_BUDGET})::BIGINT AS bin_id
+  FROM sized
+)
+SELECT lang, bin_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# PageRank over the supplier↔part graph
+# --------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PART_NODE_OFFSET = 1_000_000  # disjoint node-id spaces for the two sides
+
+
+def pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 nodes by 5-iteration integer PageRank over the bidirectional
+    supplier↔part graph from lineitem (parts offset into their own id
+    space). Bit-exact vs the SQL oracle because all rank arithmetic is
+    int64 fixed-point — see operators/graph.py."""
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    fwd = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + PART_NODE_OFFSET).cast("long").alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_int(edges, PAGERANK_ITERS)
+    return ranks.orderBy(F.col("rank_u").desc(), "node").limit(20)
+
+
+_PAGERANK_EDGES_CTE = f"""
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT l_suppkey::BIGINT AS src, (l_partkey + {PART_NODE_OFFSET})::BIGINT AS dst FROM pairs
+  UNION ALL
+  SELECT (l_partkey + {PART_NODE_OFFSET})::BIGINT, l_suppkey::BIGINT FROM pairs
+)"""
+
+PAGERANK_TOP20_SQL = (
+    pagerank_oracle_sql(_PAGERANK_EDGES_CTE, PAGERANK_ITERS)
+    + f"""
+SELECT node, rank_u FROM rank{PAGERANK_ITERS}
+ORDER BY rank_u DESC, node LIMIT 20
+"""
+)
+
+
+QUERIES = {
+    "train_split_strata": train_split_strata,
+    "corpus_mix_weighted": corpus_mix_weighted,
+    "contamination_check": contamination_check,
+    "pack_sequences": pack_sequences,
+    "pagerank_top20": pagerank_top20,
+}
+
+ORACLES = {
+    "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
+    "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "pagerank_top20": PAGERANK_TOP20_SQL,
+}

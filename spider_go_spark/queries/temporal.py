@@ -1,0 +1,122 @@
+"""Temporal joins over the ``events`` table: as-of (backward) join and
+bounded range join — operators the reference engine lacks entirely
+(SURVEY.md §2.12) but that every event-log analysis on top of a crawl
+needs. Both use single-shuffle linear plans (see operators/asof.py for the
+scale argument); both are value-exact against DuckDB (native ASOF JOIN /
+interval join as the oracle — a genuinely independent implementation).
+
+Timestamp arithmetic is done in integer microseconds (``unix_micros`` /
+``epoch_us``) so gaps are exact BIGINTs, never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.operators.asof import asof_join_backward, range_join_buckets
+from spider_go_spark.queries import T
+
+RANGE_GAP_US = 1800 * 1_000_000  # 30 minutes
+
+
+def _us(col: str):
+    """Epoch microseconds of a (naive) event timestamp. The testdata
+    parquet stores TIMESTAMP_NTZ; the engine session is pinned to UTC, so
+    casting NTZ → TIMESTAMP interprets the naive value as UTC — exactly
+    what DuckDB's ``epoch_us`` does with its (naive) TIMESTAMP type."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def asof_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    """For every error event: the latest click by the same user at or
+    before the error (NULL when none), plus the exact gap in microseconds.
+    ≙ "state of X as of this event" — the reference answers this with a
+    per-message Mongo point-read (storage_workflow_mongodb.go:213-222);
+    here it is one distributed window pass."""
+    ev = T(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join_backward(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id"],
+        prefix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        (_us("ts") - _us("click_ts")).alias("gap_us"),
+    )
+
+
+ASOF_LAST_CLICK_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def range_click_error_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All (click, error) pairs of the same user with the error at most 30
+    minutes after the click — a bounded-interval range join, executed as a
+    time-bucketed equi-join (each pair generated exactly once; see
+    operators/asof.range_join_buckets for why this survives hot keys)."""
+    ev = T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        _us("ts").alias("click_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        _us("ts").alias("error_us"),
+    )
+    pairs = range_join_buckets(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_us="click_us",
+        right_us="error_us",
+        max_gap_us=RANGE_GAP_US,
+    )
+    return pairs.select(
+        "click_event_id",
+        "error_event_id",
+        "user_id",
+        (F.col("error_us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+RANGE_CLICK_ERROR_PAIRS_SQL = f"""
+SELECT c.event_id AS click_event_id, e.event_id AS error_event_id,
+       c.user_id, epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND epoch_us(e.ts) >= epoch_us(c.ts)
+ AND epoch_us(e.ts) - epoch_us(c.ts) <= {RANGE_GAP_US}
+"""
+
+
+QUERIES = {
+    "asof_last_click": asof_last_click,
+    "range_click_error_pairs": range_click_error_pairs,
+}
+
+ORACLES = {
+    "asof_last_click": ASOF_LAST_CLICK_SQL,
+    "range_click_error_pairs": RANGE_CLICK_ERROR_PAIRS_SQL,
+}

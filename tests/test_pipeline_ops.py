@@ -1,0 +1,158 @@
+"""Tests for the temporal-join and training-pipeline operators added in
+round 2 — invariants independent of the DuckDB gate oracles (those run in
+tools/parity_check.py / the driver): brute-force as-of equivalence, range
+pair exactness, split determinism under repartitioning, packing budget
+invariants, and PageRank mass conservation / partitioning-invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spider_go_spark.operators.asof import asof_join_backward, range_join_buckets
+from spider_go_spark.operators.graph import SCALE, pagerank_int
+from spider_go_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+
+def test_asof_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
+    )
+    got = {
+        r["event_id"]: r["click_event_id"]
+        for r in asof_join_backward(
+            errors, clicks, ["user_id"], "ts", "click_ts", ["click_event_id"], prefix=""
+        ).collect()
+    }
+
+    # brute force in python
+    c_by_user: dict[int, list] = {}
+    for r in clicks.collect():
+        c_by_user.setdefault(r["user_id"], []).append((r["click_ts"], r["click_event_id"]))
+    for v in c_by_user.values():
+        v.sort()
+    n_matched = 0
+    for e in errors.collect():
+        cands = [c for c in c_by_user.get(e["user_id"], []) if c[0] <= e["ts"]]
+        want = cands[-1][1] if cands else None
+        assert got[e["event_id"]] == want, e
+        n_matched += want is not None
+    assert len(got) == errors.count()  # every left row kept
+    assert n_matched > 0
+
+
+def test_asof_tie_matches_right_row(spark):
+    left = spark.createDataFrame([Row(k=1, ts=10, lid=100)])
+    right = spark.createDataFrame([Row(k=1, rts=10, rid=7), Row(k=1, rts=9, rid=6)])
+    out = asof_join_backward(left, right, ["k"], "ts", "rts", ["rid"], prefix="m_").collect()
+    assert out[0]["m_rid"] == 7  # inclusive: rts == ts matches
+
+
+# --------------------------------------------------------------------------
+# range join
+# --------------------------------------------------------------------------
+
+
+def test_range_join_exact_pairs(spark):
+    # pairs straddling bucket boundaries must appear exactly once
+    left = spark.createDataFrame(
+        [Row(lid=i, k=1, lus=i * 7) for i in range(0, 40)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=j, k=1, rus=j * 11 + 3) for j in range(0, 30)]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_buckets(left, right, ["k"], "lus", "rus", max_gap_us=10).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i in range(40)
+        for j in range(30)
+        if 0 <= (j * 11 + 3) - i * 7 <= 10
+    )
+    assert got == want  # exact set, no duplicates from the bucket explode
+
+
+# --------------------------------------------------------------------------
+# sampling: split / mix / packing
+# --------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = {r["doc_id"]: r["split"] for r in sampling.hash_split(d, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(d.repartition(13), "doc_id").collect()
+    }
+    assert s1 == s2  # a doc's split is a pure function of its id
+    frac_train = sum(v == "train" for v in s1.values()) / len(s1)
+    assert 0.7 < frac_train < 0.9  # ~80% within hash noise
+
+
+def test_weighted_mix_subset_semantics(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    keep_low = {r["doc_id"] for r in sampling.weighted_mix(d, "doc_id", F.lit(250)).collect()}
+    keep_high = {r["doc_id"] for r in sampling.weighted_mix(d, "doc_id", F.lit(500)).collect()}
+    assert keep_low <= keep_high  # raising a weight only adds documents
+    n = d.count()
+    assert abs(len(keep_high) / n - 0.5) < 0.1
+
+
+def test_pack_bins_budget_invariant(spark):
+    rows = [Row(g="a", i=i, sz=(i * 37) % 95 + 5) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    packed = sampling.pack_bins(df, "g", "i", "sz", budget=100).collect()
+    by_bin: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: r["i"]):
+        by_bin.setdefault(r["bin_id"], []).append(r["sz"])
+    bins = sorted(by_bin)
+    assert bins == list(range(len(bins)))  # dense bin ids from 0
+    cum = 0
+    for b in bins:
+        total = sum(by_bin[b])
+        # a bin never exceeds budget + one straddling row
+        assert total < 100 + max(by_bin[b])
+        cum += total
+        # the stream through the end of bin b fills all budgets 0..b
+        if b != bins[-1]:
+            assert cum >= 100 * (b + 1)
+
+
+# --------------------------------------------------------------------------
+# pagerank
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def star_edges(spark):
+    # hub 0 <- spokes 1..10, plus chain 1->2->3
+    rows = [Row(src=i, dst=0) for i in range(1, 11)]
+    rows += [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3)]
+    return spark.createDataFrame(rows)
+
+
+def test_pagerank_hub_dominates_and_mass_bounded(star_edges):
+    ranks = {r["node"]: r["rank_u"] for r in pagerank_int(star_edges, iters=5).collect()}
+    assert max(ranks, key=ranks.get) == 0  # the hub wins
+    n = len(ranks)
+    # total mass stays <= initial mass (truncating division only loses)
+    assert sum(ranks.values()) <= n * SCALE
+    assert all(v >= 150_000 for v in ranks.values())  # teleport floor
+
+
+def test_pagerank_partitioning_invariant(spark, star_edges):
+    r1 = sorted(map(tuple, pagerank_int(star_edges, iters=4).collect()))
+    r2 = sorted(map(tuple, pagerank_int(star_edges.repartition(7), iters=4).collect()))
+    assert r1 == r2  # integer arithmetic: bit-identical on any partitioning

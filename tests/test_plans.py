@@ -112,6 +112,24 @@ def test_ivf_assignment_is_projection_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_temporal_joins_are_linear_plans(spark):
+    """The as-of join must be ONE exchange + window (no join operator at
+    all); the bounded range join must be a hash equi-join on
+    (key, bucket) — never a nested-loop/cartesian range scan."""
+    import re
+
+    from spider_go_spark.queries.temporal import asof_last_click, range_click_error_pairs
+
+    asof_plan = plan_of(asof_last_click(spark, SF))
+    assert "Join" not in asof_plan  # union + running window, no join
+    assert len(re.findall(r"\bWindow \[", asof_plan)) == 1
+
+    range_plan = plan_of(range_click_error_pairs(spark, SF))
+    assert "CartesianProduct" not in range_plan
+    assert "BroadcastNestedLoopJoin" not in range_plan
+    assert ("SortMergeJoin" in range_plan) or ("HashJoin" in range_plan)
+
+
 def test_pagination_clamps(spark):
     """≙ the REST layer's ListFlows clamps (apis/flow.go:108-116)."""
     from spider_go_spark.queries.relational import clamp_page, list_page
