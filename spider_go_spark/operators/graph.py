@@ -74,6 +74,59 @@ def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
     return ranks
 
 
+def label_propagation_min(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
+    """(node, label) after ``iters`` rounds of min-label propagation —
+    the distributed connected-components kernel that turns near-duplicate
+    PAIRS (MinHash-LSH / Jaccard output) into dedup GROUPS: every member
+    of a component converges to the component's minimum node id, which
+    becomes the canonical document of the group.
+
+    ``edges`` must already be bidirectional (src→dst and dst→src); nodes
+    with no edges keep their own id (singleton groups). Each round is one
+    groupBy-min over (own labels ∪ neighbor labels) — integer min is
+    order-independent, so the result is bit-identical on any partitioning
+    and any engine, and after k rounds every component with diameter ≤ k
+    has fully converged (the fixed-k contract is what the unrolled SQL
+    oracle checks; near-dup clusters are shallow, so small k suffices —
+    for adversarial long chains, iterate to a fixed point instead).
+
+    Scale shape per round: one shuffle (the union groupBy); the join of
+    edges to labels shuffles on src — at 10^10 edges both are plain
+    equi-key exchanges, AQE-skew-splittable, no driver state."""
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(iters):
+        nbr = e.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_prop_oracle_sql(iters: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation_min` as an unrolled CTE
+    chain; expects CTEs ``nodes(node)`` and ``e(src, dst)`` (bidirectional)
+    to be defined upstream, defines ``lab0..lab{iters}``."""
+    parts = ["\n, lab0 AS (SELECT node, node AS label FROM nodes)\n"]
+    for i in range(iters):
+        parts.append(
+            f""", lab{i + 1} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM lab{i}
+    UNION ALL
+    SELECT e.dst AS node, l.label FROM e JOIN lab{i} l ON e.src = l.node
+  ) GROUP BY node
+)
+"""
+        )
+    return "".join(parts)
+
+
 def pagerank_oracle_sql(edges_cte: str, iters: int = 5) -> str:
     """DuckDB twin of :func:`pagerank_int`: unrolled fixed-iteration CTE
     chain (standard SQL forbids aggregation in a recursive CTE term, so the

@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_go_spark.operators import sampling
-from spider_go_spark.operators.graph import pagerank_int, pagerank_oracle_sql
+from spider_go_spark.operators.graph import (
+    label_prop_oracle_sql,
+    label_propagation_min,
+    pagerank_int,
+    pagerank_oracle_sql,
+)
 from spider_go_spark.queries import T
 from spider_go_spark.queries.textops import _HASHES_CTE, _docs_hashes
 
@@ -201,12 +206,67 @@ ORDER BY rank_u DESC, node LIMIT 20
 )
 
 
+# --------------------------------------------------------------------------
+# Dedup groups: near-dup pairs → connected components
+# --------------------------------------------------------------------------
+
+CC_ITERS = 5
+
+
+def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical dedup groups over the whole corpus: 3-gram Jaccard ≥ 0.5
+    near-dup pairs (the exact-verify output of the LSH pipeline) become
+    undirected edges; 5 rounds of min-label propagation assign every doc
+    the minimum doc_id of its near-dup component (singletons keep their own
+    id). This is the step that turns pairwise similarity into "keep one per
+    group" at 100 TB — never materializing components in driver memory."""
+    from spider_go_spark.queries.textops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_id_a", "doc_id_b")
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    nodes = T(spark, sf, "documents").select(F.col("doc_id").alias("node"))
+    labels = label_propagation_min(nodes, edges, CC_ITERS)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+DEDUP_GROUPS_SQL = (
+    _HASHES_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM (
+    SELECT doc_id_a, doc_id_b,
+           (len(list_intersect(x.hashes, y.hashes))::DOUBLE
+            / (len(x.hashes) + len(y.hashes) - len(list_intersect(x.hashes, y.hashes)))::DOUBLE) AS jaccard
+    FROM cand JOIN hs x ON x.doc_id = cand.doc_id_a JOIN hs y ON y.doc_id = cand.doc_id_b
+  ) WHERE jaccard >= 0.5
+),
+e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT doc_id AS node FROM documents)
+"""
+    + label_prop_oracle_sql(CC_ITERS)
+    + f"""
+SELECT node AS doc_id, label AS group_id FROM lab{CC_ITERS}
+"""
+)
+
+
 QUERIES = {
     "train_split_strata": train_split_strata,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "pagerank_top20": pagerank_top20,
+    "dedup_groups": dedup_groups,
 }
 
 ORACLES = {
@@ -215,4 +275,5 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pagerank_top20": PAGERANK_TOP20_SQL,
+    "dedup_groups": DEDUP_GROUPS_SQL,
 }

@@ -152,6 +152,26 @@ def test_pagerank_hub_dominates_and_mass_bounded(star_edges):
     assert all(v >= 150_000 for v in ranks.values())  # teleport floor
 
 
+def test_label_propagation_components(spark):
+    from spider_go_spark.operators.graph import label_propagation_min
+
+    # components: {1,2,3} (triangle), {10,11,12,13} (chain), {99} singleton
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs] + [Row(src=b, dst=a) for a, b in pairs]
+    )
+    nodes = spark.createDataFrame([Row(node=n) for n in [1, 2, 3, 10, 11, 12, 13, 99]])
+    got = {r["node"]: r["label"] for r in label_propagation_min(nodes, edges, 5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+    # partitioning invariance (pure integer min)
+    got2 = {
+        r["node"]: r["label"]
+        for r in label_propagation_min(nodes.repartition(5), edges.repartition(3), 5).collect()
+    }
+    assert got2 == got
+
+
 def test_pagerank_partitioning_invariant(spark, star_edges):
     r1 = sorted(map(tuple, pagerank_int(star_edges, iters=4).collect()))
     r2 = sorted(map(tuple, pagerank_int(star_edges.repartition(7), iters=4).collect()))
