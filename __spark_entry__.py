@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "mediaops",
     "temporal",
     "pipelineops",
+    "sketchops",
     "crawlq",
 )
 

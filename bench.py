@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_lsh_buckets",        # LSH bucketing
     "media_features",         # Arrow mapInPandas multimodal stage
     "asof_last_click",        # as-of join (union + running window)
+    "hll_distinct_users",     # HyperLogLog sketch agg
+    "repetition_quality",     # Gopher repetition filter (bigram mode)
     "pagerank_top20",         # iterative integer PageRank (5 rounds)
     "pack_sequences",         # sequence packing window
 ]

@@ -15,7 +15,11 @@ Three families:
   (single-shuffle linear plans; DuckDB native ASOF JOIN as the oracle);
 - :mod:`pipelineops` — train/val/test hash splits, weighted corpus mixing,
   benchmark contamination checks, sequence packing, and fixed-point-integer
-  PageRank (bit-exact vs an unrolled-CTE SQL oracle).
+  PageRank (bit-exact vs an unrolled-CTE SQL oracle);
+- :mod:`sketchops` — HyperLogLog distinct counting, Count-Min heavy
+  hitters, TF-IDF term ranking, Gopher-style repetition quality, and
+  deterministic stratified sampling (all-integer sketch arithmetic on the
+  shared multiplicative-hash family, bit-exact cross-engine).
 
 Column-name parity contract: every computed column is aliased identically in
 the DataFrame code and the oracle SQL (the driver hashes values under sorted
