@@ -87,13 +87,18 @@ def token_hashes(text_col: Column | str) -> Column:
     return F.transform(tokens(text_col), lambda t: poly_hash(t))
 
 
-def combine_windows(th_col: Column | str, k: int = 3) -> Column:
+def combine_windows(th_col: Column | str, k: int = 3, distinct: bool = True) -> Column:
     """Distinct k-window combined hashes over a token-hash array column:
     h = fold(h·COMBINE_A + tok_hash mod P), built from k shifted slices
     zip_with-folded together. The slice form references the th expression
     only k times (vs n·k for per-element access inside a transform lambda —
     Catalyst re-evaluates HOF-captured expressions per reference, and
-    CollapseProject undoes any projection-splitting attempt)."""
+    CollapseProject undoes any projection-splitting attempt).
+
+    ``distinct=False`` keeps every window occurrence (positional
+    multiplicity) — needed by frequency-style consumers (e.g. the
+    repetition-quality bigram mode), where collapsing repeats would erase
+    exactly the signal being measured."""
     th = F.col(th_col) if isinstance(th_col, str) else th_col
     n = F.size(th)
     win = n - (k - 1)
@@ -104,7 +109,9 @@ def combine_windows(th_col: Column | str, k: int = 3) -> Column:
             F.slice(th, j + 1, win),
             lambda h, c: (h * F.lit(COMBINE_A) + c) % F.lit(POLY_P),
         )
-    return F.when(n >= k, F.array_distinct(mk)).otherwise(F.array().cast("array<long>"))
+    if distinct:
+        mk = F.array_distinct(mk)
+    return F.when(n >= k, mk).otherwise(F.array().cast("array<long>"))
 
 
 def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:

@@ -118,7 +118,10 @@ class RoundStateLog:
             if sid is not None:
                 table.rollback_to(sid)
         mine = [e for e in all_entries if e.get("crawl_id", DEFAULT_CRAWL_ID) == crawl_id]
-        if not mine or mine[-1].get("op", "round") == "drop":
-            return None
-        rounds = [e for e in mine if e.get("op", "round") == "round"]
+        # only rounds after this crawl's last drop count: a non-round entry
+        # (e.g. op="maintain") landing after a drop must not resurrect the
+        # dropped crawl's earlier rounds
+        drops = [i for i, e in enumerate(mine) if e.get("op", "round") == "drop"]
+        start = drops[-1] + 1 if drops else 0
+        rounds = [e for e in mine[start:] if e.get("op", "round") == "round"]
         return rounds[-1] if rounds else None

@@ -712,6 +712,61 @@ class CrawlEngine:
         return history
 
     # -- scoped cascade delete ----------------------------------------------------
+    def _scoped_bucket_delete(self, table: SnapshotTable, label: str) -> None:
+        """Partition-scoped delete of this crawl's rows from a bucketed
+        table: only buckets holding the crawl's rows are re-read and
+        rewritten; every other bucket's dirs carry over untouched."""
+        mine = table.read().filter(self._cid)
+        touched = sorted(
+            r["__bucket"]
+            for r in mine.select(self._bucket_col().alias("__bucket")).distinct().collect()
+        )
+        if touched:
+            kept = (
+                table.read_buckets(touched)
+                .filter(~self._cid)
+                .withColumn("__bucket", self._bucket_col())
+                .repartition(max(len(touched), 1), "__bucket")
+            )
+            table.replace_buckets(kept, touched, label)
+
+    def maintain(self, min_dirs: int = 4) -> dict:
+        """Table maintenance: compact every engine table whose current
+        snapshot spans ``min_dirs``+ data dirs, then commit an
+        ``op="maintain"`` state entry so the compacted snapshots become the
+        durable restore point (otherwise the next resume would roll them
+        back). ≙ Iceberg's rewrite_data_files + expire_snapshots services.
+
+        Why: append tables (fetched_docs, lineage, seen_urls, fetch_metrics)
+        grow one data dir per round, so reads union R dirs after R rounds —
+        planning time and open-file count grow without bound. At 100 TB this
+        runs as its own scheduled job between rounds (it takes the same
+        single-writer catalog lock as a round; here: just call it from the
+        driver loop). The retention sweep inside ``_commit_state`` then
+        reclaims the superseded dirs once they age out.
+        """
+        compacted: dict[str, dict] = {}
+        for name, t in self._tables().items():
+            if t.snapshot().bucket_dirs is not None:
+                # bucketed tables (frontier, revisit) hold exactly one
+                # dir/file per bucket by construction — compacting them
+                # would be a full-table rewrite for zero layout gain
+                continue
+            stats = t.data_file_stats()
+            if stats["n_data_dirs"] >= min_dirs:
+                t.compact(label="compact")
+                after = t.data_file_stats()
+                compacted[name] = {
+                    "dirs_before": stats["n_data_dirs"],
+                    "dirs_after": after["n_data_dirs"],
+                    "rows": after["row_count"],
+                }
+        metrics = {"maintain_compacted": sorted(compacted)}
+        self._commit_state(
+            self.state_log.last_round(self.cfg.crawl_id) or 0, metrics, op="maintain"
+        )
+        return compacted
+
     def drop_crawl(self) -> dict:
         """Remove EVERY row of this engine's crawl_id from every engine
         table — ≙ the reference's DeleteFlow cascade (flow → actions → deps
@@ -726,21 +781,14 @@ class CrawlEngine:
         post-delete snapshots the new restore point, so the dropped crawl
         no longer resumes and other crawls resume over the cleaned state."""
         label = f"drop-{self.cfg.crawl_id}"
-        mine = self.frontier.read().filter(self._cid)
-        touched = sorted(
-            r["__bucket"]
-            for r in mine.select(self._bucket_col().alias("__bucket")).distinct().collect()
-        )
-        if touched:
-            kept = (
-                self.frontier.read_buckets(touched)
-                .filter(~self._cid)
-                .withColumn("__bucket", self._bucket_col())
-                .repartition(max(len(touched), 1), "__bucket")
-            )
-            self.frontier.replace_buckets(kept, touched, label)
+        # the frontier AND the revisit queue are bucketed tables: both must
+        # take the partition-scoped delete (a flat overwrite would commit a
+        # snapshot with no bucket mapping, breaking the next crawl round's
+        # replace_buckets on the shared catalog)
+        self._scoped_bucket_delete(self.frontier, label)
+        self._scoped_bucket_delete(self.revisit, label)
         for name, t in self._tables().items():
-            if name == "frontier":
+            if name in ("frontier", "revisit"):
                 continue
             t.overwrite(t.read().filter(~self._cid), label)
         metrics = {"dropped_crawl": self.cfg.crawl_id}

@@ -172,24 +172,21 @@ def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan: one explode+hash-agg for the per-doc bigram mode (map-side
     combined), joined back to the map-only token stats — no window over
-    the raw token stream."""
+    the raw token stream. Bigrams travel as int64 combined token hashes
+    (textkernel.combine_windows, multiplicity kept), not strings: the
+    frequency shuffle carries 8-byte keys instead of raw bigram text, and
+    the oracle runs the identical hash arithmetic so a (vanishingly rare)
+    in-doc collision changes both engines identically."""
     d = T(spark, sf, "documents")
     toks = tk.tokens(F.col("text"))
     base = (
         d.withColumn("__toks", toks)
+        .withColumn("__th", F.transform("__toks", lambda t: tk.poly_hash(t)))
         .select(
             "doc_id",
             F.size("__toks").cast("bigint").alias("n_tokens"),
             F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_distinct"),
-            F.when(
-                F.size("__toks") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1), "
-                    "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("__bigrams"),
+            tk.combine_windows("__th", k=2, distinct=False).alias("__bigrams"),
         )
     )
     top_bigram = (
@@ -226,14 +223,23 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
   FROM documents
 ),
+th AS (
+  SELECT doc_id, tokens,
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM toks
+),
 base AS (
   SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
          len(list_distinct(tokens))::BIGINT AS n_distinct,
          CASE WHEN len(tokens) >= 2
-              THEN list_transform(range(1, len(tokens)),
-                                  i -> tokens[i] || ' ' || tokens[i + 1])
+              THEN list_transform(range(0, len(th) - 1),
+                                  i -> (th[i+1]*1000003 + th[i+2]) % 1000000007)
               ELSE [] END AS bigrams
-  FROM toks
+  FROM th
 ),
 topbg AS (
   SELECT doc_id, max(c)::BIGINT AS top_bg FROM (
@@ -292,12 +298,97 @@ SELECT doc_id, lang, source, sample_rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Histogram-based approximate quantiles
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 64
+_Q_PPM = (500_000, 950_000, 990_000)  # p50 / p95 / p99
+
+
+def histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate p50/p95/p99 of ``events.value`` from a fixed 64-bin
+    histogram — the scale path for quantiles: two cheap aggregations (a
+    3-value min/max/count pass, then a 64-cell map-side-combined histogram)
+    instead of the exact percentile's full sort. The estimate is the upper
+    edge of the first bin whose cumulative count reaches ceil(q*N).
+
+    All arithmetic is integer (values in floor-micro units, bin index and
+    edges by integer division), so the result value-hashes exactly against
+    the DuckDB oracle."""
+    e = T(spark, sf, "events")
+    v = e.filter(F.col("value").isNotNull() & ~F.isnan("value")).select(
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_us")
+    )
+    s = v.agg(
+        F.min("v_us").alias("mn"), F.max("v_us").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    binned = v.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.expr(f"(v_us - mn) * {_HIST_BINS} div (mx - mn + 1)"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hc = hist.withColumn("cum", F.sum("c").over(wcum))
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _Q_PPM])).alias("q_ppm")
+    )
+    t = q.crossJoin(F.broadcast(s)).withColumn(
+        "thr", F.expr("(q_ppm * n_total + 999999) div 1000000")
+    )
+    pick = (
+        t.join(F.broadcast(hc), F.col("cum") >= F.col("thr"))
+        .groupBy("q_ppm", "mn", "mx", "n_total", "thr")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        pick.join(F.broadcast(hc), "bin")
+        .select(
+            "q_ppm",
+            "bin",
+            F.expr(f"mn + (((bin + 1) * (mx - mn + 1)) div {_HIST_BINS}) - 1").alias(
+                "est_hi_us"
+            ),
+            F.col("cum").alias("n_le"),
+            "n_total",
+        )
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v_us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+s AS (SELECT min(v_us) AS mn, max(v_us) AS mx, count(*)::BIGINT AS n_total FROM v),
+b AS (SELECT least({_HIST_BINS - 1}, ((v_us - mn) * {_HIST_BINS}) // (mx - mn + 1)) AS bin FROM v, s),
+h AS (SELECT bin, count(*)::BIGINT AS c FROM b GROUP BY bin),
+hc AS (SELECT bin, c, sum(c) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
+q AS (SELECT unnest([{", ".join(str(p) for p in _Q_PPM)}]) AS q_ppm),
+t AS (SELECT q_ppm, (q_ppm * n_total + 999999) // 1000000 AS thr, mn, mx, n_total FROM q, s),
+pick AS (
+  SELECT t.q_ppm, t.mn, t.mx, t.n_total, min(hc.bin) AS bin
+  FROM t JOIN hc ON hc.cum >= t.thr
+  GROUP BY t.q_ppm, t.mn, t.mx, t.n_total
+)
+SELECT p.q_ppm, p.bin,
+       p.mn + (((p.bin + 1) * (p.mx - p.mn + 1)) // {_HIST_BINS}) - 1 AS est_hi_us,
+       hc.cum AS n_le,
+       p.n_total
+FROM pick p JOIN hc ON hc.bin = p.bin
+"""
+
+
 QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "heavy_hitters_cms": heavy_hitters_cms,
     "tfidf_top_terms": tfidf_top_terms,
     "repetition_quality": repetition_quality,
     "stratified_sample": stratified_sample,
+    "histogram_quantiles": histogram_quantiles,
 }
 
 ORACLES = {
@@ -306,4 +397,5 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "repetition_quality": REPETITION_QUALITY_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
 }

@@ -97,6 +97,79 @@ def windowed_event_metrics(events: DataFrame, window: str = "1 hour", watermark:
     ).select(F.col("w.start").alias("bucket_start"), "n", "sum_value")
 
 
+def click_error_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: (click, error) pairs of the same user
+    with the error inside ``max_gap`` after the click — the streaming twin
+    of queries/temporal.range_click_error_pairs (same semantics, two
+    independent plans: time-bucketed equi-join in batch, watermarked
+    symmetric hash join here).
+
+    Works on batch and streaming frames alike. On streams, both sides are
+    watermarked and the join condition bounds event time in BOTH
+    directions, so Spark can evict join state: a click older than
+    (watermark - max_gap) can never match a future error and is dropped
+    from the state store — without the bound, state grows forever."""
+    c = clicks.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("error_user_id"),
+        F.col("ts").cast("timestamp").alias("error_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if e.isStreaming:
+        e = e.withWatermark("error_ts", watermark)
+    cond = (
+        (c["user_id"] == e["error_user_id"])
+        & (e["error_ts"] >= c["click_ts"])
+        & (e["error_ts"] <= c["click_ts"] + F.expr(f"interval {max_gap}"))
+    )
+    return c.join(e, cond).select(
+        "click_event_id",
+        "error_event_id",
+        "user_id",
+        (F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+def click_error_join_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming click⋈error interval join from a file-source event stream
+    to an in-memory sink (append mode — inner-join pairs emit as soon as
+    both sides arrive; watermark only bounds state, not latency)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    joined = click_error_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "error"),
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def event_metrics_query(
     spark: SparkSession,
     events_dir: str,

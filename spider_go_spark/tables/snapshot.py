@@ -252,6 +252,84 @@ class SnapshotTable:
             bucket_dirs=new_bd, bucket_rows=new_br,
         )
 
+    def compact(
+        self,
+        label: str = "compact",
+        target_partitions: int | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Rewrite the current snapshot's data into fresh consolidated dirs
+        (Iceberg's ``rewrite_data_files`` maintenance action). Row content
+        is unchanged — only the file layout.
+
+        Why this is first-class at scale: an append table accumulates one
+        data dir per round (a year of hourly rounds = ~9k dirs, each with
+        shuffle-partition-count files), and every read unions all of them —
+        planning cost and open-file count grow without bound. Compaction
+        folds them into one dir; ``expire_snapshots`` then reclaims the old
+        dirs once they fall out of the retention window.
+
+        Bucketed tables compact per bucket (each bucket's dirs merge into
+        a single-file bucket partition via a hash repartition on the bucket
+        id — map-side from the reader's perspective, one shuffle total);
+        flat tables rewrite as one dir, optionally coalesced to
+        ``target_partitions`` files (default: leave Spark's partitioning —
+        at 100 TB you target file size, not file count 1).
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if snap.empty:
+            return snap
+        props = dict(snap.properties)
+        props.update(properties or {})
+        props["compacted_from_snapshot"] = snap.snapshot_id
+        if snap.bucket_dirs is not None:
+            parts = [
+                self.read_buckets([b]).withColumn("__bucket", F.lit(int(b)))
+                for b in sorted(snap.bucket_dirs)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            # hash-repartition on the bucket id: each bucket lands in exactly
+            # one task, so partitionBy emits exactly one file per bucket
+            n_parts = target_partitions or max(len(snap.bucket_dirs), 1)
+            df = df.repartition(n_parts, "__bucket")
+            return self.replace_buckets(
+                df, touched=set(snap.bucket_dirs), label=label, properties=props
+            )
+        df = self.read()
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        rel, n = self._write_data(df, label)
+        if n != snap.row_count:
+            raise RuntimeError(
+                f"compaction row drift: {snap.row_count} -> {n} (refusing to commit)"
+            )
+        return self._commit([rel], n, props)
+
+    def data_file_stats(self) -> dict:
+        """Layout health of the current snapshot: dir/file counts and bytes
+        — the numbers a maintenance scheduler thresholds on."""
+        snap = self.snapshot()
+        n_files = 0
+        n_bytes = 0
+        for rel in snap.data_dirs:
+            root = os.path.join(self.path, rel)
+            for r, _d, files in os.walk(root):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(r, fname))
+        return {
+            "snapshot_id": snap.snapshot_id,
+            "n_data_dirs": len(snap.data_dirs),
+            "n_files": n_files,
+            "n_bytes": n_bytes,
+            "row_count": snap.row_count,
+        }
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Drop all manifests newer than ``snapshot_id`` (resume support)."""
         for sid in self.snapshot_ids():

@@ -56,7 +56,12 @@ def test_cms_one_sided_and_tight_for_heavy(spark, events):
 def test_sketch_queries_partition_invariant(spark):
     from spider_go_spark.queries import sketchops
 
-    for name in ("tfidf_top_terms", "repetition_quality", "stratified_sample"):
+    for name in (
+        "tfidf_top_terms",
+        "repetition_quality",
+        "stratified_sample",
+        "histogram_quantiles",
+    ):
         df = sketchops.QUERIES[name](spark, SF)
         once = sorted(map(tuple, df.collect()))
         again = sorted(map(tuple, df.repartition(7).collect()))

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from spider_go_spark.schemas import SEEDS
 from spider_go_spark.streaming.pipeline import (
+    click_error_interval_join,
+    click_error_join_query,
     event_metrics_query,
     seed_ingestion_query,
     windowed_event_metrics,
@@ -156,3 +158,40 @@ def test_stateful_budget_limiter(spark, tmp_path):
     assert rows["http://a/2"]["admitted_rank"] == 2
     assert rows["http://a/4"]["admitted_rank"] == 3  # budget exhausted after this
     assert rows["http://b/1"]["admitted_rank"] == 1
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(spark, tmp_path):
+    """The streaming interval join, drained with availableNow, must produce
+    exactly the pair set of (a) its own batch execution and (b) the
+    independently-planned time-bucketed batch range join the gate checks —
+    three plans, one semantics."""
+    sf = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt_join")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    # re-write so the stream source sees a directory it can list cleanly
+    events.write.mode("overwrite").parquet(events_dir)
+
+    q = click_error_join_query(spark, events_dir, events.schema, "stream_pairs", ckpt)
+    q.awaitTermination(180)
+    got = sorted(
+        (r["click_event_id"], r["error_event_id"], r["user_id"], r["gap_us"])
+        for r in spark.sql("SELECT * FROM stream_pairs").collect()
+    )
+
+    batch_same_fn = sorted(
+        (r["click_event_id"], r["error_event_id"], r["user_id"], r["gap_us"])
+        for r in click_error_interval_join(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "error"),
+        ).collect()
+    )
+    from spider_go_spark.queries.temporal import range_click_error_pairs
+
+    batch_bucketed = sorted(
+        (r["click_event_id"], r["error_event_id"], r["user_id"], r["gap_us"])
+        for r in range_click_error_pairs(spark, sf).collect()
+    )
+    assert got == batch_same_fn
+    assert got == batch_bucketed
+    assert len(got) > 0
