@@ -42,9 +42,12 @@ HEADLINE = [
     "media_features",         # Arrow mapInPandas multimodal stage
     "asof_last_click",        # as-of join (union + running window)
     "hll_distinct_users",     # HyperLogLog sketch agg
+    "histogram_quantiles",    # no-sort approximate percentiles
     "repetition_quality",     # Gopher repetition filter (bigram mode)
     "pagerank_top20",         # iterative integer PageRank (5 rounds)
     "pack_sequences",         # sequence packing window
+    "text_normalize",         # cleaning stage (pure codegen projection)
+    "inverted_index_topterms",# explode → doc-freq agg → posting-head window
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the

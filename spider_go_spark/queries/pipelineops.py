@@ -13,9 +13,10 @@ DuckDB oracle — including PageRank, via fixed-point integer arithmetic
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spider_go_spark.functions import textkernel as tk
 from spider_go_spark.operators import sampling
 from spider_go_spark.operators.graph import (
     label_prop_oracle_sql,
@@ -233,7 +234,10 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
 
 
-DEDUP_GROUPS_SQL = (
+# CTE chain shared by dedup_groups and canonical_docs: hashes → candidate
+# pairs → Jaccard-verified edges → CC_ITERS rounds of min-label propagation,
+# ending in lab{CC_ITERS}(node, label).
+_GROUPS_CTE = (
     _HASHES_CTE
     + """
 , ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
@@ -254,10 +258,132 @@ e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
 nodes AS (SELECT doc_id AS node FROM documents)
 """
     + label_prop_oracle_sql(CC_ITERS)
+)
+
+DEDUP_GROUPS_SQL = (
+    _GROUPS_CTE
     + f"""
 SELECT node AS doc_id, label AS group_id FROM lab{CC_ITERS}
 """
 )
+
+
+# --------------------------------------------------------------------------
+# Canonical-doc retention: keep one document per dedup group
+# --------------------------------------------------------------------------
+
+
+def canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The retention step after :func:`dedup_groups`: within each near-dup
+    component keep exactly one canonical document — the longest one
+    (``n_chars`` DESC), ties to the smallest ``doc_id``. Output is one row
+    per group: canonical doc, its length, and the group size.
+
+    Scale shape: the ranking is one window partitioned by ``group_id`` —
+    a single shuffle on a key whose cardinality is ~n_docs and whose
+    partitions are near-dup clusters (small by construction), so there is
+    no skew hazard; group sizes ride the same labels frame with one more
+    hash agg. Nothing touches the driver — at 10^10 docs this is two
+    exchanges over the label table, not a component materialization."""
+    labels = dedup_groups(spark, sf)
+    d = T(spark, sf, "documents").select("doc_id", "n_chars")
+    m = labels.join(d, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("group_id", F.col("doc_id").alias("kept_doc_id"), "n_chars")
+    )
+    sizes = labels.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return kept.join(sizes, "group_id")
+
+
+CANONICAL_DOCS_SQL = (
+    _GROUPS_CTE
+    + f"""
+, labels AS (SELECT node AS doc_id, label AS group_id FROM lab{CC_ITERS}),
+ranked AS (
+  SELECT l.group_id, l.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.group_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT group_id, count(*)::BIGINT AS group_size FROM labels GROUP BY group_id)
+SELECT r.group_id, r.doc_id AS kept_doc_id, r.n_chars, s.group_size
+FROM ranked r JOIN sizes s USING (group_id)
+WHERE r.rk = 1
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Inverted index: term → document-frequency + posting-list head
+# --------------------------------------------------------------------------
+
+_INDEX_TOP_TERMS = 50
+_POSTINGS_HEAD = 10
+
+
+def inverted_index_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """The downstream consumer a spider exists to feed: build the inverted
+    index for the ``_INDEX_TOP_TERMS`` highest-document-frequency terms —
+    (term, doc_freq, first ``_POSTINGS_HEAD`` doc_ids of the posting list,
+    comma-joined ascending).
+
+    Scale shape: per-doc distinct terms come from one Arrow-free
+    higher-order-function projection (no Python), the explode feeds a
+    map-side-combined hash agg for document frequency, and posting heads
+    are a per-term window cut (row_number ≤ k) — the same salted-cut shape
+    as politeness would apply if a stop-word term got hot. The top-term
+    filter is a broadcast semi-join, so the full posting lists of the
+    10^6-term tail are never materialized."""
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tk.tokens(F.col("text")))).alias("term")
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    top = dfreq.orderBy(F.desc("doc_freq"), F.asc("term")).limit(_INDEX_TOP_TERMS)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        toks.join(F.broadcast(top.select("term")), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _POSTINGS_HEAD)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings_head")
+        )
+    )
+    return top.join(heads, "term")
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))) AS term
+  FROM documents
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM toks GROUP BY term),
+top AS (SELECT term, doc_freq FROM dfreq
+        ORDER BY doc_freq DESC, term ASC LIMIT {_INDEX_TOP_TERMS}),
+heads AS (
+  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+  FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+    FROM toks WHERE term IN (SELECT term FROM top)
+  ) WHERE rk <= {_POSTINGS_HEAD}
+  GROUP BY term
+)
+SELECT top.term, top.doc_freq, heads.postings_head
+FROM top JOIN heads USING (term)
+"""
 
 
 QUERIES = {
@@ -267,6 +393,8 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "pagerank_top20": pagerank_top20,
     "dedup_groups": dedup_groups,
+    "canonical_docs": canonical_docs,
+    "inverted_index_topterms": inverted_index_topterms,
 }
 
 ORACLES = {
@@ -276,4 +404,6 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pagerank_top20": PAGERANK_TOP20_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
+    "canonical_docs": CANONICAL_DOCS_SQL,
+    "inverted_index_topterms": INVERTED_INDEX_SQL,
 }

@@ -468,6 +468,48 @@ WHERE a.simhash <> 0 AND b.simhash <> 0
 )
 
 
+# --------------------------------------------------------------------------
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaning stage that runs before tokenization/dedup in a
+    training-data build: lowercase, collapse whitespace runs to single
+    spaces, trim, and (as the aggressive variant) drop everything but
+    [a-z0-9 ]. Emits both normal forms with their lengths and the md5 of
+    the aggressive form — the key exact dedup would run on post-cleaning.
+
+    Scale shape: pure projection (built-in string kernels, whole-stage
+    codegen, zero Python, zero shuffle) — the plan is a map over the scan,
+    so it inherits the scan's partitioning at any corpus size."""
+    d = T(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hard = F.trim(F.regexp_replace(F.regexp_replace(norm, r"[^a-z0-9 ]", ""), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.length(hard).cast("bigint").alias("n_chars_hard"),
+        F.md5(hard).alias("hard_md5"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       norm AS norm_text,
+       length(norm)::BIGINT AS n_chars_norm,
+       length(hard)::BIGINT AS n_chars_hard,
+       md5(hard) AS hard_md5
+FROM (
+  SELECT doc_id, norm,
+         trim(regexp_replace(regexp_replace(norm, '[^a-z0-9 ]', '', 'g'),
+                             '\s+', ' ', 'g')) AS hard
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+  )
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -478,6 +520,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_values": simhash_values,
     "simhash_near_pairs": simhash_near_pairs,
+    "text_normalize": text_normalize,
 }
 
 ORACLES = {
@@ -490,4 +533,5 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash_values": SIMHASH_VALUES_SQL,
     "simhash_near_pairs": SIMHASH_NEAR_PAIRS_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
 }

@@ -330,6 +330,71 @@ class SnapshotTable:
             "row_count": snap.row_count,
         }
 
+    def history(self) -> list[dict]:
+        """Commit log over the retained snapshots (id, rows, layout,
+        properties) — ≙ Iceberg's ``table.history()`` metadata table."""
+        out = []
+        for sid in self.snapshot_ids():
+            s = self.snapshot(sid)
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "row_count": s.row_count,
+                    "n_data_dirs": len(s.data_dirs),
+                    "properties": s.properties,
+                }
+            )
+        return out
+
+    def read_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style incremental append scan: ONLY the rows committed
+        after ``from_snapshot_id`` up to ``to_snapshot_id`` (default:
+        current), read from just the data dirs those commits added — a
+        downstream consumer (doc indexer, training-data exporter) processes
+        each round's new rows without rescanning the table. At 100 TB this
+        is the difference between a per-round delta job and a full-table
+        read per round.
+
+        ``from_snapshot_id=-1`` means "from the beginning". Like Iceberg's
+        incremental read, the range must contain only APPEND commits: an
+        overwrite/replace_buckets/compact commit rewrites membership, so
+        "new dirs" no longer means "new rows" — that raises ValueError and
+        the consumer falls back to a full scan (or the changelog a real
+        deployment would keep)."""
+        ids = self.snapshot_ids()
+        if to_snapshot_id is None:
+            to_snapshot_id = ids[-1] if ids else -1
+        if from_snapshot_id == to_snapshot_id:
+            return self.spark.createDataFrame([], self.schema)
+        if from_snapshot_id != -1 and from_snapshot_id not in ids:
+            raise ValueError(
+                f"from_snapshot_id {from_snapshot_id} not retained "
+                f"(expired or never committed); full scan required"
+            )
+        prev_dirs = (
+            set() if from_snapshot_id == -1 else set(self.snapshot(from_snapshot_id).data_dirs)
+        )
+        base = prev_dirs
+        new_dirs: list[str] = []
+        for sid in ids:
+            if not (from_snapshot_id < sid <= to_snapshot_id):
+                continue
+            cur = self.snapshot(sid)
+            cur_dirs = set(cur.data_dirs)
+            if not base <= cur_dirs:
+                raise ValueError(
+                    f"snapshot {sid} is not an append commit (data dirs were "
+                    f"removed/replaced); incremental read undefined across it"
+                )
+            new_dirs.extend(sorted(cur_dirs - base))
+            base = cur_dirs
+        if not new_dirs:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.path, d) for d in new_dirs]
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Drop all manifests newer than ``snapshot_id`` (resume support)."""
         for sid in self.snapshot_ids():

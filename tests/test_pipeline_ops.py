@@ -176,3 +176,56 @@ def test_pagerank_partitioning_invariant(spark, star_edges):
     r1 = sorted(map(tuple, pagerank_int(star_edges, iters=4).collect()))
     r2 = sorted(map(tuple, pagerank_int(star_edges.repartition(7), iters=4).collect()))
     assert r1 == r2  # integer arithmetic: bit-identical on any partitioning
+
+
+# --------------------------------------------------------------------------
+# canonical-doc retention + inverted index (gate queries; invariants here,
+# value-exact parity in tools/parity_check.py / the driver)
+# --------------------------------------------------------------------------
+
+
+def test_canonical_docs_invariants(spark):
+    from spider_go_spark.queries.pipelineops import canonical_docs, dedup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = {r["doc_id"]: r["group_id"] for r in dedup_groups(spark, SF).collect()}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    got = canonical_docs(spark, SF).collect()
+
+    # exactly one row per group, covering every group
+    assert sorted(r["group_id"] for r in got) == sorted(set(labels.values()))
+    # sizes sum to the corpus size
+    assert sum(r["group_size"] for r in got) == docs.count()
+    for r in got:
+        members = [d for d, g in labels.items() if g == r["group_id"]]
+        assert r["group_size"] == len(members)
+        # kept doc is in its group and is the (n_chars DESC, doc_id ASC) argmax
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r["kept_doc_id"] == best
+        assert r["n_chars"] == chars[best]
+
+
+def test_inverted_index_topterms(spark):
+    from spider_go_spark.queries.pipelineops import (
+        _INDEX_TOP_TERMS,
+        _POSTINGS_HEAD,
+        inverted_index_topterms,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    # brute-force document frequency over whitespace tokens
+    dfreq: dict[str, set] = {}
+    for r in docs:
+        for t in set(r["text"].split()):
+            if t:
+                dfreq.setdefault(t, set()).add(r["doc_id"])
+
+    got = inverted_index_topterms(spark, SF).collect()
+    assert len(got) == min(_INDEX_TOP_TERMS, len(dfreq))
+    expected_top = sorted(dfreq.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    expected = {t: ids for t, ids in expected_top[: len(got)]}
+    for r in got:
+        ids = expected[r["term"]]
+        assert r["doc_freq"] == len(ids)
+        head = [int(x) for x in r["postings_head"].split(",")]
+        assert head == sorted(ids)[:_POSTINGS_HEAD]

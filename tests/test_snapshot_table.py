@@ -49,6 +49,64 @@ def test_atomic_commit_leaves_no_partial_manifest(spark, tmp_path):
     assert all(not n.endswith(".tmp") for n in os.listdir(mdir))
 
 
+def test_incremental_read_appends_only(spark, tmp_path):
+    t = Catalog(spark, str(tmp_path)).load("t6", SCHEMA)
+    s0 = t.append(_df(spark, [(1, "a"), (2, "b")]), "b0")
+    s1 = t.append(_df(spark, [(3, "c")]), "b1")
+    s2 = t.append(_df(spark, [(4, "d"), (5, "e")]), "b2")
+    # delta (s0, s2]: exactly the rows of the two later commits
+    assert sorted(r.k for r in t.read_incremental(s0.snapshot_id).collect()) == [3, 4, 5]
+    # bounded delta (s0, s1]
+    assert sorted(
+        r.k for r in t.read_incremental(s0.snapshot_id, s1.snapshot_id).collect()
+    ) == [3]
+    # from the beginning = full content; empty range = no rows
+    assert t.read_incremental(-1).count() == 5
+    assert t.read_incremental(s2.snapshot_id).count() == 0
+    # history metadata table matches the commit sequence
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [0, 1, 2]
+    assert [h["row_count"] for h in hist] == [2, 3, 5]
+
+
+def test_incremental_read_rejects_rewrites(spark, tmp_path):
+    import pytest
+
+    t = Catalog(spark, str(tmp_path)).load("t7", SCHEMA)
+    s0 = t.append(_df(spark, [(1, "a")]), "b0")
+    t.append(_df(spark, [(2, "b")]), "b1")
+    t.compact(target_partitions=1)  # rewrite commit in the range
+    with pytest.raises(ValueError, match="not an append commit"):
+        t.read_incremental(s0.snapshot_id)
+    # an expired starting snapshot is also a full-scan signal, not silence
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="not retained"):
+        t.read_incremental(s0.snapshot_id)
+
+
+def test_incremental_read_consumes_crawl_rounds(spark, tmp_path):
+    """The pull-side twin of docs_sink: a consumer that remembers the last
+    snapshot id it saw reads exactly each round's newly fetched docs."""
+    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+    from spider_go_spark.sources.webgraph import make_seeds
+
+    eng = CrawlEngine(
+        spark,
+        CrawlConfig(workdir=str(tmp_path / "w"), n_urls=150, n_hosts=5, num_shards=4),
+    )
+    eng.crawl(seeds=make_seeds(spark, 20, 150, 5), max_rounds=2)
+    mark = eng.fetched_docs.current_snapshot_id()
+    before = eng.fetched_docs.snapshot().row_count
+    last_round = eng.fetched_docs.read().agg({"round": "max"}).collect()[0][0]
+    eng.crawl(max_rounds=3)
+    delta = eng.fetched_docs.read_incremental(mark)
+    total = eng.fetched_docs.read()
+    assert delta.count() == total.count() - before > 0
+    assert sorted(r.url_norm for r in delta.collect()) == sorted(
+        r.url_norm for r in total.filter(total["round"] > last_round).collect()
+    )
+
+
 def test_expire_snapshots(spark, tmp_path):
     t = Catalog(spark, str(tmp_path)).load("t5", SCHEMA)
     for i in range(5):
