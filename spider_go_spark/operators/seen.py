@@ -131,24 +131,93 @@ def bloom_maybe_seen(candidates: DataFrame, shards: DataFrame, num_shards: int) 
     )
 
 
+def bloom_maybe_seen_broadcast(
+    candidates: DataFrame,
+    shard_rows: list,
+    num_shards: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Map-side Bloom probe: every shard bitmap rides a broadcast variable
+    and candidates are tagged IN PLACE by a scalar pandas UDF — zero
+    shuffle, zero cogroup (the north-star's "broadcast for small shards"
+    arm). Only valid when the whole bitmap array fits a broadcast
+    (``filter_unseen`` gates on size); at the 10^10 design point (~12.5 GB
+    of bitmaps) the cogrouped shard-shuffle path takes over.
+
+    ``shard_rows``: collected (shard_id, bloom_bits) rows; missing shards
+    probe as all-zeros (nothing seen), matching the cogroup's empty-group
+    semantics."""
+    sc = candidates.sparkSession.sparkContext
+    all_bits = np.zeros((num_shards, m_bits // 8), dtype=np.uint8)
+    for r in shard_rows:
+        all_bits[int(r["shard_id"])] = np.frombuffer(r["bloom_bits"], dtype=np.uint8)
+    bc = sc.broadcast(all_bits)
+
+    @F.pandas_udf("boolean")
+    def probe(url_norm: pd.Series, shard_id: pd.Series) -> pd.Series:
+        bits = bc.value
+        idx = bloom_hashes(url_norm.to_numpy(), m_bits, k)
+        sid = shard_id.to_numpy()
+        hit = (bits[sid[:, None], idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    tagged = candidates.withColumn("shard_id", shard_id_col("url_hash", num_shards))
+    return tagged.withColumn("maybe_seen", probe(F.col("url_norm"), F.col("shard_id")))
+
+
+# a 512 MB bitmap array broadcasts in seconds on a cluster and probes from
+# executor memory; beyond it (≳ 4×10^8 URLs at 10 bits each) the sharded
+# cogroup is the scale path
+BROADCAST_BITMAP_CAP_BYTES = 512 << 20
+
+
 def filter_unseen(
     candidates: DataFrame,
     shards: DataFrame,
     seen_urls: DataFrame,
     num_shards: int,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+    broadcast_cap_bytes: int = BROADCAST_BITMAP_CAP_BYTES,
 ) -> DataFrame:
     """Exact not-seen filter: Bloom pre-filter + exact anti-join for the
     Bloom positives. Returns candidates (original columns + shard_id)
     guaranteed not in ``seen_urls``.
 
-    The probe output is materialized exactly once: both branches
-    (definite-new and maybe-seen) consume ``tagged``, and without a persist
-    Spark re-executes the whole cogrouped probe for each branch (two
-    FlatMapCoGroupsInPandas stages over the full candidate set). The result
-    is returned persisted+materialized and the intermediate cache released;
-    the CALLER must unpersist the returned DataFrame when done.
+    Two probe strategies, chosen by total bitmap size (≙ the broadcast-vs-
+    sort-merge join decision the north star prescribes for the seen-set
+    probe):
+
+    - **broadcast** (callers pass ``m_bits``/``k_hashes`` and the bitmaps
+      fit ``broadcast_cap_bytes``): candidates are tagged in place by a
+      pandas UDF reading broadcast bitmaps — the probe adds NO shuffle and
+      no extra materialization; both consumers re-run the cheap numpy probe
+      over the caller's cached candidates.
+    - **cogroup** (bitmaps too big, or geometry unknown): candidates
+      shuffle once on shard_id and meet their shard bitmap in a cogrouped
+      pandas probe; the tagged set is persisted so the two branches don't
+      re-run the shuffle.
+
+    Either way the exact verify joins Bloom positives against
+    ``seen_urls`` on (shard_id, url_norm) — scan pruned to shards with
+    positives, AQE broadcasts when the maybe-side is tiny. The result is
+    returned persisted+materialized; the CALLER must unpersist it (and in
+    the cogroup arm the intermediate cache is released here).
     """
-    tagged = bloom_maybe_seen(candidates, shards, num_shards).persist()
+    use_broadcast = (
+        m_bits is not None
+        and k_hashes is not None
+        and num_shards * (m_bits // 8) <= broadcast_cap_bytes
+    )
+    tagged_cached = None
+    if use_broadcast:
+        shard_rows = shards.select("shard_id", "bloom_bits").collect()
+        tagged = bloom_maybe_seen_broadcast(
+            candidates, shard_rows, num_shards, m_bits, k_hashes
+        )
+    else:
+        tagged = tagged_cached = bloom_maybe_seen(candidates, shards, num_shards).persist()
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     # Exact verify: join on (shard_id, url_norm) so the scan of seen_urls
@@ -159,5 +228,6 @@ def filter_unseen(
     )
     result = definite_new.unionByName(verified_new).persist()
     result.count()
-    tagged.unpersist()
+    if tagged_cached is not None:
+        tagged_cached.unpersist()
     return result

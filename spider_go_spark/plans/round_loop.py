@@ -40,6 +40,8 @@ Scale notes (10^10 frontier):
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -70,6 +72,20 @@ from spider_go_spark.tables.snapshot import Catalog, SnapshotTable
 # FIFO discovery order (parents in fetch order, links in span order), valid
 # while pages emit < LINK_STRIDE links.
 LINK_STRIDE = 4096
+
+
+@contextmanager
+def _timed(phases: dict[str, float], name: str):
+    """Accumulate wall seconds of a round phase into ``phases`` — the
+    per-round analogue of the per-partition fetch metrics: every round's
+    commit records where its wall time went (schedule, fetch, seen probe,
+    frontier rewrite, commits), so a throughput regression is attributable
+    from the round_state log alone."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        phases[name] = round(phases.get(name, 0.0) + time.time() - t0, 3)
 
 
 @dataclass
@@ -354,6 +370,7 @@ class CrawlEngine:
         label: str,
         assigned: DataFrame | None = None,
         assigned_buckets: list[int] | None = None,
+        phases: dict[str, float] | None = None,
     ) -> tuple[int, int]:
         """Filter candidates vs seen set, append to frontier + seen + lineage.
         ``assigned`` is this round's fetched assignment set — its rows leave
@@ -361,16 +378,23 @@ class CrawlEngine:
         candidates. Only frontier buckets holding assigned or new rows are
         read and rewritten (replace_buckets); every other bucket's data dirs
         carry over untouched. Returns (n_new, n_candidates)."""
-        candidates = candidates.persist()
-        n_cand = candidates.count()
+        if phases is None:
+            phases = {}
+        with _timed(phases, "cand_count"):
+            candidates = candidates.persist()
+            n_cand = candidates.count()
         shards_all = self.seen_shards.read()
         shards = shards_all.filter(self._cid).drop("crawl_id")
         seen = self.seen_urls.read().filter(self._cid)
-        # filter_unseen returns persisted+materialized; projections below
-        # read the cache, and we unpersist it at the end of the commit
-        unseen = filter_unseen(candidates, shards, seen, self.cfg.num_shards)
-        new = unseen.select(*self._frontier_cols, "shard_id")
-        n_new = unseen.count()
+        with _timed(phases, "seen_probe"):
+            # filter_unseen returns persisted+materialized; projections below
+            # read the cache, and we unpersist it at the end of the commit
+            unseen = filter_unseen(
+                candidates, shards, seen, self.cfg.num_shards,
+                m_bits=self.m_bits, k_hashes=self.k_hashes,
+            )
+            new = unseen.select(*self._frontier_cols, "shard_id")
+            n_new = unseen.count()
 
         frontier_new = new.select(*self._frontier_cols).withColumn(
             "__bucket", self._bucket_col()
@@ -378,9 +402,10 @@ class CrawlEngine:
         # touched-bucket ids: tiny collects (≤ frontier_buckets ints) over
         # already-materialized inputs (unseen is cached; assigned is the
         # persisted ranked assignment set)
-        touched = {
-            r["__bucket"] for r in frontier_new.select("__bucket").distinct().collect()
-        }
+        with _timed(phases, "touched_buckets"):
+            touched = {
+                r["__bucket"] for r in frontier_new.select("__bucket").distinct().collect()
+            }
         if assigned is not None:
             assigned_keys = assigned.select("crawl_id", "url_hash", "url_norm")
             if assigned_buckets is None:  # caller may pass its own collect
@@ -407,15 +432,17 @@ class CrawlEngine:
         # one output file per touched bucket (repartition by the bucket key
         # before the partitioned write)
         replaced = replaced.repartition(max(len(touched), 1), "__bucket")
-        self.frontier.replace_buckets(replaced, sorted(touched), f"round-{rnd:06d}")
+        with _timed(phases, "frontier_rewrite"):
+            self.frontier.replace_buckets(replaced, sorted(touched), f"round-{rnd:06d}")
 
-        self.seen_urls.append(
-            new.select(
-                "crawl_id", "url_hash", "url_norm", "shard_id",
-                F.lit(rnd).cast("int").alias("seen_round"),
-            ),
-            f"round-{rnd:06d}",
-        )
+        with _timed(phases, "seen_append"):
+            self.seen_urls.append(
+                new.select(
+                    "crawl_id", "url_hash", "url_norm", "shard_id",
+                    F.lit(rnd).cast("int").alias("seen_round"),
+                ),
+                f"round-{rnd:06d}",
+            )
         updates = build_shard_updates(
             new.select("url_norm", "url_hash"), self.cfg.num_shards, self.m_bits, self.k_hashes
         )
@@ -425,20 +452,22 @@ class CrawlEngine:
         # other tenants' Bloom shards carry over untouched (the shard table
         # is tiny: num_shards rows per crawl)
         others = shards_all.filter(~self._cid)
-        self.seen_shards.overwrite(others.unionByName(merged), f"round-{rnd:06d}")
+        with _timed(phases, "shard_merge"):
+            self.seen_shards.overwrite(others.unionByName(merged), f"round-{rnd:06d}")
 
-        self.lineage.append(
-            new.select(
-                "crawl_id",
-                "url_hash",
-                "url_norm",
-                "parent_hash",
-                F.lit(rnd).cast("int").alias("round"),
-                F.col("discovery_rank").alias("rank_in_round"),
-                F.spark_partition_id().alias("partition_id"),
-            ),
-            f"{label}-{rnd:06d}",
-        )
+        with _timed(phases, "lineage_append"):
+            self.lineage.append(
+                new.select(
+                    "crawl_id",
+                    "url_hash",
+                    "url_norm",
+                    "parent_hash",
+                    F.lit(rnd).cast("int").alias("round"),
+                    F.col("discovery_rank").alias("rank_in_round"),
+                    F.spark_partition_id().alias("partition_id"),
+                ),
+                f"{label}-{rnd:06d}",
+            )
         unseen.unpersist()
         candidates.unpersist()
         return n_new, n_cand
@@ -516,6 +545,7 @@ class CrawlEngine:
 
     # -- one crawl round ---------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
+        phases: dict[str, float] = {}
         frontier = self.frontier.read().filter(self._cid)
         # revisit eligibility (≙ cron trigger firing, cmd/cron-trigger/
         # main.go:82-229): fetched URLs whose recrawl round has arrived
@@ -533,19 +563,20 @@ class CrawlEngine:
                 self._cid & (F.col("next_round") <= F.lit(rnd))
             ).drop("next_round")
             pool = frontier.unionByName(eligible)
-        assignments = schedule_round(
-            pool,
-            self.host_policy,
-            default_budget=self.cfg.default_budget,
-            round_budget_ms=self.cfg.round_budget_ms,
-            salt_n=self.cfg.salt_n,
-            policy_empty=self._policy_empty,
-        )
-        # global_rank returns its result persisted+materialized (it must pin
-        # the sampled range boundaries); derive lazily from that one cache
-        ranked = global_rank(assignments, frontier_order(), rank_col="fetch_rank")
-        assignments = ranked.withColumn("round", F.lit(rnd).cast("int"))
-        n_assigned = ranked.count()
+        with _timed(phases, "schedule_rank"):
+            assignments = schedule_round(
+                pool,
+                self.host_policy,
+                default_budget=self.cfg.default_budget,
+                round_budget_ms=self.cfg.round_budget_ms,
+                salt_n=self.cfg.salt_n,
+                policy_empty=self._policy_empty,
+            )
+            # global_rank returns its result persisted+materialized (it must
+            # pin the sampled range boundaries); derive lazily from that cache
+            ranked = global_rank(assignments, frontier_order(), rank_col="fetch_rank")
+            assignments = ranked.withColumn("round", F.lit(rnd).cast("int"))
+            n_assigned = ranked.count()
         if n_assigned == 0:
             ranked.unpersist()
             n_pending = rev_all.filter(self._cid).count() if use_revisit else 0
@@ -561,21 +592,33 @@ class CrawlEngine:
         # spread assignments across all cores explicitly before mapInPandas
         par = self.spark.sparkContext.defaultParallelism
         fetch_input = assignments.repartition(par, "url_hash")
-        fetched = synthetic_fetch(fetch_input, self.cfg.n_urls, self.cfg.n_hosts).persist()
-        self.fetched_docs.append(
-            fetched.withColumn("crawl_id", F.lit(self.cfg.crawl_id)), f"round-{rnd:06d}"
-        )
+        # priority/depth ride through the fetch so link extraction needs no
+        # join back to the assignment set (at 10^7 fetches/round that join
+        # shuffled every extracted link against every assignment)
+        fetched = synthetic_fetch(
+            fetch_input, self.cfg.n_urls, self.cfg.n_hosts,
+            passthrough=("priority", "depth"),
+        ).persist()
+        doc_cols = [f.name for f in schemas.FETCHED_DOCS.fields]
+        with _timed(phases, "fetch_write"):
+            self.fetched_docs.append(
+                fetched.select(*doc_cols).withColumn(
+                    "crawl_id", F.lit(self.cfg.crawl_id)
+                ),
+                f"round-{rnd:06d}",
+            )
 
         # per-partition fetch metrics (north rule): one row per task of the
         # fetch stage — observability into skew without any extra shuffle
         # beyond the tiny metric agg itself. Collected once (≤ par rows):
         # the driver derives the round's n_ok from it instead of running a
         # second full count pass over the cached fetch output.
-        metric_rows = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count(F.lit(1)).alias("n_fetched"),
-            F.count(F.when(F.col("status") == "200", 1)).alias("n_ok"),
-            F.sum(F.size("out_links")).cast("long").alias("n_links_out"),
-        ).collect()
+        with _timed(phases, "fetch_metrics"):
+            metric_rows = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count(F.lit(1)).alias("n_fetched"),
+                F.count(F.when(F.col("status") == "200", 1)).alias("n_ok"),
+                F.sum(F.size("out_links")).cast("long").alias("n_links_out"),
+            ).collect()
         n_ok = sum(r["n_ok"] for r in metric_rows)
         metrics_df = self.spark.createDataFrame(
             [
@@ -584,11 +627,14 @@ class CrawlEngine:
             ],
             schemas.with_crawl_id(schemas.ROUND_METRICS),
         )
-        self.fetch_metrics.append(metrics_df, f"round-{rnd:06d}")
+        with _timed(phases, "fetch_metrics"):
+            self.fetch_metrics.append(metrics_df, f"round-{rnd:06d}")
 
         # link extraction from the interleaved spans — built-in array fns,
         # JVM-side (≙ dep fan-out loop workflow.go:140-191 / explode(links))
-        links = fetched.select(
+        # parent priority/depth come straight off the fetched rows (fetch
+        # passthrough) — a pure explode+projection, no join, no shuffle
+        raw = fetched.select(
             F.col("url_hash").alias("parent_hash"),
             F.col("fetch_rank"),
             F.posexplode(
@@ -597,16 +643,11 @@ class CrawlEngine:
                     lambda s: s["text"],
                 )
             ).alias("pos", "url"),
-            F.col("round"),
-        )
-        parent_prio = assignments.select(
-            F.col("url_hash").alias("parent_hash"),
-            F.col("priority").alias("parent_priority"),
+            F.col("priority"),
             F.col("depth").alias("parent_depth"),
-        )
-        raw = links.join(parent_prio, "parent_hash").select(
+        ).select(
             "url",
-            F.col("parent_priority").alias("priority"),
+            "priority",
             "parent_hash",
             (F.col("parent_depth") + 1).alias("depth"),
             (F.col("fetch_rank") * LINK_STRIDE + F.col("pos")).alias("discovery_rank"),
@@ -617,15 +658,17 @@ class CrawlEngine:
         # commit (bucket-pruned anti-join — no broadcast of the assignment
         # set, no whole-frontier rewrite). Bucket ids are collected ONCE off
         # the persisted assignment set and shared with the revisit rewrite.
-        assigned_buckets = sorted(
-            r["__b"]
-            for r in assignments.select(self._bucket_col().alias("__b"))
-            .distinct()
-            .collect()
-        )
+        with _timed(phases, "assigned_buckets"):
+            assigned_buckets = sorted(
+                r["__b"]
+                for r in assignments.select(self._bucket_col().alias("__b"))
+                .distinct()
+                .collect()
+            )
         n_new, n_cand = self._enqueue(
             candidates, rnd + 1, "links",
             assigned=assignments, assigned_buckets=assigned_buckets,
+            phases=phases,
         )
 
         # revisit queue maintenance (partition-scoped, like the frontier):
@@ -634,6 +677,7 @@ class CrawlEngine:
         # this round (over budget) stays queued and eligible.
         n_pending = 0
         if use_revisit:
+            t_rev = time.time()
             keys = ["crawl_id", "url_hash", "url_norm"]
             nr = (F.lit(rnd) + F.col("revisit_after_rounds")).cast("int")
             new_revisits = assignments.filter(
@@ -658,6 +702,7 @@ class CrawlEngine:
             )
             self.revisit.replace_buckets(replaced, touched_rev, f"round-{rnd:06d}")
             n_pending = self.revisit.snapshot().row_count
+            phases["revisit"] = round(time.time() - t_rev, 3)
 
         # n_fetched = every fetch attempt (matches the fetch_metrics table);
         # n_ok = 200s only, summed from the collected per-partition metrics
@@ -668,8 +713,10 @@ class CrawlEngine:
             "n_candidates": n_cand,
             "n_new": n_new,
             "n_revisit_pending": n_pending,
+            "phase_sec": phases,
         }
-        self._commit_state(rnd, metrics)
+        with _timed(phases, "commit"):
+            self._commit_state(rnd, metrics)
         self._deliver_sink(rnd)
         ranked.unpersist()
         fetched.unpersist()

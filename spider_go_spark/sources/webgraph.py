@@ -100,11 +100,20 @@ def out_links_of_nodes(node_ids: np.ndarray, n_urls: int, n_hosts: int) -> list[
     return out
 
 
-def spans_of_nodes(node_ids: np.ndarray, n_urls: int, n_hosts: int) -> list[list[dict]]:
+def spans_of_nodes(
+    node_ids: np.ndarray,
+    n_urls: int,
+    n_hosts: int,
+    links: list[list[str]] | None = None,
+) -> list[list[dict]]:
     """Interleaved text+media+link spans per node; offsets strictly increase;
-    link spans carry the raw out-links in order."""
+    link spans carry the raw out-links in order. ``links`` lets a caller that
+    already computed ``out_links_of_nodes`` for the same ids pass it in
+    instead of paying the link generation twice (it is the dominant cost of
+    a synthetic fetch)."""
     ids = node_ids.astype(np.uint64)
-    links = out_links_of_nodes(node_ids, n_urls, n_hosts)
+    if links is None:
+        links = out_links_of_nodes(node_ids, n_urls, n_hosts)
     n_content = (1 + _mix(ids, 6) % np.uint64(4)).astype(np.int64)
     kinds_pick = _mix(ids, 7)
     out: list[list[dict]] = []
@@ -161,13 +170,32 @@ def make_seeds(spark: SparkSession, n_seeds: int, n_urls: int, n_hosts: int) -> 
 
 
 # --- the fetch operator -------------------------------------------------------
-def synthetic_fetch(assignments: DataFrame, n_urls: int, n_hosts: int) -> DataFrame:
+def synthetic_fetch(
+    assignments: DataFrame,
+    n_urls: int,
+    n_hosts: int,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """mapInPandas fetch+parse: assignment rows → FETCHED_DOCS rows.
 
     Vectorized Arrow batches; doc_id is deterministic (url_hash + round),
     never wall-clock (the reference's uuidv7 ids — workflow.go:113-119 —
     are unreproducible; SURVEY.md §1.3 documents this deliberate change).
-    """
+
+    ``passthrough`` names assignment columns (e.g. priority, depth) copied
+    onto the output rows unchanged. Carrying the parent's scheduling fields
+    through the fetch is what lets link extraction derive child priority /
+    depth with NO join back to the assignment set — at a 10^7-fetch round
+    that join was a shuffle of every extracted link against every
+    assignment row."""
+    out_schema = FETCHED_DOCS
+    if passthrough:
+        from pyspark.sql import types as T
+
+        asg = {f.name: f for f in assignments.schema.fields}
+        out_schema = T.StructType(
+            list(FETCHED_DOCS.fields) + [asg[c] for c in passthrough]
+        )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,25 +208,26 @@ def synthetic_fetch(assignments: DataFrame, n_urls: int, n_hosts: int) -> DataFr
             links: list[list[str]] = [[] for _ in range(len(pdf))]
             if ok.any():
                 ok_nodes = nodes[ok]
-                ok_spans = spans_of_nodes(ok_nodes, n_urls, n_hosts)
                 ok_links = out_links_of_nodes(ok_nodes, n_urls, n_hosts)
+                ok_spans = spans_of_nodes(ok_nodes, n_urls, n_hosts, links=ok_links)
                 for j, i in enumerate(np.nonzero(ok)[0]):
                     spans[i] = ok_spans[j]
                     links[i] = ok_links[j]
-            yield pd.DataFrame(
-                {
-                    "doc_id": "d" + pdf["round"].astype(str) + "-" + pdf["url_hash"].map(lambda h: format(h & 0xFFFFFFFFFFFFFFFF, "016x")),
-                    "url": pdf["url"],
-                    "url_norm": pdf["url_norm"],
-                    "url_hash": pdf["url_hash"],
-                    "host": pdf["host"],
-                    "round": pdf["round"],
-                    "fetch_rank": pdf["fetch_rank"],
-                    "status": status,
-                    "spans": spans,
-                    "out_links": links,
-                }
-            )
+            out = {
+                "doc_id": "d" + pdf["round"].astype(str) + "-" + pdf["url_hash"].map(lambda h: format(h & 0xFFFFFFFFFFFFFFFF, "016x")),
+                "url": pdf["url"],
+                "url_norm": pdf["url_norm"],
+                "url_hash": pdf["url_hash"],
+                "host": pdf["host"],
+                "round": pdf["round"],
+                "fetch_rank": pdf["fetch_rank"],
+                "status": status,
+                "spans": spans,
+                "out_links": links,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    cols = ["url", "url_norm", "url_hash", "host", "round", "fetch_rank"]
-    return assignments.select(*cols).mapInPandas(fetch, FETCHED_DOCS)
+    cols = ["url", "url_norm", "url_hash", "host", "round", "fetch_rank", *passthrough]
+    return assignments.select(*cols).mapInPandas(fetch, out_schema)

@@ -131,3 +131,38 @@ def test_lineage_covers_seen(crawl_outputs):
     lineage = {r.url_norm for r in engine.lineage.read().select("url_norm").collect()}
     seen = {r.url_norm for r in engine.seen_urls.read().select("url_norm").collect()}
     assert lineage == seen
+
+
+def test_fetch_passthrough_columns(spark):
+    """synthetic_fetch passthrough: parent scheduling fields ride through
+    the Arrow fetch unchanged (what lets link extraction skip the join
+    back to the assignment set), while the doc columns are unaffected."""
+    import pandas as pd
+
+    from spider_go_spark.functions.urls import url_hash_col
+    from spider_go_spark.sources.webgraph import canonical_urls, synthetic_fetch
+
+    import numpy as np
+
+    urls = [str(u) for u in canonical_urls(np.arange(20), N_HOSTS)]
+    pdf = pd.DataFrame(
+        {
+            "url": urls,
+            "url_norm": urls,
+            "host": [u.split("/")[2] for u in urls],
+            "round": [1] * 20,
+            "fetch_rank": list(range(20)),
+            "priority": [float(i % 3) for i in range(20)],
+            "depth": [i % 4 for i in range(20)],
+        }
+    )
+    asg = spark.createDataFrame(pdf).withColumn("url_hash", url_hash_col("url_norm"))
+    plain = synthetic_fetch(asg, N_URLS, N_HOSTS)
+    passed = synthetic_fetch(asg, N_URLS, N_HOSTS, passthrough=("priority", "depth"))
+    assert set(passed.columns) == set(plain.columns) | {"priority", "depth"}
+    got = {r.fetch_rank: (r.priority, r.depth) for r in passed.collect()}
+    assert got == {i: (float(i % 3), i % 4) for i in range(20)}
+    # doc columns identical with and without passthrough
+    a = sorted(map(tuple, plain.select("doc_id", "url_norm", "status").collect()))
+    b = sorted(map(tuple, passed.select("doc_id", "url_norm", "status").collect()))
+    assert a == b

@@ -63,3 +63,47 @@ def test_filter_unseen_exact(spark):
     out = filter_unseen(cands, shards, seen_df, NUM_SHARDS)
     got = sorted(r.url_norm for r in out.collect())
     assert got == sorted(f"http://n.test/{i}" for i in range(100))
+
+
+def test_filter_unseen_broadcast_equals_cogroup(spark):
+    """The tiered probe's two arms (map-side broadcast bitmaps vs cogrouped
+    shard shuffle) must be EXACTLY interchangeable — same rows, same
+    columns — since the engine switches on bitmap size alone."""
+    m_bits, k = bloom_params(1000, NUM_SHARDS)
+    seen_urls_list = [f"http://s.test/{i}" for i in range(300)]
+    seen_df = _urls_df(spark, seen_urls_list).withColumn(
+        "shard_id", shard_id_col("url_hash", NUM_SHARDS)
+    )
+    shards = build_shard_updates(seen_df, NUM_SHARDS, m_bits, k)
+    cands = _urls_df(spark, seen_urls_list[:150] + [f"http://n.test/{i}" for i in range(150)])
+    via_cogroup = filter_unseen(cands, shards, seen_df, NUM_SHARDS)
+    via_broadcast = filter_unseen(
+        cands, shards, seen_df, NUM_SHARDS, m_bits=m_bits, k_hashes=k
+    )
+    # a cap smaller than the bitmaps forces the cogroup arm even with
+    # geometry supplied
+    via_forced_cogroup = filter_unseen(
+        cands, shards, seen_df, NUM_SHARDS,
+        m_bits=m_bits, k_hashes=k, broadcast_cap_bytes=1,
+    )
+    rows = lambda df: sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+    assert sorted(via_cogroup.columns) == sorted(via_broadcast.columns)
+    assert rows(via_cogroup) == rows(via_broadcast) == rows(via_forced_cogroup)
+    for df in (via_cogroup, via_broadcast, via_forced_cogroup):
+        df.unpersist()
+
+
+def test_filter_unseen_broadcast_empty_shards(spark):
+    """Broadcast arm with NO shard rows yet (round 0): everything probes
+    unseen, nothing crashes on the all-zeros bitmap."""
+    m_bits, k = bloom_params(1000, NUM_SHARDS)
+    cands = _urls_df(spark, [f"http://n.test/{i}" for i in range(50)])
+    empty_shards = build_shard_updates(cands.limit(0), NUM_SHARDS, m_bits, k)
+    empty_seen = cands.limit(0).withColumn(
+        "shard_id", shard_id_col("url_hash", NUM_SHARDS)
+    )
+    out = filter_unseen(
+        cands, empty_shards, empty_seen, NUM_SHARDS, m_bits=m_bits, k_hashes=k
+    )
+    assert out.count() == 50
+    out.unpersist()
