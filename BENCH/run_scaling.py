@@ -92,19 +92,33 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--budget", type=int, default=4_000_000)
     ap.add_argument("--pairs", default="2:8,8:32")
+    ap.add_argument("--src", default=None, help="reuse an already-prepared frontier workdir")
     args = ap.parse_args()
 
     base = tempfile.mkdtemp(prefix="scaling-")
-    src_dir = os.path.join(base, "frontier-src")
+    src_dir = args.src or os.path.join(base, "frontier-src")
     params = dict(
         repo=REPO, n_urls=args.n_urls, n_hosts=args.n_hosts,
         shards=args.shards, budget=args.budget, seeds=args.seeds,
     )
-    print(f"preparing frontier ({args.seeds} seeds) in {src_dir} ...", flush=True)
-    out = run_py(
-        PREPARE_SRC.format(workdir=src_dir, **params),
-        {"SPARK_GRAFT_CPUS": "32", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "32"},
-    )
+    if args.src:
+        print(f"reusing prepared frontier at {src_dir}", flush=True)
+        count_src = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from spider_go_spark.session import get_spark\n"
+            "from spider_go_spark.tables.snapshot import Catalog\n"
+            "from spider_go_spark import schemas\n"
+            "t = Catalog(get_spark('scaling-count'), {workdir!r}).load("
+            "'frontier', schemas.with_crawl_id(schemas.FRONTIER))\n"
+            "print('PREPARED', t.snapshot().row_count)\n"
+        ).format(repo=REPO, workdir=src_dir)
+        out = run_py(count_src, {"SPARK_GRAFT_CPUS": "8"})
+    else:
+        print(f"preparing frontier ({args.seeds} seeds) in {src_dir} ...", flush=True)
+        out = run_py(
+            PREPARE_SRC.format(workdir=src_dir, **params),
+            {"SPARK_GRAFT_CPUS": "32", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "32"},
+        )
     frontier_rows = int(out.split("PREPARED")[1].split()[0])
     print(f"frontier: {frontier_rows} rows", flush=True)
 

@@ -242,6 +242,46 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def length_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE length-binning over the corpus — the export-sharding shape a
+    training pipeline uses to build similar-sized document buckets: decile
+    by (n_chars, doc_id) total order, then per-decile row count, char
+    bounds, and char mass.
+
+    Scale shape: NTILE over a global order is a single-partition sort at
+    naive scale; this formulation accepts that for the 10-bucket report
+    (the output is 10 rows), and at 10^9 docs the same result comes from
+    histogram_quantiles-style pre-bucketing — documented trade-off, the
+    decile SEMANTICS (ties broken by doc_id) are what the gate verifies."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    binned = d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+LENGTH_DECILES_SQL = """
+SELECT decile,
+       count(*)::BIGINT AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       sum(n_chars)::BIGINT AS total_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents
+)
+GROUP BY decile
+"""
+
+
 QUERIES = {
     "session_counts": session_counts,
     "value_percentiles": value_percentiles,
@@ -251,6 +291,7 @@ QUERIES = {
     "orders_by_month": orders_by_month,
     "name_string_kernel": name_string_kernel,
     "top_balances_per_nation": top_balances_per_nation,
+    "length_deciles": length_deciles,
 }
 
 ORACLES = {
@@ -262,4 +303,5 @@ ORACLES = {
     "orders_by_month": ORDERS_BY_MONTH_SQL,
     "name_string_kernel": NAME_STRING_KERNEL_SQL,
     "top_balances_per_nation": TOP_BALANCES_PER_NATION_SQL,
+    "length_deciles": LENGTH_DECILES_SQL,
 }

@@ -510,6 +510,101 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+_DUP_K = 5  # window width for the duplicated-n-gram signal
+
+
+def dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication signal (the RefinedWeb/Gopher
+    "fraction of duplicated n-grams" filter): per document, the share of
+    its 5-token windows whose window hash also occurs in ANOTHER document.
+    Emits (doc_id, n_windows, n_dup_windows, dup_ppm) for every doc with
+    at least one full window.
+
+    Scale shape: window hashes come from the slice-based HOF combiner
+    (pure codegen, no Python); duplicated-gram discovery is one hash agg
+    on the gram key (uniform by construction), and the per-doc rollup is a
+    semi-join on the same key plus a doc-keyed agg. No self-join, no
+    all-pairs — the same content-keyed equi-join shape the n-gram Jaccard
+    candidate stage uses, so it survives a 100× corpus."""
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf, "documents").repartition(par, "doc_id")
+    th = d.select("doc_id", tk.token_hashes(F.col("text")).alias("th"))
+    # materialization barrier: ship the token-hash array through an
+    # exchange so the window combiner reads a column, not a re-evaluated
+    # HOF expression (see _docs_hashes)
+    th = th.repartition(par, "doc_id")
+    wins = th.select(
+        "doc_id",
+        F.explode(tk.combine_windows("th", _DUP_K, distinct=False)).alias("gram"),
+    )
+    dup_grams = (
+        wins.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    totals = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    dups = (
+        wins.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    )
+    return (
+        totals.join(dups, "doc_id", "left")
+        .fillna({"n_dup_windows": 0})
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.floor(F.col("n_dup_windows") * 1_000_000 / F.col("n_windows"))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+# k=5 window fold, mirroring combine_windows(th, 5): h = th[i]; then
+# h = (h*1000003 + th[i+j]) % P for j = 1..4
+DUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM toks
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(th)-4, 0)),
+            i -> ((((((((th[i+1]*1000003 + th[i+2]) % 1000000007)
+                     * 1000003 + th[i+3]) % 1000000007)
+                     * 1000003 + th[i+4]) % 1000000007)
+                     * 1000003 + th[i+5]) % 1000000007))) AS gram
+  FROM th
+), dup_grams AS (
+  SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows FROM wins GROUP BY doc_id
+), dups AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_dup_windows
+  FROM wins w JOIN dup_grams USING (gram)
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       coalesce(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       (coalesce(d.n_dup_windows, 0) * 1000000) // t.n_windows AS dup_ppm
+FROM totals t LEFT JOIN dups d USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -521,6 +616,7 @@ QUERIES = {
     "simhash_values": simhash_values,
     "simhash_near_pairs": simhash_near_pairs,
     "text_normalize": text_normalize,
+    "dup_ngram_fraction": dup_ngram_fraction,
 }
 
 ORACLES = {
@@ -534,4 +630,5 @@ ORACLES = {
     "simhash_values": SIMHASH_VALUES_SQL,
     "simhash_near_pairs": SIMHASH_NEAR_PAIRS_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
+    "dup_ngram_fraction": DUP_NGRAM_SQL,
 }

@@ -265,12 +265,124 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# k-means step (Lloyd iteration) — integer fixed-point, value-exact oracle
+# --------------------------------------------------------------------------
+
+KM_K = 8
+KM_SCALE = 1_000_000
+# embeddings live in ~[-1, 1]; shifting the scaled ints by +KM_SHIFT makes
+# every value (and every per-dim sum) non-negative, so integer division is
+# floor division on BOTH engines (Spark `div` and DuckDB `//` truncate
+# toward zero — identical to floor only for non-negative operands)
+KM_SHIFT = 1_000_000
+
+
+def kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact Lloyd iteration over the embeddings: quantize to int64
+    fixed-point (floor(x·10^6), shifted non-negative), seed centroids from
+    vec_id < KM_K, assign every vector to its nearest centroid by integer
+    squared-L2 (ties → smallest centroid id), and emit per cluster: size,
+    inertia (Σ min-d²), and the updated centroid (element-wise floor-mean,
+    unshifted, comma-joined in dim order). Integer arithmetic end-to-end —
+    bit-identical on any engine and any partitioning, like pagerank_int.
+
+    Scale shape (10^9 vectors): centroids broadcast (K rows); assignment is
+    a map-side broadcast join + per-vector struct-min hash agg — NO window,
+    no O(N·C) shuffle (the IVF lesson); the centroid update explodes to
+    (cluster, dim) keys whose partial sums combine map-side, so the shuffle
+    carries ≤ K·D rows per task regardless of N."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(KM_SCALE))).cast("long")
+            + F.lit(KM_SHIFT),
+        ).alias("v"),
+    )
+    cent = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    j = e.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("vec_id", "v", "cid", d2.alias("d2"))
+    # deterministic argmin: struct-min on (d2, cid); v rides along, never
+    # compared ((d2, cid) is unique within a vec_id group)
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("cid"), F.col("v"))).alias("m")
+    ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"), F.col("m.v").alias("v"))
+    stats = best.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+    )
+    dims = (
+        best.select("cid", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+    )
+    coords = dims.select(
+        "cid", "dim", (F.expr("sx div cnt") - F.lit(KM_SHIFT)).alias("cq")
+    )
+    cents = coords.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda s: s["cq"].cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q")
+    )
+    return (
+        stats.join(cents, "cid")
+        .select(F.col("cid").alias("cluster_id"), "size", "inertia", "centroid_q")
+    )
+
+
+KMEANS_STEP_SQL = f"""
+WITH sq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT + {KM_SHIFT}) AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM sq WHERE vec_id < {KM_K}
+), scored AS (
+  SELECT s.vec_id, c.cid,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, {DIMS + 1}), i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))),
+           (a, b) -> a + b) AS d2
+  FROM sq s CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM scored
+  ) WHERE rk = 1
+), av AS (
+  SELECT a.vec_id, a.cid, a.d2, s.v FROM assign a JOIN sq s USING (vec_id)
+), dims AS (
+  SELECT cid, i AS dim, sum(v[i]) AS sx, count(*) AS cnt
+  FROM av, range(1, {DIMS + 1}) t(i)
+  GROUP BY cid, i
+), cents AS (
+  SELECT cid, string_agg((sx // cnt - {KM_SHIFT})::VARCHAR, ',' ORDER BY dim) AS centroid_q
+  FROM dims GROUP BY cid
+), stats AS (
+  SELECT cid, count(*)::BIGINT AS size, sum(d2)::BIGINT AS inertia FROM av GROUP BY cid
+)
+SELECT s.cid AS cluster_id, s.size, s.inertia, c.centroid_q
+FROM stats s JOIN cents c USING (cid)
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "kmeans_step": kmeans_step,
 }
 
 ORACLES = {
@@ -279,4 +391,5 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+    "kmeans_step": KMEANS_STEP_SQL,
 }
