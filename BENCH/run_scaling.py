@@ -72,6 +72,15 @@ print("ROUND", wall, m["n_assigned"], m["n_candidates"], m["n_new"])
 """
 
 
+def steal_jiffies() -> int:
+    """Hypervisor CPU-steal counter (/proc/stat cpu col 8) — recorded per
+    rep so polluted measurements are identifiable: this sandbox host shows
+    bursty multi-minute steal windows that inflate a rep 2×; best-of-reps
+    plus the recorded steal delta makes the aggregation auditable."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def run_py(src: str, env: dict[str, str], timeout: int = 3000) -> str:
     e = dict(os.environ)
     e.update(env)
@@ -126,9 +135,11 @@ def main() -> None:
     results: dict[int, dict] = {}
     for cores in cores_needed:
         walls = []
+        steals = []
         meta = None
         for rep in range(args.reps):
             wd = os.path.join(base, f"run-{cores}-{rep}")
+            s0 = steal_jiffies()
             out = run_py(
                 ROUND_SRC.format(src=src_dir, wd=wd, **params),
                 {
@@ -136,14 +147,21 @@ def main() -> None:
                     "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(max(cores, 2)),
                 },
             )
+            steal_s = (steal_jiffies() - s0) / 100.0  # jiffies @100Hz
             vals = out.split("ROUND")[1].split()
             wall, n_assigned = float(vals[0]), int(vals[1])
             meta = {"n_assigned": n_assigned, "n_candidates": int(vals[2]), "n_new": int(vals[3])}
             walls.append(wall)
-            print(f"cores={cores} rep={rep}: {wall:.1f}s  {n_assigned/wall:.0f} urls/s", flush=True)
+            steals.append(steal_s)
+            print(
+                f"cores={cores} rep={rep}: {wall:.1f}s  {n_assigned/wall:.0f} urls/s"
+                f"  (steal {steal_s:.0f} cpu-s)",
+                flush=True,
+            )
         best = min(walls)  # min = least interference on a shared host
         results[cores] = {
             "walls_sec": [round(w, 2) for w in walls],
+            "steal_cpu_sec": [round(s, 1) for s in steals],
             "best_wall_sec": round(best, 2),
             "median_wall_sec": round(statistics.median(walls), 2),
             "urls_per_sec": round(meta["n_assigned"] / best, 1),

@@ -48,6 +48,9 @@ HEADLINE = [
     "pack_sequences",         # sequence packing window
     "text_normalize",         # cleaning stage (pure codegen projection)
     "inverted_index_topterms",# explode → doc-freq agg → posting-head window
+    "dup_ngram_fraction",     # substring-dup filter (window-hash equi-join)
+    "bigram_lm_score",        # corpus LM model + re-join scoring
+    "kmeans_step",            # broadcast-centroid Lloyd iteration
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the

@@ -386,6 +386,58 @@ FROM top JOIN heads USING (term)
 """
 
 
+# --------------------------------------------------------------------------
+def corpus_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card composition report: per (source, lang) cell — document
+    count, char mass, floor-mean/min/max doc length, and the cell's share of
+    the corpus char mass in ppm. The first table any corpus release ships,
+    and the input to mixture-weight decisions (corpus_mix_weighted consumes
+    exactly these cells).
+
+    Scale shape: one hash agg on (source, lang) — low-cardinality uniform
+    keys, map-side partials — plus a broadcast of the single global-total
+    row back onto the cells (scalar cross join)."""
+    d = T(spark, sf, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("sum(n_chars) div count(1)").cast("bigint").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    total = d.agg(F.sum("n_chars").cast("bigint").alias("corpus_chars"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "min_chars",
+        "max_chars",
+        F.expr("(total_chars * 1000000) div corpus_chars")
+        .cast("bigint")
+        .alias("char_share_ppm"),
+    )
+
+
+CORPUS_SOURCE_STATS_SQL = """
+WITH cells AS (
+  SELECT source, lang,
+         count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         (sum(n_chars) // count(*))::BIGINT AS avg_chars,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars
+  FROM documents GROUP BY source, lang
+), total AS (
+  SELECT sum(n_chars)::BIGINT AS corpus_chars FROM documents
+)
+SELECT source, lang, n_docs, total_chars, avg_chars, min_chars, max_chars,
+       ((total_chars * 1000000) // corpus_chars)::BIGINT AS char_share_ppm
+FROM cells, total
+"""
+
+
 QUERIES = {
     "train_split_strata": train_split_strata,
     "corpus_mix_weighted": corpus_mix_weighted,
@@ -395,6 +447,7 @@ QUERIES = {
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
     "inverted_index_topterms": inverted_index_topterms,
+    "corpus_source_stats": corpus_source_stats,
 }
 
 ORACLES = {
@@ -406,4 +459,5 @@ ORACLES = {
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
     "inverted_index_topterms": INVERTED_INDEX_SQL,
+    "corpus_source_stats": CORPUS_SOURCE_STATS_SQL,
 }

@@ -282,6 +282,55 @@ GROUP BY decile
 """
 
 
+# --------------------------------------------------------------------------
+def moving_value_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit window-FRAME aggregate (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): per user, the 4-event moving sum/avg of the event value in
+    integer fixed-point (floor(value·10^6) — value-exact cross-engine; the
+    events table's values are non-negative so integer div ≡ floor div on
+    both engines). Completes the window family next to the analytic (lag),
+    ranking (row_number/ntile) and session-window queries.
+
+    Scale shape: one hash-partition shuffle on user_id + per-partition sort
+    — the same single-exchange shape as lag_interevent_gap; the frame is
+    bounded (4 rows) so the running state is O(1) per row."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    out = e.select(
+        "event_id",
+        "user_id",
+        F.sum("vq").over(w).alias("mov_sum_q"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("mov_n"),
+    )
+    return out.withColumn("mov_avg_q", F.expr("mov_sum_q div mov_n").cast("bigint"))
+
+
+MOVING_VALUE_AVG_SQL = """
+SELECT event_id, user_id, mov_sum_q, mov_n,
+       (mov_sum_q // mov_n)::BIGINT AS mov_avg_q
+FROM (
+  SELECT event_id, user_id,
+         (sum(vq) OVER w)::BIGINT AS mov_sum_q,
+         (count(*) OVER w)::BIGINT AS mov_n
+  FROM (SELECT event_id, user_id, ts,
+               floor(value * 1000000.0)::BIGINT AS vq FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
 QUERIES = {
     "session_counts": session_counts,
     "value_percentiles": value_percentiles,
@@ -292,6 +341,7 @@ QUERIES = {
     "name_string_kernel": name_string_kernel,
     "top_balances_per_nation": top_balances_per_nation,
     "length_deciles": length_deciles,
+    "moving_value_avg": moving_value_avg,
 }
 
 ORACLES = {
@@ -304,4 +354,5 @@ ORACLES = {
     "name_string_kernel": NAME_STRING_KERNEL_SQL,
     "top_balances_per_nation": TOP_BALANCES_PER_NATION_SQL,
     "length_deciles": LENGTH_DECILES_SQL,
+    "moving_value_avg": MOVING_VALUE_AVG_SQL,
 }

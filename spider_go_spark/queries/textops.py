@@ -605,6 +605,128 @@ FROM totals t LEFT JOIN dups d USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+def bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus LM quality score: train bigram counts on the whole
+    corpus, then score every document by its mean conditional bigram
+    frequency — per bigram occurrence (w1, w2) the integer proxy
+    p_ppm = floor(10^6 · c(w1,w2) / c(w1,·)), averaged (floor) over the
+    doc's bigrams. High score = the doc's word transitions are common in
+    the corpus (fluent/boilerplate); low = rare transitions (garbled or
+    novel text). Emits (doc_id, n_bigrams, lm_score_ppm) for docs with ≥ 2
+    tokens. Integer arithmetic end-to-end → value-exact cross-engine.
+
+    Scale shape (10^9 docs): bigram extraction is the slice/zip_with window
+    combiner (pure codegen); the count model is ONE hash agg keyed by the
+    bigram hash (uniform keys — map-side partials absorb hot bigrams, the
+    classic word-count shape); scoring re-joins docs' bigrams to the model
+    on the same content key. No all-pairs, no broadcast of the model
+    needed (equi-join; AQE may still choose broadcast when the vocabulary
+    is small). The bigram stream is derived three times (occurrences,
+    counts, scoring) — at scale persist/checkpoint it once; here the
+    lineage recompute is cheaper than a cache round-trip."""
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf, "documents").repartition(par, "doc_id")
+    th = d.select("doc_id", tk.token_hashes(F.col("text")).alias("th"))
+    # materialization barrier (see token_hashes docstring): ship th through
+    # an exchange so the slice combiner reads a column, not a re-evaluated
+    # HOF expression
+    th = th.repartition(par, "doc_id").filter(F.size("th") >= 2)
+    big = th.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("th"), 1, F.size("th") - 1).alias("w1"),
+                tk.combine_windows("th", 2, distinct=False).alias("g"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.g").alias("g"))
+    c2 = big.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        big.join(c2, ["w1", "g"])
+        .join(c1, "w1")
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("p_ppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr("sum(p_ppm) div count(1)").cast("bigint").alias("lm_score_ppm"),
+    )
+
+
+# bigram hash g = (th[i]·1000003 + th[i+1]) mod P — combine_windows(th, 2)
+BIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM toks
+), big AS (
+  SELECT doc_id, th[i] AS w1,
+         (th[i]*1000003 + th[i+1]) % 1000000007 AS g
+  FROM th, range(1, len(th)) t(i)
+  WHERE len(th) >= 2
+), c2 AS (
+  SELECT w1, g, count(*)::BIGINT AS c2 FROM big GROUP BY w1, g
+), c1 AS (
+  SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1
+), scored AS (
+  SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p_ppm
+  FROM big b JOIN c2 USING (w1, g) JOIN c1 USING (w1)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(p_ppm) // count(*))::BIGINT AS lm_score_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE-ish pre-tokenization classes — the GPT-2 pattern reduced to what Java
+# regex (Spark) and RE2 (DuckDB) match identically: letter runs, digit runs,
+# and non-space-non-alnum (punct) runs. No lookahead (RE2 has none).
+_BPE_WORD = "[A-Za-z]+"
+_BPE_NUM = "[0-9]+"
+_BPE_PUNCT = "[^\\sA-Za-z0-9]+"
+_BPE_ALL = f"{_BPE_WORD}|{_BPE_NUM}|{_BPE_PUNCT}"
+
+
+def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer (the GPT-2 regex family
+    restricted to its lookahead-free core): per document, the number of
+    letter-run / digit-run / punctuation-run pieces — the budget estimate a
+    training pipeline uses before paying for a real tokenizer pass
+    (whitespace counting over-merges 'foo,bar' and under-counts CJK-style
+    punctuation-dense text). Emits (doc_id, n_pieces, n_word_pieces,
+    n_num_pieces, n_punct_pieces).
+
+    Scale shape: a pure projection over the text column — regexp counting
+    inside whole-stage codegen, no Python, no shuffle."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_ALL)).cast("bigint").alias("n_pieces"),
+        F.regexp_count("text", F.lit(_BPE_WORD)).cast("bigint").alias("n_word_pieces"),
+        F.regexp_count("text", F.lit(_BPE_NUM)).cast("bigint").alias("n_num_pieces"),
+        F.regexp_count("text", F.lit(_BPE_PUNCT)).cast("bigint").alias("n_punct_pieces"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_ALL}'))::BIGINT AS n_pieces,
+       len(regexp_extract_all(text, '{_BPE_WORD}'))::BIGINT AS n_word_pieces,
+       len(regexp_extract_all(text, '{_BPE_NUM}'))::BIGINT AS n_num_pieces,
+       len(regexp_extract_all(text, '{_BPE_PUNCT}'))::BIGINT AS n_punct_pieces
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -617,6 +739,8 @@ QUERIES = {
     "simhash_near_pairs": simhash_near_pairs,
     "text_normalize": text_normalize,
     "dup_ngram_fraction": dup_ngram_fraction,
+    "bigram_lm_score": bigram_lm_score,
+    "bpe_token_count": bpe_token_count,
 }
 
 ORACLES = {
@@ -631,4 +755,6 @@ ORACLES = {
     "simhash_near_pairs": SIMHASH_NEAR_PAIRS_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "dup_ngram_fraction": DUP_NGRAM_SQL,
+    "bigram_lm_score": BIGRAM_LM_SQL,
+    "bpe_token_count": BPE_TOKEN_COUNT_SQL,
 }

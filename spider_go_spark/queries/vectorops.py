@@ -376,6 +376,74 @@ FROM stats s JOIN cents c USING (cid)
 """
 
 
+# --------------------------------------------------------------------------
+# int8-quantized ANN — the memory-scale path (4× smaller vectors, integer
+# dot products). Exact integer arithmetic → value-exact oracle.
+# --------------------------------------------------------------------------
+
+I8_SCALE = 127
+
+
+def ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 neighbors per query (vec_id < 5) under int8 scalar
+    quantization: q = floor(x·127) per dimension (embeddings live in
+    [-1, 1]), score = integer dot product, ties broken by neighbor_id.
+    This is the production memory-scale trick — a 10^9×64-d corpus drops
+    from 256 GB float32 to 64 GB int8, and the scoring loop is integer
+    SIMD — while this query also MEASURES the quantization's ranking drift
+    against ann_cosine_topk (same queries, same candidates).
+
+    Scale shape: identical to ann_cosine_topk (queries broadcast, one pass
+    over candidates, per-query top-k); the quantized column is a pure
+    projection so at scale you materialize it once next to the float
+    vectors and scan only the int8 copy."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(I8_SCALE))).cast("long"),
+        ).alias("qv"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c_qv"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    score = F.aggregate(
+        F.zip_with("q_qv", "c_qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("query_id", "neighbor_id", score.alias("score_i8"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_i8").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+ANN_INT8_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {I8_SCALE})::BIGINT) AS qv
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, {DIMS + 1}), i -> q.qv[i] * c.qv[i])),
+           (a, b) -> a + b) AS score_i8
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, score_i8, rank FROM (
+  SELECT query_id, neighbor_id, score_i8,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_i8 DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -383,6 +451,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "kmeans_step": kmeans_step,
+    "ann_int8_topk": ann_int8_topk,
 }
 
 ORACLES = {
@@ -392,4 +461,5 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "kmeans_step": KMEANS_STEP_SQL,
+    "ann_int8_topk": ANN_INT8_TOPK_SQL,
 }

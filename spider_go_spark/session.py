@@ -45,6 +45,11 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Local mode: the driver JVM runs every task. 16g is the measured
+        # sweet spot on this 128 GiB host: a 48g heap LOST 2-4× wall time
+        # (39 GB RSS → transparent-hugepage compaction stalls, 30% sys
+        # time, GC up 15×). On a cluster per-executor memory comes from
+        # spark-submit, not here.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # At 100 TB: ~128MB input splits; AQE coalesces small shuffle reads.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -144,3 +144,32 @@ def test_pagination_clamps(spark):
     page = list_page(df, F.col("k").desc(), page=2, page_size=10).collect()
     assert [r.k for r in page] == list(range(39, 29, -1))
     assert all(r.total == 50 and r.page == 2 and r.page_size == 10 for r in page)
+
+
+def test_kmeans_assignment_no_window(spark):
+    """The Lloyd-step cluster assignment must be broadcast-centroids +
+    struct-min hash agg — never a per-vector Window rank (the O(N·C)-row
+    shuffle the IVF audit above also forbids). Windows allowed: zero."""
+    from spider_go_spark.queries.vectorops import kmeans_step
+
+    plan = plan_of(kmeans_step(spark, SF))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # centroid side is broadcast (K rows), never shuffled against N vectors
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bpe_and_source_stats_plan_shapes(spark):
+    """bpe_token_count is a pure projection (no exchange at all);
+    corpus_source_stats is one partial+final hash agg pair per branch with
+    the scalar total broadcast back."""
+    from spider_go_spark.queries.pipelineops import corpus_source_stats
+    from spider_go_spark.queries.textops import bpe_token_count
+
+    bpe_plan = plan_of(bpe_token_count(spark, SF))
+    assert "Exchange" not in bpe_plan, bpe_plan
+    assert "*(1)" in bpe_plan  # whole-stage-codegen'd single stage
+
+    stats_plan = plan_of(corpus_source_stats(spark, SF))
+    assert "partial_" in stats_plan.lower() or "HashAggregate" in stats_plan
+    assert "BroadcastNestedLoopJoin" in stats_plan or "BroadcastExchange" in stats_plan

@@ -1,0 +1,172 @@
+"""Algorithmic invariants for the corpus-quality / quantized-vector queries
+(bigram LM score, duplicated-n-gram fraction, int8 ANN, k-means step,
+moving frame aggregate, length deciles). Cross-engine value parity is the
+driver gate's job; these pin semantics the SQL oracles can't express —
+pure-Python replays, recall vs the float baseline, partition invariance."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.queries import relational2, textops, vectorops
+
+SF = "/root/testdata/sf0.001"
+POLY_P = 1_000_000_007
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _py_token_hashes(text: str) -> list[int]:
+    out = []
+    for t in re.split(r"\s+", text):
+        if not t:
+            continue
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % POLY_P
+        out.append(h)
+    return out
+
+
+def test_bigram_lm_score_matches_python_oracle(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    c2: dict[tuple[int, int], int] = {}
+    c1: dict[int, int] = {}
+    doc_bigrams: dict[int, list[tuple[int, int]]] = {}
+    for did, text in docs.items():
+        th = _py_token_hashes(text)
+        bgs = list(zip(th, th[1:]))
+        if not bgs:
+            continue
+        doc_bigrams[did] = bgs
+        for w1, w2 in bgs:
+            c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    expected = {}
+    for did, bgs in doc_bigrams.items():
+        ppms = [(1_000_000 * c2[bg]) // c1[bg[0]] for bg in bgs]
+        expected[did] = (len(bgs), sum(ppms) // len(bgs))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_ppm"])
+        for r in textops.bigram_lm_score(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_dup_ngram_fraction_bounds_and_python_oracle(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    # replay: k=5 combined-window hashes, dup = window hash seen in >= 2 docs
+    win_sets: dict[int, list[int]] = {}
+    for did, text in docs.items():
+        th = _py_token_hashes(text)
+        wins = []
+        for i in range(len(th) - 4):
+            h = th[i]
+            for j in range(1, 5):
+                h = (h * 1_000_003 + th[i + j]) % POLY_P
+            wins.append(h)
+        if wins:
+            win_sets[did] = wins
+    owners: dict[int, set[int]] = {}
+    for did, wins in win_sets.items():
+        for h in set(wins):
+            owners.setdefault(h, set()).add(did)
+    expected = {}
+    for did, wins in win_sets.items():
+        dup = sum(1 for h in wins if len(owners[h]) >= 2)
+        expected[did] = (len(wins), dup, (dup * 1_000_000) // len(wins))
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ppm"])
+        for r in textops.dup_ngram_fraction(spark, SF).collect()
+    }
+    assert got == expected
+    assert all(0 <= v[2] <= 1_000_000 for v in got.values())
+
+
+def test_ann_int8_recall_vs_float_baseline(spark):
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vectorops.ann_cosine_topk(spark, SF).collect()
+    }
+    quant = vectorops.ann_int8_topk(spark, SF).collect()
+    q_pairs = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    queries = {q for q, _ in base}
+    assert {q for q, _ in q_pairs} == queries
+    # int8 quantization drifts the ranking only slightly: >= 60% top-10
+    # overlap with the float32 cosine baseline on every query
+    for q in queries:
+        b = {n for qq, n in base if qq == q}
+        g = {n for qq, n in q_pairs if qq == q}
+        assert len(b & g) >= 6, (q, sorted(b), sorted(g))
+    # per-query ranks are exactly 1..10 with integer scores
+    by_q: dict[int, list[int]] = {}
+    for r in quant:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_kmeans_step_invariants_and_partition_invariance(spark):
+    out = vectorops.kmeans_step(spark, SF)
+    rows = out.collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["size"] for r in rows) == n_vec
+    assert all(r["inertia"] >= 0 for r in rows)
+    assert {r["cluster_id"] for r in rows} <= set(range(vectorops.KM_K))
+    # seed centroids assign to themselves with distance 0 -> every seed's
+    # cluster is nonempty
+    assert len(rows) == vectorops.KM_K
+    a = _rows(out)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = _rows(vectorops.kmeans_step(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
+
+
+def test_moving_value_avg_python_replay(spark):
+    ev = [
+        (r["event_id"], r["user_id"], r["ts"], r["value"])
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    ]
+    import math
+
+    by_user: dict[int, list[tuple]] = {}
+    for eid, uid, ts, val in ev:
+        by_user.setdefault(uid, []).append((ts, eid, math.floor(val * 1_000_000.0)))
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        for i, (_, eid, _) in enumerate(rows):
+            frame = [vq for _, _, vq in rows[max(0, i - 3) : i + 1]]
+            s, n = sum(frame), len(frame)
+            # Spark `div` truncates toward zero; values are non-negative
+            # here, so truncation == floor division
+            expected[eid] = (uid, s, n, s // n)
+    got = {
+        r["event_id"]: (r["user_id"], r["mov_sum_q"], r["mov_n"], r["mov_avg_q"])
+        for r in relational2.moving_value_avg(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_length_deciles_balanced_partition(spark):
+    rows = relational2.length_deciles(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance guarantee
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    # decile char ranges are non-overlapping and ordered
+    ordered = sorted(rows, key=lambda r: r["decile"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert prev["max_chars"] <= cur["min_chars"]
