@@ -81,12 +81,17 @@ def steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
-def run_py(src: str, env: dict[str, str], timeout: int = 3000) -> str:
+def run_py(src: str, env: dict[str, str], timeout: int = 9000, cpus: str | None = None) -> str:
     e = dict(os.environ)
     e.update(env)
-    out = subprocess.run(
-        [sys.executable, "-c", src], capture_output=True, text=True, env=e, timeout=timeout
-    )
+    cmd = [sys.executable, "-c", src]
+    if cpus:
+        # Pin the whole process tree (JVM + Python workers) to exactly the
+        # advertised core count: an unpinned local[N] JVM spills GC/shuffle/IO
+        # threads onto idle host cores, overstating thr(N) at small N and
+        # understating scaling efficiency vs a real N-core executor.
+        cmd = ["taskset", "-c", cpus] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=e, timeout=timeout)
     if out.returncode != 0:
         raise RuntimeError(f"subprocess failed:\n{out.stderr[-3000:]}")
     return out.stdout
@@ -102,6 +107,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=4_000_000)
     ap.add_argument("--pairs", default="2:8,8:32")
     ap.add_argument("--src", default=None, help="reuse an already-prepared frontier workdir")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each local[N] run to exactly N CPUs (honest N-core machine)")
     args = ap.parse_args()
 
     base = tempfile.mkdtemp(prefix="scaling-")
@@ -146,6 +153,7 @@ def main() -> None:
                     "SPARK_GRAFT_CPUS": str(cores),
                     "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(max(cores, 2)),
                 },
+                cpus=f"0-{cores - 1}" if args.pin else None,
             )
             steal_s = (steal_jiffies() - s0) / 100.0  # jiffies @100Hz
             vals = out.split("ROUND")[1].split()
@@ -185,6 +193,7 @@ def main() -> None:
             "frontier_rows": frontier_rows, "round_fetches": results[cores_needed[0]]["n_assigned"],
             "seeds": args.seeds, "n_urls": args.n_urls, "n_hosts": args.n_hosts,
             "reps": args.reps, "aggregation": "best-of-reps (shared-host noise)",
+            "pinned": args.pin,
         },
         "per_cores": results,
         "pairs": pairs_out,
