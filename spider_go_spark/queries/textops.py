@@ -668,10 +668,14 @@ WITH toks AS (
                    (a, b) -> (a*31 + b) % 1000000007)) AS th
   FROM toks
 ), big AS (
-  SELECT doc_id, th[i] AS w1,
-         (th[i]*1000003 + th[i+1]) % 1000000007 AS g
-  FROM th, range(1, len(th)) t(i)
-  WHERE len(th) >= 2
+  -- range() here is the LIST function (column args allowed), not the
+  -- lateral table function (column args rejected by the 1.0 binder);
+  -- the two unnests zip positionally
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(th)), i -> th[i])) AS w1,
+         unnest(list_transform(range(1, len(th)),
+                i -> (th[i]*1000003 + th[i+1]) % 1000000007)) AS g
+  FROM th WHERE len(th) >= 2
 ), c2 AS (
   SELECT w1, g, count(*)::BIGINT AS c2 FROM big GROUP BY w1, g
 ), c1 AS (
