@@ -51,6 +51,7 @@ HEADLINE = [
     "dup_ngram_fraction",     # substring-dup filter (window-hash equi-join)
     "bigram_lm_score",        # corpus LM model + re-join scoring
     "kmeans_step",            # broadcast-centroid Lloyd iteration
+    "pq_ann_topk",            # product-quantization ADC shortlist + rerank
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the

@@ -731,6 +731,83 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction stage of a training-data pipeline.
+# Patterns restricted to what Java regex (Spark) and RE2 (DuckDB) match
+# identically: no lookaround, greedy character classes only.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction: replace email addresses and international-format phone
+    numbers with <EMAIL>/<PHONE> placeholders and count redactions per doc.
+    The synthetic corpus contains no organic PII, so the stage's input is a
+    deterministic augmentation (a contact line derived from doc_id/source/
+    n_chars appended to the text) — the regexes are genuinely exercised and
+    the md5 of the scrubbed text value-verifies the exact replacement
+    behavior cross-engine. Emits (doc_id, n_emails, n_phones, clean_len,
+    clean_md5).
+
+    Scale shape: pure projection — regexp count/replace inside whole-stage
+    codegen, no Python, no shuffle; at 100 TB this pins at scan speed."""
+    d = T(spark, sf, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.test or call +1-555-"),
+        F.lpad(F.pmod(F.col("n_chars"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(synth, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(synth, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("clean_len"),
+        F.md5(scrubbed).alias("clean_md5"),
+    )
+
+
+PII_SCRUB_SQL = (
+    """
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@' || source
+              || '.example.test or call +1-555-'
+              || lpad((n_chars % 10000)::VARCHAR, 4, '0') AS synth
+  FROM documents
+), r AS (
+  SELECT doc_id, synth,
+         regexp_replace(regexp_replace(synth, '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'), '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g') AS scrubbed
+  FROM s
+)
+SELECT doc_id,
+       len(regexp_extract_all(synth, '"""
+    + _PII_EMAIL
+    + """'))::BIGINT AS n_emails,
+       len(regexp_extract_all(synth, '"""
+    + _PII_PHONE
+    + """'))::BIGINT AS n_phones,
+       length(scrubbed)::BIGINT AS clean_len,
+       md5(scrubbed) AS clean_md5
+FROM r
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
@@ -745,6 +822,7 @@ QUERIES = {
     "dup_ngram_fraction": dup_ngram_fraction,
     "bigram_lm_score": bigram_lm_score,
     "bpe_token_count": bpe_token_count,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -761,4 +839,5 @@ ORACLES = {
     "dup_ngram_fraction": DUP_NGRAM_SQL,
     "bigram_lm_score": BIGRAM_LM_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

@@ -444,6 +444,299 @@ SELECT query_id, neighbor_id, score_i8, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the 16-32× memory-scale path. Codebook =
+# deterministic anchors (vec_id < PQ_CODES), int64 fixed-point throughout →
+# value-exact oracle.
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims → 8 × 8)
+PQ_SUBDIM = DIMS // PQ_M
+PQ_CODES = 16  # codebook entries per subspace
+PQ_SCALE = 1_000_000
+PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact rerank
+
+
+def _pq_quantize(col: Column) -> Column:
+    """floor(x·10^6) int64 lattice — only differences are taken downstream,
+    so no non-negativity shift is needed (cf. KM_SHIFT)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast("long")
+    )
+
+
+def _sub_d2(vec: Column, code_ints: list[int], s: int) -> Column:
+    """Integer squared-L2 between subspace s of ``vec`` and a literal code."""
+    lo = s * PQ_SUBDIM
+    cs = F.array(*[F.lit(int(x)) for x in code_ints[lo : lo + PQ_SUBDIM]])
+    vs = F.slice(vec, lo + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(vs, cs, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank, top-10 per query
+    (vec_id < 5). Stage 1 (ADC shortlist): each vector is encoded as PQ_M=8
+    one-byte codes (nearest of 16 codebook sub-vectors per 8-dim subspace,
+    integer squared-L2, ties → smallest code); queries shortlist the
+    PQ_SHORTLIST=50 nearest neighbors by asymmetric distance (exact query
+    sub-vector vs the neighbor's reconstructed codebook entries). Stage 2
+    (rerank): exact float cosine over shortlist members only, top-10. This
+    is the production memory-scale pattern beyond int8: a 10^9×64-d corpus
+    drops from 256 GB float32 to 8 GB of codes for the scan, and the floats
+    are touched for only Q·50 rows in the rerank.
+
+    Scale shape: the codebook (16×64 ints) is collected once at plan-build
+    time and inlined as literals (the ivf_topk lesson) — encoding is a PURE
+    PROJECTION (struct-min argmin per subspace, no join, no window, no
+    shuffle); ADC is the same broadcast-queries single corpus pass as
+    ann_cosine_topk, reading only the 8-code column, never the floats; the
+    rerank joins the tiny shortlist back to the float column by equi-key."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", _pq_quantize(F.col("embedding")).alias("v")
+    )
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < PQ_CODES).collect(), key=lambda r: r["vec_id"]
+    )
+    cb = [list(r["v"]) for r in cb_rows]
+
+    code_cols = []
+    for s in range(PQ_M):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_d2(F.col("v"), cb[c], s).alias("d2"),
+                        F.lit(c).alias("code"),
+                    )
+                    for c in range(PQ_CODES)
+                ]
+            )
+        )
+        code_cols.append(best["code"].alias(f"c{s}"))
+    enc = e.select("vec_id", "v", *code_cols)
+
+    q = enc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    c = enc.select(
+        F.col("vec_id").alias("neighbor_id"), *[F.col(f"c{s}") for s in range(PQ_M)]
+    )
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    cb_lit = F.array(*[F.array(*[F.lit(int(x)) for x in row]) for row in cb])
+    dist = F.lit(0).cast("long")
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM
+        code_vec = F.slice(
+            F.element_at(cb_lit, F.col(f"c{s}") + 1), lo + 1, PQ_SUBDIM
+        )
+        q_vec = F.slice(F.col("q_v"), lo + 1, PQ_SUBDIM)
+        dist = dist + F.aggregate(
+            F.zip_with(q_vec, code_vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    scored = j.select("query_id", "neighbor_id", dist.alias("dist_pq"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_pq").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    ef = T(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    qf = ef.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cf = ef.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    rer = shortlist.join(cf, "neighbor_id").join(F.broadcast(qf), "query_id")
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_PQ_SUB_D2 = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, {n}),"
+    " i -> ({a}[{off}+i]-{b}[{off}+i])*({a}[{off}+i]-{b}[{off}+i]))), (x, y) -> x + y)"
+)
+
+
+def _pq_sub_d2_sql(a: str, b: str, off: str) -> str:
+    return _PQ_SUB_D2.format(a=a, b=b, off=off, n=PQ_SUBDIM + 1)
+
+
+PQ_ANN_TOPK_SQL = f"""
+WITH sq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {PQ_SCALE})::BIGINT) AS v
+  FROM embeddings
+), cb AS (
+  SELECT vec_id::INT AS code_id, v AS cv FROM sq WHERE vec_id < {PQ_CODES}
+), subd AS (
+  SELECT v0.vec_id, t.ss, c.code_id,
+         {_pq_sub_d2_sql("v0.v", "c.cv", "t.ss*" + str(PQ_SUBDIM))} AS d2
+  FROM sq v0 CROSS JOIN range(0, {PQ_M}) t(ss) CROSS JOIN cb c
+), enc AS (
+  SELECT vec_id, ss, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, ss ORDER BY d2, code_id) AS rk
+    FROM subd
+  ) WHERE rk = 1
+), adc AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         sum({_pq_sub_d2_sql("q.v", "c.cv", "e.ss*" + str(PQ_SUBDIM))})::BIGINT AS dist_pq
+  FROM enc e JOIN cb c ON c.code_id = e.code_id
+  JOIN sq q ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist_pq ASC, neighbor_id ASC) AS adc_rank
+    FROM adc
+  ) WHERE adc_rank <= {PQ_SHORTLIST}
+), ef AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_dot_sql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM short s
+  JOIN ef c ON c.vec_id = s.neighbor_id
+  JOIN ef q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic near-dup pairs — the scale path for
+# embedding dedup (cluster first, compare only within clusters).
+# --------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # deterministic anchor centroids: vec_id < 8
+
+
+def semdedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every vector to its nearest
+    anchor centroid (integer squared-L2 on the 10^6 fixed-point lattice,
+    ties → smallest centroid id), then emit near-duplicate pairs (cosine ≥
+    0.4) ONLY within a cluster. Same threshold as embedding_near_dup_pairs,
+    so the output is exactly the subset of true near-dup pairs whose members
+    land in the same cluster — the recall/cost trade the SemDeDup recipe
+    makes at corpus scale.
+
+    Scale shape (10^9 vectors): assignment is a pure projection (centroids
+    collected once, inlined as literals, struct-min argmin — no join/window/
+    shuffle); the pair stage is an equi-join on cluster_id (candidate count
+    Σ|cluster|², not N²) — the all-pairs cosine join of
+    embedding_near_dup_pairs restricted to cluster-local work."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _pq_quantize(F.col("embedding")).alias("v"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def full_d2(vec: Column, cent: list[int]) -> Column:
+        ca = F.array(*[F.lit(int(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(vec, ca, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    full_d2(F.col("v"), list(r["v"])).alias("d2"),
+                    F.lit(int(r["vec_id"])).alias("cid"),
+                )
+                for r in cent_rows
+            ]
+        )
+    )
+    # eager localCheckpoint: one assignment pass feeds both join sides, no
+    # CacheManager entry leaked (same pattern as embedding_near_dup_pairs)
+    a = e.select(
+        "vec_id", "embedding", "nrm", best["cid"].cast("int").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    left = a.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    right = a.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = left.join(right, "cluster_id").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        j.select("cluster_id", "vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+SEMDEDUP_PAIRS_SQL = f"""
+WITH sq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> floor(x::DOUBLE * {PQ_SCALE})::BIGINT) AS v,
+         sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM sq WHERE vec_id < {SEMDEDUP_K}
+), scored AS (
+  SELECT s.vec_id, c.cid,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, {DIMS + 1}),
+           i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))), (a, b) -> a + b) AS d2
+  FROM sq s CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM scored
+  ) WHERE rk = 1
+)
+SELECT cluster_id, vec_id_a, vec_id_b, cosine FROM (
+  SELECT xa.cluster_id, x.vec_id AS vec_id_a, y.vec_id AS vec_id_b,
+         {_dot_sql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+  FROM assign xa JOIN assign ya ON xa.cluster_id = ya.cluster_id AND xa.vec_id < ya.vec_id
+  JOIN sq x ON x.vec_id = xa.vec_id
+  JOIN sq y ON y.vec_id = ya.vec_id
+) WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -452,6 +745,8 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "kmeans_step": kmeans_step,
     "ann_int8_topk": ann_int8_topk,
+    "pq_ann_topk": pq_ann_topk,
+    "semdedup_pairs": semdedup_pairs,
 }
 
 ORACLES = {
@@ -462,4 +757,6 @@ ORACLES = {
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "kmeans_step": KMEANS_STEP_SQL,
     "ann_int8_topk": ANN_INT8_TOPK_SQL,
+    "pq_ann_topk": PQ_ANN_TOPK_SQL,
+    "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
 }

@@ -4,6 +4,7 @@ moving frame aggregate, length deciles). Cross-engine value parity is the
 driver gate's job; these pin semantics the SQL oracles can't express —
 pure-Python replays, recall vs the float baseline, partition invariance."""
 
+import math
 import re
 
 import pytest
@@ -170,3 +171,95 @@ def test_length_deciles_balanced_partition(spark):
     ordered = sorted(rows, key=lambda r: r["decile"])
     for prev, cur in zip(ordered, ordered[1:]):
         assert prev["max_chars"] <= cur["min_chars"]
+
+
+# --------------------------------------------------------------------------
+# PQ ANN, SemDeDup, PII scrub (round-2 additions)
+# --------------------------------------------------------------------------
+
+SF01 = "/root/testdata/sf0.01"  # 500 embeddings — shortlist < corpus
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vectorops.ann_cosine_topk(spark, SF01).collect()
+    }
+    pq_rows = vectorops.pq_ann_topk(spark, SF01).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    assert len(exact & pq) / len(exact) >= 0.5  # measured 0.64 @ sf0.01
+    # the rerank stage reports EXACT cosines: any overlap pair's cosine must
+    # match the brute-force query bit-for-bit
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in vectorops.ann_cosine_topk(spark, SF01).collect()
+    }
+    for r in pq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def _py_cluster_assign(embs: dict[int, list[float]], k: int) -> dict[int, int]:
+    q = {
+        vid: [math.floor(float(x) * 1_000_000.0) for x in v]
+        for vid, v in embs.items()
+    }
+    cents = {cid: q[cid] for cid in range(k)}
+    out = {}
+    for vid, v in q.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, cv)), cid)
+            for cid, cv in cents.items()
+        )
+        out[vid] = best[1]
+    return out
+
+
+def test_semdedup_subset_and_cluster_scoped(spark):
+    sem_rows = vectorops.semdedup_pairs(spark, SF01).collect()
+    assert sem_rows
+    pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in sem_rows}
+    full = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in vectorops.embedding_near_dup_pairs(spark, SF01).collect()
+    }
+    assert pairs <= full  # SemDeDup = near-dup pairs restricted to clusters
+    embs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{SF01}/embeddings.parquet").collect()
+    }
+    assign = _py_cluster_assign(embs, vectorops.SEMDEDUP_K)
+    for r in sem_rows:
+        assert assign[r["vec_id_a"]] == r["cluster_id"]
+        assert assign[r["vec_id_b"]] == r["cluster_id"]
+    # and completeness: every full near-dup pair in one cluster IS emitted
+    expected = {(a, b) for a, b in full if assign[a] == assign[b]}
+    assert pairs == expected
+
+
+def test_pii_scrub_matches_python(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone_re = re.compile(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}")
+    expected = {}
+    for r in docs:
+        synth = (
+            f"{r['text']} contact user{r['doc_id']}@{r['source']}"
+            f".example.test or call +1-555-{r['n_chars'] % 10000:04d}"
+        )
+        scrubbed = phone_re.sub("<PHONE>", email_re.sub("<EMAIL>", synth))
+        expected[r["doc_id"]] = (
+            len(email_re.findall(synth)),
+            len(phone_re.findall(synth)),
+            len(scrubbed),
+            hashlib.md5(scrubbed.encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["clean_len"], r["clean_md5"])
+        for r in textops.pii_scrub(spark, SF).collect()
+    }
+    assert got == expected
+    assert all(v[0] >= 1 and v[1] >= 1 for v in got.values())  # regexes fired
