@@ -76,6 +76,12 @@ def main() -> None:
     spark = get_spark("spider-go-spark-bench")
     qs = entry_mod.queries()
 
+    # untimed JVM/codegen warm-up: a scan + shuffle + noop write so the
+    # first timed query doesn't absorb session bring-up (~5-10 s of JIT,
+    # Arrow allocator and committer init that no operator owns)
+    warm = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    materialize(warm.repartition(4, "n_regionkey").groupBy("n_regionkey").count())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     for name in HEADLINE:
