@@ -465,15 +465,19 @@ def _pq_quantize(col: Column) -> Column:
     )
 
 
-def _sub_d2(vec: Column, code_ints: list[int], s: int) -> Column:
-    """Integer squared-L2 between subspace s of ``vec`` and a literal code."""
+def _long_array_sql(xs: list[int]) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
+
+
+def _sub_d2_sql(vec: str, code_ints: list[int], s: int) -> str:
+    """Integer squared-L2 between subspace s of ``vec`` and a literal code —
+    as a SQL expression string: building 128 of these through the py4j
+    Column API costs seconds of driver time; one parse of a string doesn't."""
     lo = s * PQ_SUBDIM
-    cs = F.array(*[F.lit(int(x)) for x in code_ints[lo : lo + PQ_SUBDIM]])
-    vs = F.slice(vec, lo + 1, PQ_SUBDIM)
-    return F.aggregate(
-        F.zip_with(vs, cs, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    cs = _long_array_sql(code_ints[lo : lo + PQ_SUBDIM])
+    return (
+        f"aggregate(zip_with(slice({vec}, {lo + 1}, {PQ_SUBDIM}), {cs},"
+        " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
     )
 
 
@@ -505,18 +509,11 @@ def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     code_cols = []
     for s in range(PQ_M):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sub_d2(F.col("v"), cb[c], s).alias("d2"),
-                        F.lit(c).alias("code"),
-                    )
-                    for c in range(PQ_CODES)
-                ]
-            )
+        structs = ", ".join(
+            f"struct({_sub_d2_sql('v', cb[c], s)} as d2, {c} as code)"
+            for c in range(PQ_CODES)
         )
-        code_cols.append(best["code"].alias(f"c{s}"))
+        code_cols.append(F.expr(f"array_min(array({structs})).code").alias(f"c{s}"))
     enc = e.select("vec_id", "v", *code_cols)
 
     q = enc.filter(F.col("vec_id") < N_QUERIES).select(
@@ -527,19 +524,22 @@ def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
 
-    cb_lit = F.array(*[F.array(*[F.lit(int(x)) for x in row]) for row in cb])
-    dist = F.lit(0).cast("long")
+    # per-subspace codebook slices as literal array<array<long>> — the ADC
+    # lookup only ever reads subspace s of code row c
+    terms = []
     for s in range(PQ_M):
         lo = s * PQ_SUBDIM
-        code_vec = F.slice(
-            F.element_at(cb_lit, F.col(f"c{s}") + 1), lo + 1, PQ_SUBDIM
+        cbs = (
+            "array("
+            + ",".join(_long_array_sql(row[lo : lo + PQ_SUBDIM]) for row in cb)
+            + ")"
         )
-        q_vec = F.slice(F.col("q_v"), lo + 1, PQ_SUBDIM)
-        dist = dist + F.aggregate(
-            F.zip_with(q_vec, code_vec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        terms.append(
+            f"aggregate(zip_with(slice(q_v, {lo + 1}, {PQ_SUBDIM}),"
+            f" element_at({cbs}, c{s} + 1),"
+            " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
         )
+    dist = F.expr(" + ".join(terms))
     scored = j.select("query_id", "neighbor_id", dist.alias("dist_pq"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_pq").asc(), F.col("neighbor_id").asc()
@@ -665,25 +665,14 @@ def semdedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         key=lambda r: r["vec_id"],
     )
 
-    def full_d2(vec: Column, cent: list[int]) -> Column:
-        ca = F.array(*[F.lit(int(x)) for x in cent])
-        return F.aggregate(
-            F.zip_with(vec, ca, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    full_d2(F.col("v"), list(r["v"])).alias("d2"),
-                    F.lit(int(r["vec_id"])).alias("cid"),
-                )
-                for r in cent_rows
-            ]
-        )
+    structs = ", ".join(
+        "struct(aggregate(zip_with(v, "
+        + _long_array_sql(list(r["v"]))
+        + ", (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
+        + f" as d2, {int(r['vec_id'])} as cid)"
+        for r in cent_rows
     )
+    best = F.expr(f"array_min(array({structs}))")
     # eager localCheckpoint: one assignment pass feeds both join sides, no
     # CacheManager entry leaked (same pattern as embedding_near_dup_pairs)
     a = e.select(
