@@ -110,6 +110,10 @@ class CrawlConfig:
     round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS
     salt_n: int = DEFAULT_SALT_N
     max_rounds: int = 10
+    # crawl-depth cap (0 = unlimited): candidates deeper than this never
+    # enter the frontier — the first-line crawler-trap guard (see also the
+    # URL-shape trap filter, queries/crawlq.url_trap_filter)
+    max_depth: int = 0
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -126,7 +130,7 @@ class CrawlConfig:
         parts = (
             self.n_urls, self.n_hosts, self.num_shards, self.expected_urls,
             self.default_budget, self.round_budget_ms, self.salt_n,
-            self.frontier_buckets,
+            self.frontier_buckets, self.max_depth,
         )
         return "-".join(str(p) for p in parts)
 
@@ -652,6 +656,10 @@ class CrawlEngine:
             (F.col("parent_depth") + 1).alias("depth"),
             (F.col("fetch_rank") * LINK_STRIDE + F.col("pos")).alias("discovery_rank"),
         )
+        # depth cap BEFORE canonicalize/hash/dedup: over-deep links never
+        # cost a shuffle (and the frontier can't be flooded by trap loops)
+        if self.cfg.max_depth:
+            raw = raw.filter(F.col("depth") <= self.cfg.max_depth)
         candidates = self._candidates_from_raw(raw, rnd + 1)
 
         # assigned rows leave the frontier inside _enqueue's partition-scoped

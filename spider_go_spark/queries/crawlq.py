@@ -148,14 +148,93 @@ FROM r WHERE host_rank <= budget
 """
 
 
+def url_trap_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawler-trap detection by URL shape — the guard every frontier needs
+    before enqueueing extracted links (calendar pages, session-id loops and
+    mirror recursion otherwise fill 10^10-URL frontiers with junk). Rules,
+    applied in precedence order per URL: ``too_deep`` (path depth > 6),
+    ``repeat_loop`` (depth ≥ 4 with ≤ 2 distinct segments — the self-similar
+    path signature of a trap), ``too_long`` (> 70 chars), else ``ok``.
+
+    URLs are synthesized deterministically from lineitem (same recipe style
+    as schedule_one_round) so the rule arithmetic is value-exact
+    cross-engine. Emits (url_norm, depth, n_uniq_segments, url_len,
+    verdict).
+
+    Scale shape: pure projection (sequence/transform/array_distinct inside
+    codegen, no Python, no shuffle) — at enqueue time this pins at the link
+    stream's scan speed."""
+    from spider_go_spark.queries import T
+
+    li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    d = (F.lit(1) + F.col("l_orderkey") % 9).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.concat(
+            F.lit("s"), ((F.col("l_partkey") + i * i) % 3).cast("string")
+        ),
+    )
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("l_suppkey") % 25).cast("string"),
+        F.lit(".example.test/"),
+        F.array_join(segs, "/"),
+    )
+    base = li.select(
+        url.alias("url_norm"),
+        d.alias("depth"),
+        F.size(F.array_distinct(segs)).alias("n_uniq_segments"),
+        F.length(url).cast("bigint").alias("url_len"),
+    )
+    verdict = (
+        F.when(F.col("depth") > 6, F.lit("too_deep"))
+        .when(
+            (F.col("depth") >= 4) & (F.col("n_uniq_segments") <= 2),
+            F.lit("repeat_loop"),
+        )
+        .when(F.col("url_len") > 70, F.lit("too_long"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.withColumn("verdict", verdict)
+
+
+URL_TRAP_FILTER_SQL = """
+WITH base AS (
+  SELECT 'http://h' || (l_suppkey % 25)::VARCHAR || '.example.test/'
+           || array_to_string(segs, '/') AS url_norm,
+         d AS depth,
+         len(list_distinct(segs))::INT AS n_uniq_segments
+  FROM (
+    SELECT l_suppkey, d,
+           list_transform(range(0, d),
+             i -> 's' || ((l_partkey + i*i) % 3)::VARCHAR) AS segs
+    FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             (1 + l_orderkey % 9)::INT AS d
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    )
+  )
+)
+SELECT url_norm, depth, n_uniq_segments,
+       length(url_norm)::BIGINT AS url_len,
+       CASE WHEN depth > 6 THEN 'too_deep'
+            WHEN depth >= 4 AND n_uniq_segments <= 2 THEN 'repeat_loop'
+            WHEN length(url_norm) > 70 THEN 'too_long'
+            ELSE 'ok' END AS verdict
+FROM base
+"""
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
+    "url_trap_filter": url_trap_filter,
 }
 
 # The iterative crawl queries are non-SQL-expressible (rows-only checks);
 # the single scheduling round has a full value-exact oracle.
 ORACLES: dict[str, str] = {
     "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
+    "url_trap_filter": URL_TRAP_FILTER_SQL,
 }

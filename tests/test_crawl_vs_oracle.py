@@ -166,3 +166,38 @@ def test_fetch_passthrough_columns(spark):
     a = sorted(map(tuple, plain.select("doc_id", "url_norm", "status").collect()))
     b = sorted(map(tuple, passed.select("doc_id", "url_norm", "status").collect()))
     assert a == b
+
+
+def test_max_depth_caps_frontier(spark, tmp_path_factory):
+    """max_depth=1 with unbounded budget fetches exactly the seeds plus the
+    seeds' direct links (the depth-filtered slice of the unlimited crawl),
+    and the crawl terminates on its own when every candidate is over-deep."""
+    seeds_df = make_seeds(spark, 15, 200, 4)
+
+    cfg_all = CrawlConfig(
+        workdir=str(tmp_path_factory.mktemp("nodepth")),
+        n_urls=200, n_hosts=4, num_shards=4,
+        default_budget=100_000, max_rounds=3,
+    )
+    eng_all = CrawlEngine(spark, cfg_all)
+    eng_all.crawl(seeds=seeds_df, max_rounds=3)
+    # with an unbounded budget nothing is ever deferred, so a URL's fetch
+    # round is its discovery depth + 1 (round 0 only injects seeds)
+    docs_all = eng_all.fetched_docs.read().select("url_norm", "round").collect()
+
+    cfg_cap = CrawlConfig(
+        workdir=str(tmp_path_factory.mktemp("depth1")),
+        n_urls=200, n_hosts=4, num_shards=4,
+        default_budget=100_000, max_rounds=6,  # extra rounds: must self-stop
+        max_depth=1,
+    )
+    eng_cap = CrawlEngine(spark, cfg_cap)
+    history = eng_cap.crawl(seeds=seeds_df, max_rounds=6)
+    docs_cap = eng_cap.fetched_docs.read().select("url_norm", "round").collect()
+
+    assert max(r["round"] for r in docs_cap) <= 2  # depth ≤ 1 ⇒ round ≤ 2
+    # the capped fetch set is exactly the unlimited run's depth ≤ 1 slice
+    expected = {r["url_norm"] for r in docs_all if r["round"] <= 2}
+    assert {r["url_norm"] for r in docs_cap} == expected
+    # terminated by frontier exhaustion, not by the round limit
+    assert len(history) < 6
