@@ -46,6 +46,7 @@ class OracleEntry:
     priority: float
     discovered_round: int
     discovery_rank: int
+    attempt: int = 0  # fetch attempts already consumed (retry entries ≥ 1)
 
     def order_key(self):
         return (-self.priority, self.discovered_round, self.discovery_rank, self.url_norm)
@@ -71,6 +72,9 @@ def crawl_oracle(
     default_budget: int = 10,
     round_budget_ms: int = 10_000,
     max_rounds: int = 10,
+    retry_max_attempts: int = 1,
+    retry_backoff_rounds: int = 1,
+    transient_every: int = 0,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
@@ -139,7 +143,13 @@ def crawl_oracle(
         new_candidates: list[tuple[tuple, str, OracleEntry]] = []
         for fetch_rank, e in enumerate(assignments, start=1):
             node = int(node_id_of_url(pd.Series([e.url_norm])).iloc[0])
-            status = str(status_of_nodes(np.array([node]))[0])
+            status = str(
+                status_of_nodes(
+                    np.array([node]),
+                    attempts=np.array([e.attempt]),
+                    transient_every=transient_every,
+                )[0]
+            )
             res.fetched.append(
                 {"round": rnd, "fetch_rank": fetch_rank, "url_norm": e.url_norm, "status": status}
             )
@@ -155,6 +165,19 @@ def crawl_oracle(
                         discovery_rank=e.discovery_rank,
                     ),
                     rnd + k,
+                )
+            if status != "200" and e.attempt + 1 < retry_max_attempts:
+                # retry-with-backoff; overwrites (= takes precedence over)
+                # any policy revisit of the same URL, like the engine's
+                # left-anti precedence
+                nxt = rnd + retry_backoff_rounds
+                revisit[e.url_norm] = (
+                    OracleEntry(
+                        url=e.url, url_norm=e.url_norm, host=e.host, depth=e.depth,
+                        priority=e.priority, discovered_round=nxt,
+                        discovery_rank=e.discovery_rank, attempt=e.attempt + 1,
+                    ),
+                    nxt,
                 )
             if status != "200":
                 continue

@@ -114,6 +114,14 @@ class CrawlConfig:
     # enter the frontier — the first-line crawler-trap guard (see also the
     # URL-shape trap filter, queries/crawlq.url_trap_filter)
     max_depth: int = 0
+    # fetch retry-with-backoff: a non-200 fetch re-enters the scheduler via
+    # the revisit queue after retry_backoff_rounds, until it has consumed
+    # retry_max_attempts attempts. 1 = single attempt (no retry, default).
+    retry_max_attempts: int = 1
+    retry_backoff_rounds: int = 1
+    # synthetic-fetcher failure injection: 1/N of nodes 503 on their first
+    # attempt and succeed on retries (0 = off; see webgraph.status_of_nodes)
+    transient_every: int = 0
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -130,7 +138,8 @@ class CrawlConfig:
         parts = (
             self.n_urls, self.n_hosts, self.num_shards, self.expected_urls,
             self.default_budget, self.round_budget_ms, self.salt_n,
-            self.frontier_buckets, self.max_depth,
+            self.frontier_buckets, self.max_depth, self.retry_max_attempts,
+            self.retry_backoff_rounds, self.transient_every,
         )
         return "-".join(str(p) for p in parts)
 
@@ -559,14 +568,19 @@ class CrawlEngine:
         # duplicates.
         # (skipped entirely — no extra jobs — when the policy has no revisit
         # intervals and the queue is empty; row_count is manifest metadata)
+        use_retry = self.cfg.retry_max_attempts > 1
         use_revisit = self._has_revisit or self.revisit.snapshot().row_count > 0
         pool = frontier
+        if use_retry or use_revisit:
+            # attempt rides through scheduling + fetch so the retry path
+            # knows how many attempts a row has consumed
+            pool = pool.withColumn("attempt", F.lit(0).cast("int"))
         if use_revisit:
             rev_all = self.revisit.read()
             eligible = rev_all.filter(
                 self._cid & (F.col("next_round") <= F.lit(rnd))
             ).drop("next_round")
-            pool = frontier.unionByName(eligible)
+            pool = pool.unionByName(eligible)
         with _timed(phases, "schedule_rank"):
             assignments = schedule_round(
                 pool,
@@ -599,9 +613,15 @@ class CrawlEngine:
         # priority/depth ride through the fetch so link extraction needs no
         # join back to the assignment set (at 10^7 fetches/round that join
         # shuffled every extracted link against every assignment)
+        pt: tuple[str, ...] = ("priority", "depth")
+        if use_retry:
+            # retry entries must round-trip the full frontier identity; the
+            # extra int columns through the Arrow fetch avoid a join of the
+            # failure set back against the assignments
+            pt += ("attempt", "parent_hash", "discovery_rank", "host_hash")
         fetched = synthetic_fetch(
             fetch_input, self.cfg.n_urls, self.cfg.n_hosts,
-            passthrough=("priority", "depth"),
+            passthrough=pt, transient_every=self.cfg.transient_every,
         ).persist()
         doc_cols = [f.name for f in schemas.FETCHED_DOCS.fields]
         with _timed(phases, "fetch_write"):
@@ -684,7 +704,7 @@ class CrawlEngine:
         # interval (re)enter with next_round = rnd + k. A URL not scheduled
         # this round (over budget) stays queued and eligible.
         n_pending = 0
-        if use_revisit:
+        if use_revisit or use_retry:
             t_rev = time.time()
             keys = ["crawl_id", "url_hash", "url_norm"]
             nr = (F.lit(rnd) + F.col("revisit_after_rounds")).cast("int")
@@ -697,8 +717,31 @@ class CrawlEngine:
                 nr.alias("discovered_round"),  # re-enters the scheduler order
                 # at its eligibility round
                 "discovery_rank",
+                F.lit(0).cast("int").alias("attempt"),  # successful fetch resets
                 nr.alias("next_round"),
             )
+            if use_retry:
+                # retry-with-backoff: non-200 fetches with attempts left
+                # re-enter the queue; built off the persisted fetch output
+                # (identity columns rode through as passthrough — no join
+                # back against the assignment set)
+                nxt = F.lit(rnd + self.cfg.retry_backoff_rounds).cast("int")
+                retry_entries = fetched.filter(
+                    (F.col("status") != "200")
+                    & (F.col("attempt") < F.lit(self.cfg.retry_max_attempts - 1))
+                ).select(
+                    F.lit(self.cfg.crawl_id).alias("crawl_id"),
+                    "url", "url_norm", "url_hash", "host", "host_hash",
+                    "depth", "priority", "parent_hash",
+                    nxt.alias("discovered_round"),
+                    "discovery_rank",
+                    (F.col("attempt") + 1).cast("int").alias("attempt"),
+                    nxt.alias("next_round"),
+                )
+                # a failed fetch's retry beats its host's policy revisit
+                new_revisits = new_revisits.join(
+                    retry_entries.select(*keys), keys, "left_anti"
+                ).unionByName(retry_entries)
             touched_rev = assigned_buckets
             remaining = self.revisit.read_buckets(touched_rev).join(
                 assignments.select(*keys), keys, "left_anti"

@@ -110,7 +110,13 @@ HOST_POLICY = T.StructType(
 # (pmod(url_hash, frontier_buckets)) so consuming/inserting rows is a
 # partition-scoped rewrite.
 REVISIT = T.StructType(
-    [*FRONTIER.fields, T.StructField("next_round", T.IntegerType(), False)]
+    [
+        *FRONTIER.fields,
+        # fetch attempts already consumed (retry-with-backoff entries carry
+        # attempt ≥ 1; policy revisits reset to 0)
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("next_round", T.IntegerType(), False),
+    ]
 )
 
 # --- fetched documents (round output) --------------------------------------

@@ -144,11 +144,32 @@ def spans_of_nodes(
     return out
 
 
-def status_of_nodes(node_ids: np.ndarray) -> np.ndarray:
-    """~5% deterministic 404s (no spans, no links extracted downstream)."""
-    return np.where(
-        (_mix(node_ids.astype(np.uint64), 8) % np.uint64(20)) == np.uint64(0), "404", "200"
-    )
+def status_of_nodes(
+    node_ids: np.ndarray,
+    attempts: np.ndarray | None = None,
+    transient_every: int = 0,
+) -> np.ndarray:
+    """~5% deterministic permanent 404s (no spans, no links extracted
+    downstream). With ``transient_every`` = N > 0, an additional disjoint
+    1/N of nodes fail with a transient 503 on their FIRST fetch attempt and
+    succeed on any retry (``attempts`` ≥ 1) — the deterministic stand-in for
+    real-world transient fetch failures, exercised by the engine's
+    retry-with-backoff path. Default (0) keeps the historical status
+    function bit-for-bit."""
+    u = node_ids.astype(np.uint64)
+    perm404 = (_mix(u, 8) % np.uint64(20)) == np.uint64(0)
+    status = np.where(perm404, "404", "200")
+    if transient_every:
+        trans = (~perm404) & (
+            (_mix(u, 12) % np.uint64(transient_every)) == np.uint64(0)
+        )
+        att = (
+            attempts.astype(np.int64)
+            if attempts is not None
+            else np.zeros(len(node_ids), dtype=np.int64)
+        )
+        status = np.where(trans & (att == 0), "503", status)
+    return status
 
 
 def node_id_of_url(url_norm: pd.Series) -> pd.Series:
@@ -175,6 +196,7 @@ def synthetic_fetch(
     n_urls: int,
     n_hosts: int,
     passthrough: tuple[str, ...] = (),
+    transient_every: int = 0,
 ) -> DataFrame:
     """mapInPandas fetch+parse: assignment rows → FETCHED_DOCS rows.
 
@@ -202,7 +224,8 @@ def synthetic_fetch(
             if len(pdf) == 0:
                 continue
             nodes = node_id_of_url(pdf["url_norm"]).to_numpy()
-            status = status_of_nodes(nodes)
+            att = pdf["attempt"].to_numpy() if "attempt" in pdf.columns else None
+            status = status_of_nodes(nodes, attempts=att, transient_every=transient_every)
             ok = status == "200"
             spans: list[list[dict]] = [[] for _ in range(len(pdf))]
             links: list[list[str]] = [[] for _ in range(len(pdf))]
