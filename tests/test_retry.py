@@ -107,3 +107,34 @@ def test_no_retry_by_default(spark, tmp_path_factory):
     docs = engine.fetched_docs.read()
     assert docs.count() == docs.select("url_norm").distinct().count()
     assert docs.filter(F.col("status") == "503").count() == 0
+
+
+def test_retry_survives_resume(spark, tmp_path):
+    """Stop between rounds with retries pending; the resumed engine must
+    produce the identical fetch log incl. the retry fetches (retry entries
+    live in the checkpointed revisit queue)."""
+    seeds = make_seeds(spark, 15, N_URLS, N_HOSTS)
+    kwargs = dict(
+        n_urls=N_URLS, n_hosts=N_HOSTS, num_shards=4,
+        retry_max_attempts=2, retry_backoff_rounds=1,
+        transient_every=TRANSIENT_EVERY,
+    )
+
+    def log(e):
+        return sorted(
+            (r["round"], r["fetch_rank"], r["url_norm"], r["status"])
+            for r in e.fetched_docs.read()
+            .select("round", "fetch_rank", "url_norm", "status")
+            .collect()
+        )
+
+    full = CrawlEngine(spark, CrawlConfig(workdir=str(tmp_path / "full"), **kwargs))
+    full.crawl(seeds=seeds, max_rounds=5)
+
+    cfg_part = CrawlConfig(workdir=str(tmp_path / "part"), **kwargs)
+    # stop right after the first fetch round — its 503s' retries are queued
+    CrawlEngine(spark, cfg_part).crawl(seeds=seeds, max_rounds=1)
+    resumed = CrawlEngine(spark, cfg_part)
+    resumed.crawl(max_rounds=5)
+    assert log(full) == log(resumed)
+    assert any(s == "503" for _, _, _, s in log(full))
