@@ -27,6 +27,7 @@ import numpy as np
 from spider_go_spark.functions.robots import robots_allowed_one
 from spider_go_spark.functions.urls import canonicalize_one, host_of_one, path_of_series
 from spider_go_spark.sources.webgraph import (
+    content_hash_of_nodes,
     node_id_of_url,
     out_links_of_nodes,
     status_of_nodes,
@@ -47,6 +48,8 @@ class OracleEntry:
     discovered_round: int
     discovery_rank: int
     attempt: int = 0  # fetch attempts already consumed (retry entries ≥ 1)
+    last_hash: int | None = None  # content hash at last successful fetch
+    interval: int | None = None  # revisit interval that produced next_round
 
     def order_key(self):
         return (-self.priority, self.discovered_round, self.discovery_rank, self.url_norm)
@@ -75,6 +78,9 @@ def crawl_oracle(
     retry_max_attempts: int = 1,
     retry_backoff_rounds: int = 1,
     transient_every: int = 0,
+    adaptive_revisit: bool = False,
+    revisit_max_interval: int = 16,
+    change_period: int = 0,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
@@ -155,27 +161,52 @@ def crawl_oracle(
             )
             frontier.pop(e.url_norm, None)  # revisit-sourced rows aren't here
             revisit.pop(e.url_norm, None)
+            chash = int(
+                content_hash_of_nodes(
+                    np.array([node]), np.array([rnd]), change_period
+                )[0]
+            )
             k = host_policy.get(e.host, {}).get("revisit_after_rounds") or 0
             if k > 0:  # (re)schedule the refetch; re-enters the scheduler
-                # order at its eligibility round
+                # order at its eligibility round. Adaptive (change-detection)
+                # mode: unchanged content doubles the interval up to the cap;
+                # a change or a failed refetch resets to the policy base, and
+                # last_hash only advances on a 200.
+                if (
+                    adaptive_revisit
+                    and status == "200"
+                    and e.last_hash is not None
+                    and e.last_hash == chash
+                ):
+                    interval = min((e.interval or k) * 2, revisit_max_interval)
+                else:
+                    interval = k
+                if adaptive_revisit:
+                    last = chash if status == "200" else e.last_hash
+                else:
+                    last = None
                 revisit[e.url_norm] = (
                     OracleEntry(
                         url=e.url, url_norm=e.url_norm, host=e.host, depth=e.depth,
-                        priority=e.priority, discovered_round=rnd + k,
+                        priority=e.priority, discovered_round=rnd + interval,
                         discovery_rank=e.discovery_rank,
+                        last_hash=last, interval=interval,
                     ),
-                    rnd + k,
+                    rnd + interval,
                 )
             if status != "200" and e.attempt + 1 < retry_max_attempts:
                 # retry-with-backoff; overwrites (= takes precedence over)
                 # any policy revisit of the same URL, like the engine's
-                # left-anti precedence
+                # left-anti precedence. Change-detection state is preserved
+                # across the failed attempt.
                 nxt = rnd + retry_backoff_rounds
                 revisit[e.url_norm] = (
                     OracleEntry(
                         url=e.url, url_norm=e.url_norm, host=e.host, depth=e.depth,
                         priority=e.priority, discovered_round=nxt,
                         discovery_rank=e.discovery_rank, attempt=e.attempt + 1,
+                        last_hash=e.last_hash if adaptive_revisit else None,
+                        interval=e.interval if adaptive_revisit else None,
                     ),
                     nxt,
                 )

@@ -122,6 +122,20 @@ class CrawlConfig:
     # synthetic-fetcher failure injection: 1/N of nodes 503 on their first
     # attempt and succeed on retries (0 = off; see webgraph.status_of_nodes)
     transient_every: int = 0
+    # adaptive revisit (change detection): when a revisit policy is active
+    # and a refetch returns content identical to the last successful fetch
+    # (content_hash unchanged), the URL's revisit interval doubles — up to
+    # revisit_max_interval — and resets to the policy base the moment the
+    # content changes. The classic freshness-driven recrawl schedule
+    # (Cho & Garcia-Molina, "Synchronizing a database to improve freshness",
+    # SIGMOD 2000), expressed as a pure passthrough comparison: the revisit
+    # entry carries (last_hash, interval), so change detection costs no join
+    # against the fetched-docs history.
+    adaptive_revisit: bool = False
+    revisit_max_interval: int = 16
+    # synthetic content churn: half the nodes publish new content every
+    # change_period rounds (0 = static; see webgraph.content_hash_of_nodes)
+    change_period: int = 0
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -140,6 +154,8 @@ class CrawlConfig:
             self.default_budget, self.round_budget_ms, self.salt_n,
             self.frontier_buckets, self.max_depth, self.retry_max_attempts,
             self.retry_backoff_rounds, self.transient_every,
+            self.adaptive_revisit, self.revisit_max_interval,
+            self.change_period,
         )
         return "-".join(str(p) for p in parts)
 
@@ -570,12 +586,17 @@ class CrawlEngine:
         # intervals and the queue is empty; row_count is manifest metadata)
         use_retry = self.cfg.retry_max_attempts > 1
         use_revisit = self._has_revisit or self.revisit.snapshot().row_count > 0
+        adaptive = self.cfg.adaptive_revisit and use_revisit
         pool = frontier
         if use_retry or use_revisit:
             # attempt rides through scheduling + fetch so the retry path
             # knows how many attempts a row has consumed
             pool = pool.withColumn("attempt", F.lit(0).cast("int"))
         if use_revisit:
+            # first-fetch rows have no change-detection state yet
+            pool = pool.withColumn(
+                "last_hash", F.lit(None).cast("long")
+            ).withColumn("interval", F.lit(None).cast("int"))
             rev_all = self.revisit.read()
             eligible = rev_all.filter(
                 self._cid & (F.col("next_round") <= F.lit(rnd))
@@ -614,14 +635,21 @@ class CrawlEngine:
         # join back to the assignment set (at 10^7 fetches/round that join
         # shuffled every extracted link against every assignment)
         pt: tuple[str, ...] = ("priority", "depth")
-        if use_retry:
-            # retry entries must round-trip the full frontier identity; the
-            # extra int columns through the Arrow fetch avoid a join of the
-            # failure set back against the assignments
+        if use_retry or adaptive:
+            # retry/adaptive-revisit entries must round-trip the full
+            # frontier identity; the extra int columns through the Arrow
+            # fetch avoid a join of the failure/refetch set back against
+            # the assignments
             pt += ("attempt", "parent_hash", "discovery_rank", "host_hash")
+        if adaptive:
+            # change detection reads (last_hash, interval, policy base) off
+            # the fetched row itself — passthrough, never a join against
+            # the fetched-docs history
+            pt += ("revisit_after_rounds", "last_hash", "interval")
         fetched = synthetic_fetch(
             fetch_input, self.cfg.n_urls, self.cfg.n_hosts,
             passthrough=pt, transient_every=self.cfg.transient_every,
+            change_period=self.cfg.change_period,
         ).persist()
         doc_cols = [f.name for f in schemas.FETCHED_DOCS.fields]
         with _timed(phases, "fetch_write"):
@@ -707,19 +735,54 @@ class CrawlEngine:
         if use_revisit or use_retry:
             t_rev = time.time()
             keys = ["crawl_id", "url_hash", "url_norm"]
-            nr = (F.lit(rnd) + F.col("revisit_after_rounds")).cast("int")
-            new_revisits = assignments.filter(
-                F.col("revisit_after_rounds").isNotNull()
-                & (F.col("revisit_after_rounds") > 0)
-            ).select(
-                "crawl_id", "url", "url_norm", "url_hash", "host", "host_hash",
-                "depth", "priority", "parent_hash",
-                nr.alias("discovered_round"),  # re-enters the scheduler order
-                # at its eligibility round
-                "discovery_rank",
-                F.lit(0).cast("int").alias("attempt"),  # successful fetch resets
-                nr.alias("next_round"),
-            )
+            base_k = F.col("revisit_after_rounds")
+            has_revisit = base_k.isNotNull() & (base_k > 0)
+            if adaptive:
+                # change detection off the fetched row (identity + state rode
+                # through the Arrow fetch as passthrough): unchanged content
+                # doubles the interval up to the cap; a change — or a failed
+                # refetch — resets it to the policy base. last_hash only
+                # advances on a 200 (a 404/503 tells us nothing about content).
+                unchanged = (
+                    (F.col("status") == "200")
+                    & F.col("last_hash").isNotNull()
+                    & (F.col("last_hash") == F.col("content_hash"))
+                )
+                new_int = F.when(
+                    unchanged,
+                    F.least(
+                        F.coalesce(F.col("interval"), base_k) * 2,
+                        F.lit(self.cfg.revisit_max_interval),
+                    ),
+                ).otherwise(base_k).cast("int")
+                nr = (F.lit(rnd) + new_int).cast("int")
+                new_revisits = fetched.filter(has_revisit).select(
+                    F.lit(self.cfg.crawl_id).alias("crawl_id"),
+                    "url", "url_norm", "url_hash", "host", "host_hash",
+                    "depth", "priority", "parent_hash",
+                    nr.alias("discovered_round"),
+                    "discovery_rank",
+                    F.lit(0).cast("int").alias("attempt"),
+                    nr.alias("next_round"),
+                    F.when(F.col("status") == "200", F.col("content_hash"))
+                    .otherwise(F.col("last_hash"))
+                    .cast("long")
+                    .alias("last_hash"),
+                    new_int.alias("interval"),
+                )
+            else:
+                nr = (F.lit(rnd) + base_k).cast("int")
+                new_revisits = assignments.filter(has_revisit).select(
+                    "crawl_id", "url", "url_norm", "url_hash", "host", "host_hash",
+                    "depth", "priority", "parent_hash",
+                    nr.alias("discovered_round"),  # re-enters the scheduler
+                    # order at its eligibility round
+                    "discovery_rank",
+                    F.lit(0).cast("int").alias("attempt"),  # success resets
+                    nr.alias("next_round"),
+                    F.lit(None).cast("long").alias("last_hash"),
+                    base_k.cast("int").alias("interval"),
+                )
             if use_retry:
                 # retry-with-backoff: non-200 fetches with attempts left
                 # re-enter the queue; built off the persisted fetch output
@@ -737,6 +800,14 @@ class CrawlEngine:
                     "discovery_rank",
                     (F.col("attempt") + 1).cast("int").alias("attempt"),
                     nxt.alias("next_round"),
+                    # a failed fetch preserves whatever change-detection
+                    # state the row carried (nothing, unless adaptive)
+                    (
+                        F.col("last_hash") if adaptive else F.lit(None)
+                    ).cast("long").alias("last_hash"),
+                    (
+                        F.col("interval") if adaptive else F.lit(None)
+                    ).cast("int").alias("interval"),
                 )
                 # a failed fetch's retry beats its host's policy revisit
                 new_revisits = new_revisits.join(

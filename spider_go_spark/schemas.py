@@ -116,6 +116,13 @@ REVISIT = T.StructType(
         # attempt ≥ 1; policy revisits reset to 0)
         T.StructField("attempt", T.IntegerType(), False),
         T.StructField("next_round", T.IntegerType(), False),
+        # adaptive revisit (change detection): content hash seen at the last
+        # successful fetch, and the interval that produced next_round.
+        # NULL on retry entries and under fixed-interval (non-adaptive)
+        # policies — the comparison then never fires and intervals stay at
+        # the policy base.
+        T.StructField("last_hash", T.LongType(), True),
+        T.StructField("interval", T.IntegerType(), True),
     ]
 )
 
@@ -133,6 +140,9 @@ FETCHED_DOCS = T.StructType(
         T.StructField("status", T.StringType(), False),
         T.StructField("spans", T.ArrayType(SPAN), False),
         T.StructField("out_links", T.ArrayType(T.StringType()), False),
+        # deterministic content fingerprint of the fetched body (change
+        # detection input for the adaptive-revisit scheduler)
+        T.StructField("content_hash", T.LongType(), False),
     ]
 )
 

@@ -172,6 +172,35 @@ def status_of_nodes(
     return status
 
 
+def content_hash_of_nodes(
+    node_ids: np.ndarray, rounds: np.ndarray, change_period: int = 0
+) -> np.ndarray:
+    """Deterministic int64 content hash per fetch — a pure function of
+    (node, content epoch), so engine and oracle agree bit-for-bit.
+
+    ``change_period`` = 0 (default): content is static; the hash depends on
+    the node only (historical behavior, nothing to detect). With p > 0, half
+    the nodes (mix(id,13) even) publish new content every p rounds — the
+    deterministic stand-in for pages that change between recrawls, exercised
+    by the adaptive-revisit (change-detection) scheduler path.
+
+    Masked to 50 bits: the hash rides through an Arrow/pandas fetch stage as
+    a NULLABLE int64 column, which pandas represents as float64 — values
+    must stay < 2^53 to survive that round-trip bit-exactly (full-width
+    64-bit hashes silently lose their low bits and equality comparisons
+    break)."""
+    ids = node_ids.astype(np.uint64)
+    if change_period:
+        changing = (_mix(ids, 13) % np.uint64(2)) == np.uint64(0)
+        epoch = np.where(
+            changing, rounds.astype(np.int64) // change_period, 0
+        ).astype(np.uint64)
+    else:
+        epoch = np.zeros(len(ids), dtype=np.uint64)
+    h = _mix(ids * np.uint64(0x9E3779B97F4A7C15) + epoch, 14)
+    return (h & np.uint64((1 << 50) - 1)).astype(np.int64)
+
+
 def node_id_of_url(url_norm: pd.Series) -> pd.Series:
     return url_norm.str.extract(r"/p/(\d+)$", expand=False).astype("int64")
 
@@ -197,6 +226,7 @@ def synthetic_fetch(
     n_hosts: int,
     passthrough: tuple[str, ...] = (),
     transient_every: int = 0,
+    change_period: int = 0,
 ) -> DataFrame:
     """mapInPandas fetch+parse: assignment rows → FETCHED_DOCS rows.
 
@@ -247,6 +277,9 @@ def synthetic_fetch(
                 "status": status,
                 "spans": spans,
                 "out_links": links,
+                "content_hash": content_hash_of_nodes(
+                    nodes, pdf["round"].to_numpy(), change_period
+                ),
             }
             for c in passthrough:
                 out[c] = pdf[c]
