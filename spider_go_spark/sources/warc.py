@@ -1,0 +1,222 @@
+r"""WARC-style web-archive source/sink via the PySpark Python DataSource API.
+
+Real crawl engines persist fetched documents in the WARC format (ISO 28500)
+so downstream consumers can replay the raw capture. The reference stores
+worker output values as opaque Mongo documents
+(/root/reference/pkg/spider/storage_workflow_mongodb.go:296-335); this module
+is the archive-format equivalent for a Spark-native engine: an exchange
+format whose records survive outside the engine's own snapshot tables.
+
+Spark-first design: a registered Python ``DataSource`` (PySpark ≥ 4), so the
+archive participates in normal DataFrame plans —
+``spark.read.format("warc").load(dir)`` yields one input partition per
+archive file (at 100 TB: thousands of ~1 GB warc files → thousands of
+parallel map tasks, no driver bottleneck, no shuffle), and
+``df.write.format("warc")`` writes one archive file per task with a
+commit-message protocol (task files are self-contained; a retried task
+overwrites its own deterministic filename, so speculative re-execution
+cannot duplicate records).
+
+Format notes (subset of WARC/1.0, enough for faithful replay):
+- each record: ``WARC/1.0\r\n`` + header lines + ``\r\n`` + exactly
+  ``Content-Length`` payload bytes + ``\r\n\r\n``;
+- payload is length-delimited, NEVER sniffed — a payload containing
+  ``WARC/1.0`` or blank lines round-trips bit-exactly;
+- no wall-clock header is written (``WARC-Date`` is omitted): archives are
+  byte-deterministic for a given input, the same reproducibility contract
+  as the rest of the engine (uuidv7→(round, rank) divergence, SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+# one row per WARC record; payload is opaque bytes (interleaved text+media
+# corpora keep media as binary — input_hint), headers that matter are typed
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType(), False),
+        T.StructField("warc_type", T.StringType(), False),
+        T.StructField("target_uri", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def _encode_record(
+    record_id: str, warc_type: str, target_uri: str, content_type: str, payload: bytes
+) -> bytes:
+    if payload is None:
+        payload = b""
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: " + warc_type.encode() + _CRLF
+        + b"WARC-Record-ID: " + record_id.encode() + _CRLF
+        + b"WARC-Target-URI: " + target_uri.encode() + _CRLF
+        + b"Content-Type: " + content_type.encode() + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+    )
+    return head + payload + _CRLF + _CRLF
+
+
+def _decode_records(blob: bytes, path: str) -> Iterator[tuple]:
+    pos, n = 0, len(blob)
+    while pos < n:
+        end_head = blob.find(_CRLF + _CRLF, pos)
+        if end_head < 0:
+            raise ValueError(f"{path}: truncated WARC header at byte {pos}")
+        lines = blob[pos:end_head].split(_CRLF)
+        if lines[0] != b"WARC/1.0":
+            raise ValueError(f"{path}: bad record marker {lines[0]!r} at byte {pos}")
+        hdrs: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b": ")
+            hdrs[k.decode().lower()] = v.decode()
+        clen = int(hdrs["content-length"])
+        body_start = end_head + 4
+        payload = blob[body_start : body_start + clen]
+        if len(payload) != clen or blob[body_start + clen : body_start + clen + 4] != _CRLF * 2:
+            raise ValueError(f"{path}: truncated payload at byte {body_start}")
+        yield (
+            hdrs["warc-record-id"],
+            hdrs["warc-type"],
+            hdrs["warc-target-uri"],
+            hdrs.get("content-type", "application/octet-stream"),
+            payload,
+        )
+        pos = body_start + clen + 4
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):  # one task per archive file — scan parallelism
+        # scales with file count, the WARC analogue of parquet splits
+        names = sorted(f for f in os.listdir(self.path) if f.endswith(".warc"))
+        return [_WarcFilePartition(os.path.join(self.path, f)) for f in names]
+
+    def read(self, partition: _WarcFilePartition):
+        with open(partition.path, "rb") as fh:
+            blob = fh.read()
+        yield from _decode_records(blob, partition.path)
+
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _WarcWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WarcCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # deterministic per-partition filename: a speculative/retried task
+        # rewrites the same file (last-writer-wins idempotence)
+        out = os.path.join(self.path, f"part-{pid:05d}.warc")
+        n = 0
+        with open(out + ".inprogress", "wb") as fh:
+            for row in iterator:
+                fh.write(
+                    _encode_record(
+                        row.record_id, row.warc_type, row.target_uri,
+                        row.content_type, bytes(row.payload),
+                    )
+                )
+                n += 1
+        os.replace(out + ".inprogress", out)  # atomic per-task publish
+        return _WarcCommit(out, n)
+
+    def commit(self, messages) -> None:  # files are already atomically
+        # published per task; nothing global to flip (directory = table)
+        return None
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` / ``df.write.format("warc")``.
+
+    Register once per session::
+
+        spark.dataSource.register(WarcDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> _WarcReader:
+        return _WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _WarcWriter:
+        return _WarcWriter(self.options, overwrite)
+
+
+def fetched_docs_as_warc(docs: DataFrame) -> DataFrame:
+    """Project the engine's FETCHED_DOCS rows into WARC record rows.
+
+    Record id is the deterministic ``<urn:doc:{doc_id}>`` (≙ the reference's
+    uuidv7 message ids, SURVEY §1.3 divergence note); the payload is the
+    interleaved span stream serialized as length-safe JSON bytes — media
+    spans keep their ``media_ref`` so a replay can re-join sidecar binaries.
+    """
+    return docs.select(
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias("record_id"),
+        F.lit("response").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit("application/json; charset=utf-8").alias("content_type"),
+        F.encode(F.to_json(F.struct("status", "spans")), "utf-8").alias("payload"),
+    )
+
+
+def warc_docs_sink(root: str):
+    """A ``CrawlEngine(docs_sink=...)`` adapter archiving each committed
+    round's fetched docs as a WARC directory (``<root>/round=N/``).
+
+    Exactly-once composes for free: the engine invokes the sink once per
+    committed round (redelivery across resume is cut by the round-number
+    idempotence key), and within a delivery the writer's deterministic
+    per-task filenames make task retries idempotent. Register the
+    datasource on the session before crawling."""
+
+    def sink(rnd: int, docs: DataFrame) -> None:
+        fetched_docs_as_warc(docs).write.format("warc").option(
+            "path", os.path.join(root, f"round={rnd}")
+        ).mode("append").save()
+
+    return sink
