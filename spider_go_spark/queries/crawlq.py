@@ -225,8 +225,99 @@ FROM base
 """
 
 
+RERANK_ITERS = 3
+RERANK_PART_OFFSET = 1_000_000  # disjoint node-id spaces for the two sides
+N_RERANK_HOSTS = 25
+
+
+def frontier_pagerank_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Authority-weighted frontier re-prioritization: rank hosts by the
+    PageRank mass of their nodes in the link graph, then reorder the
+    frontier by (host authority, page priority) and take the global
+    top-100 — the OPIC/PageRank-ordered scheduling real crawlers use to
+    spend fetch budget on authoritative sites first (the reference carries
+    only a static per-message priority, SURVEY §2.6; this derives it from
+    the graph).
+
+    Scale shape: PageRank is the fixed-point integer operator
+    (operators/graph.py — uniform equi-join shuffles, no windows); host
+    authority is a tiny agg (≤ n_hosts rows) broadcast back onto the
+    frontier (pure map), and the top-100 is a TakeOrderedAndProject —
+    no global sort materialization."""
+    from spider_go_spark.operators.graph import pagerank_int
+    from spider_go_spark.queries import T
+
+    li = T(spark, sf, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + RERANK_PART_OFFSET).cast("long").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_int(edges, RERANK_ITERS)
+    host_auth = (
+        ranks.filter(F.col("node") < RERANK_PART_OFFSET)
+        .groupBy((F.col("node") % N_RERANK_HOSTS).alias("hostid"))
+        .agg(F.sum("rank_u").cast("long").alias("authority"))
+    )
+    frontier = li.select(
+        F.concat(
+            F.lit("http://h"), (F.col("l_suppkey") % N_RERANK_HOSTS).cast("string"),
+            F.lit(".example.test/p/"), F.col("l_orderkey").cast("string"),
+            F.lit("/"), F.col("l_linenumber").cast("string"),
+        ).alias("url_norm"),
+        (F.col("l_suppkey") % N_RERANK_HOSTS).cast("long").alias("hostid"),
+        F.col("l_discount").cast("double").alias("priority"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("discovery_rank"),
+    )
+    return (
+        frontier.join(F.broadcast(host_auth), "hostid")
+        .orderBy(
+            F.col("authority").desc(), F.col("priority").desc(),
+            "discovery_rank", "url_norm",
+        )
+        .limit(100)
+        .select("url_norm", "hostid", "authority", "priority", "discovery_rank")
+    )
+
+
+def _rerank_sql() -> str:
+    from spider_go_spark.operators.graph import pagerank_oracle_sql
+
+    edges_cte = f"""
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT l_suppkey::BIGINT AS src, (l_partkey + {RERANK_PART_OFFSET})::BIGINT AS dst FROM pairs
+  UNION ALL
+  SELECT (l_partkey + {RERANK_PART_OFFSET})::BIGINT, l_suppkey::BIGINT FROM pairs
+)"""
+    return (
+        pagerank_oracle_sql(edges_cte, RERANK_ITERS)
+        + f"""
+, host_auth AS (
+  SELECT (node % {N_RERANK_HOSTS})::BIGINT AS hostid, sum(rank_u)::BIGINT AS authority
+  FROM rank{RERANK_ITERS} WHERE node < {RERANK_PART_OFFSET} GROUP BY 1
+), f AS (
+  SELECT 'http://h' || (l_suppkey % {N_RERANK_HOSTS})::VARCHAR || '.example.test/p/'
+           || l_orderkey::VARCHAR || '/' || l_linenumber::VARCHAR AS url_norm,
+         (l_suppkey % {N_RERANK_HOSTS})::BIGINT AS hostid,
+         l_discount::DOUBLE AS priority,
+         (l_orderkey * 8 + l_linenumber)::BIGINT AS discovery_rank
+  FROM lineitem
+)
+SELECT url_norm, hostid, authority, priority, discovery_rank
+FROM f JOIN host_auth USING (hostid)
+ORDER BY authority DESC, priority DESC, discovery_rank, url_norm
+LIMIT 100
+"""
+    )
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
+    "frontier_pagerank_rerank": frontier_pagerank_rerank,
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
     "url_trap_filter": url_trap_filter,
@@ -237,4 +328,5 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
     "url_trap_filter": URL_TRAP_FILTER_SQL,
+    "frontier_pagerank_rerank": _rerank_sql(),
 }

@@ -438,8 +438,86 @@ FROM cells, total
 """
 
 
+# --------------------------------------------------------------------------
+# Filter funnel: per-stage rejection yield of the corpus filter pipeline
+# --------------------------------------------------------------------------
+
+
+def filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-filter yield report: classify every document by the FIRST
+    pipeline stage that rejects it (too_short → low_stopword → exact_dup →
+    kept) and count docs + chars per stage — the funnel/yield table every
+    production data pipeline publishes per snapshot.
+
+    Scale shape: the token tests are a pure map stage; the only shuffle is
+    the md5-keyed dup count (uniform keys), re-joined on the same key. The
+    final agg is over ≤ 4 rows. All decisions are exact-integer, so the
+    DuckDB oracle matches bit-for-bit."""
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    dups = scored.groupBy("text_md5").agg(
+        F.count(F.lit(1)).alias("md5_n"), F.min("doc_id").alias("md5_first")
+    )
+    j = scored.join(dups, "text_md5")
+    stage = (
+        F.when(F.col("n_tokens") < 16, F.lit("1_too_short"))
+        .when(F.col("lang") != "en", F.lit("2_non_english"))
+        # stop_ratio < 0.05 as exact ints: 20·n_stop < n_tokens
+        .when(F.col("n_stop") * 20 < F.col("n_tokens"), F.lit("3_low_stopword"))
+        .when(
+            (F.col("md5_n") >= 2) & (F.col("doc_id") != F.col("md5_first")),
+            F.lit("4_exact_dup"),
+        )
+        .otherwise(F.lit("5_kept"))
+    )
+    return (
+        j.groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+FILTER_FUNNEL_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars::BIGINT AS n_chars, md5(text) AS text_md5,
+         len(tokens)::BIGINT AS n_tokens,
+         len(list_filter(tokens, t -> list_contains(['the','a','of','and','to'], t)))::BIGINT AS n_stop
+  FROM (
+    SELECT *, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+    FROM documents
+  )
+), dups AS (
+  SELECT text_md5, count(*) AS md5_n, min(doc_id) AS md5_first
+  FROM scored GROUP BY text_md5
+)
+SELECT CASE WHEN n_tokens < 16 THEN '1_too_short'
+            WHEN lang <> 'en' THEN '2_non_english'
+            WHEN n_stop * 20 < n_tokens THEN '3_low_stopword'
+            WHEN md5_n >= 2 AND doc_id <> md5_first THEN '4_exact_dup'
+            ELSE '5_kept' END AS stage,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars
+FROM scored JOIN dups USING (text_md5)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "train_split_strata": train_split_strata,
+    "filter_funnel": filter_funnel,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -452,6 +530,7 @@ QUERIES = {
 
 ORACLES = {
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
+    "filter_funnel": FILTER_FUNNEL_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
