@@ -439,6 +439,145 @@ FROM cells, total
 
 
 # --------------------------------------------------------------------------
+# Document chunking: fixed-size overlapping token windows (training inputs)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = W - stride
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Split every document into fixed-size overlapping token windows —
+    the doc→chunk explosion a pretraining/RAG pipeline runs before
+    embedding or packing (the complement of pack_sequences). Each chunk
+    row carries (doc_id, chunk_idx, n_tokens, chunk_hash); the hash is a
+    left fold of the chunk's token hashes in the engine's int64 family, so
+    chunk identity is comparable (and dedupable) cross-engine.
+
+    Scale shape: pure per-row Catalyst HOFs (tokenize once, slice per
+    chunk, fold) — a map-only stage with output fan-out ~n_tokens/stride;
+    no shuffle at all."""
+    d = T(spark, sf, "documents")
+    th = d.select(
+        "doc_id", tk.token_hashes(F.col("text")).alias("th")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    n = F.size("th")
+    # chunk starts: 0, stride, 2·stride, … while start < n (last chunk may
+    # be short); docs shorter than one stride yield exactly one chunk
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        (n + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunks = th.select(
+        "doc_id",
+        "th",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * CHUNK_STRIDE < F.size("th"))
+    piece = F.slice(
+        F.col("th"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_W
+    )
+    fold = F.aggregate(
+        piece,
+        F.lit(0).cast("long"),
+        lambda a, h: (a * F.lit(tk.COMBINE_A) + h) % F.lit(tk.POLY_P),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        fold.alias("chunk_hash"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+           t -> list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                  (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM documents
+), c AS (
+  SELECT doc_id, th,
+         unnest(range(0, CASE WHEN len(th) <= 0 THEN 0
+                              ELSE (len(th) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END)) AS chunk_idx
+  FROM th
+), p AS (
+  SELECT doc_id, chunk_idx,
+         th[chunk_idx*{CHUNK_STRIDE} + 1 : chunk_idx*{CHUNK_STRIDE} + {CHUNK_W}] AS piece
+  FROM c WHERE chunk_idx*{CHUNK_STRIDE} < len(th)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(piece)::BIGINT AS n_tokens,
+       list_reduce(list_prepend(0::BIGINT, piece),
+                   (a, b) -> (a*{tk.COMBINE_A} + b) % {tk.POLY_P}) AS chunk_hash
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates: the first tokenizer-training iteration
+# --------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+def bpe_merge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every adjacent
+    character pair inside corpus tokens, weighted by token frequency, and
+    return the top-20 merge candidates — what `learn_bpe` computes before
+    its first merge.
+
+    Scale shape: token counting is one hash agg on the token string
+    (uniform keys); pair explosion runs over DISTINCT tokens only (the
+    classic BPE-training trick — vocabulary is tiny next to the corpus),
+    so the second agg is over |vocab|·avg_len rows, not corpus size."""
+    d = T(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(tk.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.split(F.col("tok"), "")
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.size(chars) - 1),
+                F.slice(chars, 2, F.size(chars) - 1),
+                lambda a, b: F.concat(a, F.lit("|"), b),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+BPE_MERGE_PAIRS_SQL = rf"""
+WITH vocab AS (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS tok
+    FROM documents
+  ) GROUP BY tok
+), pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(tok)),
+                i -> tok[i:i] || '|' || tok[i+1:i+1])) AS pair
+  FROM vocab WHERE length(tok) >= 2
+)
+SELECT pair, sum(freq)::BIGINT AS weight
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair LIMIT {BPE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
 # Filter funnel: per-stage rejection yield of the corpus filter pipeline
 # --------------------------------------------------------------------------
 
@@ -518,6 +657,8 @@ GROUP BY 1
 QUERIES = {
     "train_split_strata": train_split_strata,
     "filter_funnel": filter_funnel,
+    "chunk_documents": chunk_documents,
+    "bpe_merge_pairs": bpe_merge_pairs,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -531,6 +672,8 @@ QUERIES = {
 ORACLES = {
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "filter_funnel": FILTER_FUNNEL_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
