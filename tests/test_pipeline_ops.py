@@ -229,3 +229,79 @@ def test_inverted_index_topterms(spark):
         assert r["doc_freq"] == len(ids)
         head = [int(x) for x in r["postings_head"].split(",")]
         assert head == sorted(ids)[:_POSTINGS_HEAD]
+
+
+# --------------------------------------------------------------------------
+# chunking / BPE merge pairs / filter funnel / frontier rerank (round 2)
+# --------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_every_token_exactly(spark):
+    """Chunk geometry: per doc, chunk count = ceil(n_tokens/stride), every
+    chunk but the last is exactly W tokens or reaches the doc end, and
+    chunk starts tile the doc with the configured stride."""
+    from spider_go_spark.queries.pipelineops import CHUNK_STRIDE, CHUNK_W, chunk_documents
+    from spider_go_spark.functions import textkernel as tk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tk.tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunk_documents(spark, SF).collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {d for d, n in n_tokens.items() if n > 0}
+    for doc_id, rows in per_doc.items():
+        n = n_tokens[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range((n + CHUNK_STRIDE - 1) // CHUNK_STRIDE))
+        for r in rows:
+            start = r["chunk_idx"] * CHUNK_STRIDE
+            assert r["n_tokens"] == min(CHUNK_W, n - start)
+
+
+def test_bpe_merge_pairs_matches_python_counter(spark):
+    """Top-20 merge candidates equal a pure-Python BPE pair count."""
+    from collections import Counter
+
+    from spider_go_spark.queries.pipelineops import BPE_TOP, bpe_merge_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    vocab: Counter = Counter()
+    for r in docs:
+        vocab.update(t for t in r["text"].split() if t)
+    pairs: Counter = Counter()
+    for tok, freq in vocab.items():
+        for a, b in zip(tok, tok[1:]):
+            pairs[f"{a}|{b}"] += freq
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+    got = [(r["pair"], r["weight"]) for r in bpe_merge_pairs(spark, SF).collect()]
+    assert got == expect
+
+
+def test_filter_funnel_partitions_the_corpus(spark):
+    """Funnel stages partition the corpus: stage doc counts sum to the
+    corpus size and char counts to the corpus char total."""
+    from spider_go_spark.queries.pipelineops import filter_funnel
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = filter_funnel(spark, SF).collect()
+    assert sum(r["n_docs"] for r in got) == docs.count()
+    assert sum(r["n_chars"] for r in got) == docs.agg(F.sum("n_chars")).first()[0]
+    stages = {r["stage"] for r in got}
+    assert "5_kept" in stages and len(stages) >= 3
+
+
+def test_frontier_rerank_orders_by_host_authority(spark):
+    """Every returned row's host authority is ≥ any later row's; within a
+    host-authority tie, priority is non-increasing."""
+    from spider_go_spark.queries.crawlq import frontier_pagerank_rerank
+
+    rows = frontier_pagerank_rerank(spark, SF).collect()
+    assert len(rows) == 100
+    key = [(r["authority"], r["priority"]) for r in rows]
+    for (a1, p1), (a2, p2) in zip(key, key[1:]):
+        assert a1 > a2 or (a1 == a2 and p1 >= p2)
