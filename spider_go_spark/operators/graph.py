@@ -74,6 +74,99 @@ def pagerank_int(edges: DataFrame, iters: int = 5) -> DataFrame:
     return ranks
 
 
+def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub_u, auth_u) after ``iters`` HITS iterations over DIRECTED
+    ``edges(src, dst)`` — Kleinberg's hubs-and-authorities, the classic
+    complement to PageRank for crawl prioritization (a good hub page is
+    worth fetching because it points at many authorities).
+
+    Same bit-exact cross-engine discipline as :func:`pagerank_int`: scores
+    live in int64 micro-units, and the per-iteration normalization is
+    ``x·SCALE div max(x)`` (max-norm, not L2 — integer-exact and
+    order-independent). Overflow bound: a raw sum is ≤ max_indegree·SCALE;
+    the rescale multiplies by SCALE, so max_indegree must stay < ~9·10^6 —
+    far above any real host-graph degree after the usual dedup.
+
+    Scale shape per iteration: two equi-join + groupBy shuffles (auth then
+    hub) and two single-row max aggregations broadcast back; lineage
+    truncated per iteration with eager localCheckpoints."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.localCheckpoint(eager=True)
+    hub = nodes.withColumn("hub_u", F.lit(SCALE).cast("long"))
+    auth = nodes.withColumn("auth_u", F.lit(0).cast("long"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_u").alias("s"))
+        )
+        a_max = a_raw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 div m").cast("long").alias("auth_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_u").alias("s"))
+        )
+        h_max = h_raw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 div m").cast("long").alias("hub_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node")
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`hits_int`: unrolled CTE chain with scalar-
+    subquery max-norms. ``edges_cte`` must define ``edges(src, dst)``;
+    ends with ``hub{iters}(node, hub_u)`` and ``auth{iters}(node, auth_u)``."""
+    parts = [
+        edges_cte,
+        """
+, nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+hub0 AS (SELECT node, 1000000::BIGINT AS hub_u FROM nodes)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", a{i + 1}r AS (
+  SELECT e.dst AS node, sum(h.hub_u)::BIGINT AS s
+  FROM edges e JOIN hub{i} h ON e.src = h.node GROUP BY e.dst
+), auth{i + 1} AS (
+  SELECT n.node,
+         (coalesce(a.s, 0) * 1000000 // greatest((SELECT max(s) FROM a{i + 1}r), 1))::BIGINT AS auth_u
+  FROM nodes n LEFT JOIN a{i + 1}r a ON n.node = a.node
+), h{i + 1}r AS (
+  SELECT e.src AS node, sum(a.auth_u)::BIGINT AS s
+  FROM edges e JOIN auth{i + 1} a ON e.dst = a.node GROUP BY e.src
+), hub{i + 1} AS (
+  SELECT n.node,
+         (coalesce(h.s, 0) * 1000000 // greatest((SELECT max(s) FROM h{i + 1}r), 1))::BIGINT AS hub_u
+  FROM nodes n LEFT JOIN h{i + 1}r h ON n.node = h.node
+)
+"""
+        )
+    return "".join(parts)
+
+
 def label_propagation_min(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
     """(node, label) after ``iters`` rounds of min-label propagation —
     the distributed connected-components kernel that turns near-duplicate

@@ -439,6 +439,52 @@ FROM cells, total
 
 
 # --------------------------------------------------------------------------
+# HITS hubs/authorities over the directed supplier→part graph
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def hits_top_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 nodes by (authority, hub) from 3-iteration integer HITS over
+    the DIRECTED supplier→part purchase graph — Kleinberg's
+    hubs-and-authorities, the crawl-prioritization complement to PageRank
+    (a hub is worth fetching because it links to many authorities; on this
+    bipartite graph suppliers are pure hubs and parts pure authorities,
+    so both score vectors are exercised). Bit-exact vs the SQL oracle via
+    int64 max-norm fixed point (operators/graph.hits_int)."""
+    from spider_go_spark.operators.graph import hits_int
+
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + PART_NODE_OFFSET).cast("long").alias("dst"),
+    )
+    scores = hits_int(edges, HITS_ITERS)
+    return scores.orderBy(
+        F.col("auth_u").desc(), F.col("hub_u").desc(), "node"
+    ).limit(20)
+
+
+def _hits_sql() -> str:
+    from spider_go_spark.operators.graph import hits_oracle_sql
+
+    edges_cte = f"""
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT l_suppkey::BIGINT AS src, (l_partkey + {PART_NODE_OFFSET})::BIGINT AS dst FROM pairs
+)"""
+    return (
+        hits_oracle_sql(edges_cte, HITS_ITERS)
+        + f"""
+SELECT h.node, h.hub_u, a.auth_u
+FROM hub{HITS_ITERS} h JOIN auth{HITS_ITERS} a USING (node)
+ORDER BY a.auth_u DESC, h.hub_u DESC, h.node LIMIT 20
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # Document chunking: fixed-size overlapping token windows (training inputs)
 # --------------------------------------------------------------------------
 
@@ -658,6 +704,7 @@ QUERIES = {
     "train_split_strata": train_split_strata,
     "filter_funnel": filter_funnel,
     "chunk_documents": chunk_documents,
+    "hits_top_nodes": hits_top_nodes,
     "bpe_merge_pairs": bpe_merge_pairs,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
@@ -673,6 +720,7 @@ ORACLES = {
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "filter_funnel": FILTER_FUNNEL_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "hits_top_nodes": _hits_sql(),
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,

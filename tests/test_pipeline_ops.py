@@ -305,3 +305,21 @@ def test_frontier_rerank_orders_by_host_authority(spark):
     key = [(r["authority"], r["priority"]) for r in rows]
     for (a1, p1), (a2, p2) in zip(key, key[1:]):
         assert a1 > a2 or (a1 == a2 and p1 >= p2)
+
+
+def test_hits_bipartite_scores(spark):
+    """On a directed star (h0→a1..a4, h1→a1): a1 is the top authority,
+    h0 the top hub; max-norm puts the best of each at exactly SCALE;
+    pure hubs score 0 authority and vice versa."""
+    from spider_go_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame(
+        [(0, 11), (0, 12), (0, 13), (0, 14), (1, 11)], "src long, dst long"
+    )
+    s = {r["node"]: (r["hub_u"], r["auth_u"]) for r in hits_int(edges, 3).collect()}
+    assert s[0][0] == SCALE  # h0 is the max-normed hub
+    assert s[11][1] == SCALE  # a1 is the max-normed authority
+    assert s[0][1] == 0 and s[1][1] == 0  # hubs have no in-links
+    assert all(s[a][0] == 0 for a in (11, 12, 13, 14))  # authorities: no out
+    assert s[1][0] < s[0][0]  # fewer out-links -> smaller hub score
+    assert all(s[a][1] <= s[11][1] for a in (12, 13, 14))
