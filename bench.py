@@ -52,6 +52,10 @@ HEADLINE = [
     "bigram_lm_score",        # corpus LM model + re-join scoring
     "kmeans_step",            # broadcast-centroid Lloyd iteration
     "pq_ann_topk",            # product-quantization ADC shortlist + rerank
+    "chunk_documents",        # doc→chunk window explosion (map-only fan-out)
+    "filter_funnel",          # corpus filter yield report (md5-keyed dup agg)
+    "hits_top_nodes",         # iterative integer HITS (3 rounds, 2 shuffles each)
+    "frontier_pagerank_rerank",  # authority-weighted frontier reorder
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
