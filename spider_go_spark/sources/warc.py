@@ -113,9 +113,15 @@ class _WarcReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):  # one task per archive file — scan parallelism
-        # scales with file count, the WARC analogue of parquet splits
-        names = sorted(f for f in os.listdir(self.path) if f.endswith(".warc"))
-        return [_WarcFilePartition(os.path.join(self.path, f)) for f in names]
+        # scales with file count, the WARC analogue of parquet splits.
+        # Subdirectories (e.g. warc_docs_sink's round=N dirs) are walked,
+        # so a whole crawl archive loads as one DataFrame.
+        paths = []
+        for root, _dirs, files in os.walk(self.path):
+            paths.extend(
+                os.path.join(root, f) for f in files if f.endswith(".warc")
+            )
+        return [_WarcFilePartition(p) for p in sorted(paths)]
 
     def read(self, partition: _WarcFilePartition):
         with open(partition.path, "rb") as fh:

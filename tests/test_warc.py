@@ -113,6 +113,9 @@ def test_warc_docs_sink_archives_each_round(warc_registered, tmp_path):
             .count()
         )
     assert total == n_docs
+    # the reader walks subdirectories: the whole crawl archive loads at once
+    whole = spark.read.format("warc").option("path", root).load()
+    assert whole.count() == n_docs
 
 
 def test_fetched_docs_projection(warc_registered, tmp_path):
