@@ -1,0 +1,96 @@
+"""Interleaved span-stream operators (the input_hint's text+media timeline).
+
+A fetched document is an ordered stream of text / image / video / link
+spans (schemas.SPAN; produced by the fetch worker ≙ worker SendOutput
+values, /root/reference/pkg/spider/worker.go:45-53). These operators read
+that stream structurally — the multimodal pipeline steps that precede any
+actual media decoding (which stays behind functions/media.py's codec hook).
+
+Everything here is a pure Catalyst projection over the spans array —
+higher-order functions only, no explode, no shuffle, no Python. At 100 TB
+that matters: caption mining over 10^10 documents is a map-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _texts(spans: Column) -> Column:
+    return F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+
+
+def media_text_pairs(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """(doc_id, media_ref, media_kind, media_offset, caption_before,
+    caption_after) — one row per media span, paired with the nearest text
+    span before and after it in the interleaved stream.
+
+    This is the caption-mining step of an image-text training pipeline
+    (CLIP/LAION-style alt-text pairing): the surrounding prose is the
+    candidate caption. NULL on either side when no text span exists there.
+
+    Shape: one projection with HOFs (filter + element_at on offset-ordered
+    slices) followed by a single inline explode of the per-doc pair array —
+    output rows ≈ media spans, no join, no window, no shuffle."""
+    spans = F.col(spans_col)
+    texts = _texts(spans)
+    media = F.filter(
+        spans, lambda s: (s["kind"] == F.lit("image")) | (s["kind"] == F.lit("video"))
+    )
+    def pair(m: Column) -> Column:
+        # try_element_at: NULL (not an error) when no text exists on a side
+        before = F.try_element_at(
+            F.filter(texts, lambda t: t["offset"] < m["offset"]), F.lit(-1)
+        )
+        after = F.try_element_at(
+            F.filter(texts, lambda t: t["offset"] > m["offset"]), F.lit(1)
+        )
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["kind"].alias("media_kind"),
+            m["offset"].alias("media_offset"),
+            before["text"].alias("caption_before"),
+            after["text"].alias("caption_after"),
+        )
+
+    return docs.select(
+        "doc_id", F.explode(F.transform(media, pair)).alias("p")
+    ).select("doc_id", "p.*")
+
+
+def span_stream_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document interleaving profile: span counts by kind, text length,
+    and the longest run of consecutive media spans (a page that is all
+    media with no prose is a gallery/trap signal; all prose means no
+    multimodal value). Pure HOF aggregates — map-only."""
+    spans = F.col(spans_col)
+
+    def count_kind(k: str) -> Column:
+        return F.size(F.filter(spans, lambda s: s["kind"] == F.lit(k))).cast("long")
+
+    is_media = lambda s: (s["kind"] == F.lit("image")) | (s["kind"] == F.lit("video"))
+    # longest media run: fold carrying (current_run, best_run)
+    runs = F.aggregate(
+        spans,
+        F.struct(F.lit(0).cast("long").alias("cur"), F.lit(0).cast("long").alias("best")),
+        lambda acc, s: F.struct(
+            F.when(is_media(s), acc["cur"] + 1).otherwise(F.lit(0).cast("long")).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(is_media(s), acc["cur"] + 1).otherwise(F.lit(0).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    text_chars = F.aggregate(
+        _texts(spans), F.lit(0).cast("long"), lambda a, t: a + F.length(t["text"])
+    )
+    return docs.select(
+        "doc_id",
+        count_kind("text").alias("n_text"),
+        count_kind("image").alias("n_image"),
+        count_kind("video").alias("n_video"),
+        count_kind("link").alias("n_link"),
+        text_chars.alias("n_text_chars"),
+        runs["best"].alias("max_media_run"),
+    )

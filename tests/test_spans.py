@@ -1,0 +1,115 @@
+"""Interleaved span-stream operators vs a pure-Python replay over the same
+synthetic fetch output — caption pairing and stream stats are position
+logic, so the replay walks each span list directly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions.spans import media_text_pairs, span_stream_stats
+from spider_go_spark.sources.webgraph import (
+    canonical_urls,
+    out_links_of_nodes,
+    spans_of_nodes,
+    synthetic_fetch,
+)
+
+N_URLS, N_HOSTS = 500, 6
+
+
+@pytest.fixture(scope="module")
+def fetched(spark):
+    import pandas as pd
+
+    ids = np.arange(120, dtype=np.int64)
+    urls = canonical_urls(ids, N_HOSTS)
+    asg = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": urls, "url_norm": urls, "url_hash": ids,
+                "host": ["h"] * len(ids), "round": np.int32(1),
+                "fetch_rank": np.arange(len(ids)),
+            }
+        )
+    )
+    docs = synthetic_fetch(asg, N_URLS, N_HOSTS).filter(F.col("status") == "200")
+    spans = {
+        int(r["url_hash"]): [s.asDict() for s in r["spans"]]
+        for r in docs.select("url_hash", "spans").collect()
+    }
+    return docs, spans
+
+
+def _replay_pairs(span_list):
+    texts = [s for s in span_list if s["kind"] == "text"]
+    out = []
+    for m in span_list:
+        if m["kind"] not in ("image", "video"):
+            continue
+        before = [t for t in texts if t["offset"] < m["offset"]]
+        after = [t for t in texts if t["offset"] > m["offset"]]
+        out.append(
+            (
+                m["media_ref"], m["kind"], m["offset"],
+                before[-1]["text"] if before else None,
+                after[0]["text"] if after else None,
+            )
+        )
+    return out
+
+
+def test_media_text_pairs_match_replay(fetched):
+    docs, spans = fetched
+    got: dict[int, list] = {}
+    rows = (
+        media_text_pairs(docs)
+        .join(docs.select("doc_id", "url_hash"), "doc_id")
+        .collect()
+    )
+    for r in rows:
+        got.setdefault(int(r["url_hash"]), []).append(
+            (r["media_ref"], r["media_kind"], r["media_offset"],
+             r["caption_before"], r["caption_after"])
+        )
+    n_pairs = 0
+    for node, span_list in spans.items():
+        expect = _replay_pairs(span_list)
+        assert sorted(got.get(node, []), key=lambda t: t[2]) == expect
+        n_pairs += len(expect)
+    assert n_pairs > 0  # the synthetic corpus must actually exercise this
+    # and some captions must exist on both sides somewhere
+    allp = [p for ps in got.values() for p in ps]
+    assert any(p[3] is not None for p in allp)
+    assert any(p[4] is not None for p in allp)
+
+
+def test_span_stream_stats_match_replay(fetched):
+    docs, spans = fetched
+    got = {
+        int(r["url_hash"]): r
+        for r in span_stream_stats(docs)
+        .join(docs.select("doc_id", "url_hash"), "doc_id")
+        .collect()
+    }
+    for node, span_list in spans.items():
+        r = got[node]
+        kinds = [s["kind"] for s in span_list]
+        assert r["n_text"] == kinds.count("text")
+        assert r["n_image"] == kinds.count("image")
+        assert r["n_video"] == kinds.count("video")
+        assert r["n_link"] == kinds.count("link")
+        assert r["n_text_chars"] == sum(
+            len(s["text"]) for s in span_list if s["kind"] == "text"
+        )
+        best = cur = 0
+        for k in kinds:
+            cur = cur + 1 if k in ("image", "video") else 0
+            best = max(best, cur)
+        assert r["max_media_run"] == best
+
+
+def test_no_python_in_span_plans(fetched):
+    docs, _ = fetched
+    for df in (media_text_pairs(docs), span_stream_stats(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
