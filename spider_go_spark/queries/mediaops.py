@@ -11,6 +11,8 @@ being verified.
 
 from __future__ import annotations
 
+# (caption-mining gate query appended below — see caption_pairs_synth)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,5 +41,92 @@ FROM documents
 """
 
 
-QUERIES = {"media_features": media_features}
-ORACLES = {"media_features": MEDIA_FEATURES_SQL}
+GROUP_TOKENS = 5  # tokens per synthetic text span
+MEDIA_EVERY = 3  # an image span follows every 3rd text group
+
+
+def caption_pairs_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Caption mining through the REAL interleaved-span operator
+    (functions/spans.media_text_pairs), driver-gated: the span stream is
+    synthesized deterministically from ``documents.text`` (a text span per
+    5-token group at offset 2g; an image span at offset 2g+1 after every
+    3rd group), so the DuckDB twin can compute the expected pairs by pure
+    position arithmetic while Spark runs the actual HOF pairing operator.
+
+    Scale shape: synthesis + pairing are one Python-free projection; the
+    only fan-out is the per-media explode (rows ≈ media spans)."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.spans import media_text_pairs
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
+    n_groups = F.ceil(F.size("tokens") / GROUP_TOKENS).cast("int")
+    gidx = F.sequence(F.lit(0), n_groups - 1)
+
+    def text_span(g):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(
+                F.slice(F.col("tokens"), g * GROUP_TOKENS + 1, GROUP_TOKENS), " "
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (g * 2).cast("int").alias("offset"),
+        )
+
+    def img_span(g):
+        return F.struct(
+            F.when(g % MEDIA_EVERY == 0, F.lit("image"))
+            .otherwise(F.lit("skip"))
+            .alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(
+                F.lit("media://img/"), F.col("doc_id").cast("string"),
+                F.lit("/"), g.cast("string"),
+            ).alias("media_ref"),
+            (g * 2 + 1).cast("int").alias("offset"),
+        )
+
+    spans = F.filter(
+        F.flatten(F.transform(gidx, lambda g: F.array(text_span(g), img_span(g)))),
+        lambda s: s["kind"] != F.lit("skip"),
+    )
+    docs = toks.filter(F.size("tokens") > 0).select(
+        "doc_id", spans.alias("spans")
+    )
+    return media_text_pairs(docs).select(
+        "doc_id", "media_ref", "media_kind",
+        F.col("media_offset").cast("bigint").alias("media_offset"),
+        "caption_before", "caption_after",
+    )
+
+
+CAPTION_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id, tokens,
+         (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} AS n_groups,
+         unnest(range(0, (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+)
+SELECT doc_id,
+       'media://img/' || doc_id::VARCHAR || '/' || g::VARCHAR AS media_ref,
+       'image' AS media_kind,
+       (2*g + 1)::BIGINT AS media_offset,
+       array_to_string(tokens[{GROUP_TOKENS}*g + 1 : {GROUP_TOKENS}*(g+1)], ' ') AS caption_before,
+       CASE WHEN g + 1 < n_groups
+            THEN array_to_string(tokens[{GROUP_TOKENS}*(g+1) + 1 : {GROUP_TOKENS}*(g+2)], ' ')
+            ELSE NULL END AS caption_after
+FROM gs WHERE g % {MEDIA_EVERY} = 0
+"""
+
+
+QUERIES = {
+    "media_features": media_features,
+    "caption_pairs_synth": caption_pairs_synth,
+}
+ORACLES = {
+    "media_features": MEDIA_FEATURES_SQL,
+    "caption_pairs_synth": CAPTION_PAIRS_SQL,
+}
