@@ -55,8 +55,42 @@ def caption_pairs_synth(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: synthesis + pairing are one Python-free projection; the
     only fan-out is the per-media explode (rows ≈ media spans)."""
-    from spider_go_spark.functions import textkernel as tk
     from spider_go_spark.functions.spans import media_text_pairs
+
+    docs = _synth_span_docs(spark, sf)
+    return media_text_pairs(docs).select(
+        "doc_id", "media_ref", "media_kind",
+        F.col("media_offset").cast("bigint").alias("media_offset"),
+        "caption_before", "caption_after",
+    )
+
+
+CAPTION_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id, tokens,
+         (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} AS n_groups,
+         unnest(range(0, (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+)
+SELECT doc_id,
+       'media://img/' || doc_id::VARCHAR || '/' || g::VARCHAR AS media_ref,
+       'image' AS media_kind,
+       (2*g + 1)::BIGINT AS media_offset,
+       array_to_string(tokens[{GROUP_TOKENS}*g + 1 : {GROUP_TOKENS}*(g+1)], ' ') AS caption_before,
+       CASE WHEN g + 1 < n_groups
+            THEN array_to_string(tokens[{GROUP_TOKENS}*(g+1) + 1 : {GROUP_TOKENS}*(g+2)], ' ')
+            ELSE NULL END AS caption_after
+FROM gs WHERE g % {MEDIA_EVERY} = 0
+"""
+
+
+def _synth_span_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic documents→spans synthesis shared by the two
+    span-operator gate queries (see caption_pairs_synth docstring)."""
+    from spider_go_spark.functions import textkernel as tk
 
     d = T(spark, sf, "documents")
     toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
@@ -90,43 +124,49 @@ def caption_pairs_synth(spark: SparkSession, sf: str) -> DataFrame:
         F.flatten(F.transform(gidx, lambda g: F.array(text_span(g), img_span(g)))),
         lambda s: s["kind"] != F.lit("skip"),
     )
-    docs = toks.filter(F.size("tokens") > 0).select(
-        "doc_id", spans.alias("spans")
-    )
-    return media_text_pairs(docs).select(
-        "doc_id", "media_ref", "media_kind",
-        F.col("media_offset").cast("bigint").alias("media_offset"),
-        "caption_before", "caption_after",
-    )
+    return toks.filter(F.size("tokens") > 0).select("doc_id", spans.alias("spans"))
 
 
-CAPTION_PAIRS_SQL = rf"""
+def span_stats_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """The span_stream_stats interleaving profile through the REAL HOF-fold
+    operator, over the same deterministic synthesized stream as
+    caption_pairs_synth — the oracle recomputes every count (including the
+    fold's longest-media-run) by token arithmetic."""
+    from spider_go_spark.functions.spans import span_stream_stats
+
+    return span_stream_stats(_synth_span_docs(spark, sf))
+
+
+# per doc: n_groups text spans; an image after every 3rd group; text chars =
+# Σ token lengths + (n_tokens - n_groups) joining spaces; media spans are
+# always isolated between text spans → max run = 1 when any image exists.
+SPAN_STATS_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
   FROM documents
-), gs AS (
-  SELECT doc_id, tokens,
-         (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} AS n_groups,
-         unnest(range(0, (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})) AS g
-  FROM toks WHERE len(tokens) > 0
 )
 SELECT doc_id,
-       'media://img/' || doc_id::VARCHAR || '/' || g::VARCHAR AS media_ref,
-       'image' AS media_kind,
-       (2*g + 1)::BIGINT AS media_offset,
-       array_to_string(tokens[{GROUP_TOKENS}*g + 1 : {GROUP_TOKENS}*(g+1)], ' ') AS caption_before,
-       CASE WHEN g + 1 < n_groups
-            THEN array_to_string(tokens[{GROUP_TOKENS}*(g+1) + 1 : {GROUP_TOKENS}*(g+2)], ' ')
-            ELSE NULL END AS caption_after
-FROM gs WHERE g % {MEDIA_EVERY} = 0
+       ((len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})::BIGINT AS n_text,
+       (((len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS}) + {MEDIA_EVERY} - 1)
+         // {MEDIA_EVERY} AS n_image,
+       0::BIGINT AS n_video,
+       0::BIGINT AS n_link,
+       (list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> length(t)::BIGINT)),
+                    (a, b) -> a + b)
+        + len(tokens) - (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})::BIGINT
+         AS n_text_chars,
+       1::BIGINT AS max_media_run
+FROM toks WHERE len(tokens) > 0
 """
 
 
 QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
+    "span_stats_synth": span_stats_synth,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
+    "span_stats_synth": SPAN_STATS_SQL,
 }
