@@ -111,7 +111,7 @@ def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(a_max))
             .select(
                 "node",
-                F.expr("coalesce(s, 0) * 1000000 div m").cast("long").alias("auth_u"),
+                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("auth_u"),
             )
             .localCheckpoint(eager=True)
         )
@@ -126,7 +126,7 @@ def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(h_max))
             .select(
                 "node",
-                F.expr("coalesce(s, 0) * 1000000 div m").cast("long").alias("hub_u"),
+                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("hub_u"),
             )
             .localCheckpoint(eager=True)
         )
@@ -139,10 +139,10 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     ends with ``hub{iters}(node, hub_u)`` and ``auth{iters}(node, auth_u)``."""
     parts = [
         edges_cte,
-        """
+        f"""
 , nodes AS (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
-hub0 AS (SELECT node, 1000000::BIGINT AS hub_u FROM nodes)
+hub0 AS (SELECT node, {SCALE}::BIGINT AS hub_u FROM nodes)
 """,
     ]
     for i in range(iters):
@@ -152,14 +152,14 @@ hub0 AS (SELECT node, 1000000::BIGINT AS hub_u FROM nodes)
   FROM edges e JOIN hub{i} h ON e.src = h.node GROUP BY e.dst
 ), auth{i + 1} AS (
   SELECT n.node,
-         (coalesce(a.s, 0) * 1000000 // greatest((SELECT max(s) FROM a{i + 1}r), 1))::BIGINT AS auth_u
+         (coalesce(a.s, 0) * {SCALE} // greatest((SELECT max(s) FROM a{i + 1}r), 1))::BIGINT AS auth_u
   FROM nodes n LEFT JOIN a{i + 1}r a ON n.node = a.node
 ), h{i + 1}r AS (
   SELECT e.src AS node, sum(a.auth_u)::BIGINT AS s
   FROM edges e JOIN auth{i + 1} a ON e.dst = a.node GROUP BY e.src
 ), hub{i + 1} AS (
   SELECT n.node,
-         (coalesce(h.s, 0) * 1000000 // greatest((SELECT max(s) FROM h{i + 1}r), 1))::BIGINT AS hub_u
+         (coalesce(h.s, 0) * {SCALE} // greatest((SELECT max(s) FROM h{i + 1}r), 1))::BIGINT AS hub_u
   FROM nodes n LEFT JOIN h{i + 1}r h ON n.node = h.node
 )
 """

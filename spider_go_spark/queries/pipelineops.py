@@ -517,7 +517,14 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "th",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    ).filter(F.col("chunk_idx") * CHUNK_STRIDE < F.size("th"))
+    ).filter(
+        # chunk_idx >= 0 guards the empty-doc case: n_chunks = 0 makes
+        # sequence(0, -1) = [0, -1] (Spark sequences step DOWN), and the
+        # start-bound alone would admit the spurious chunk_idx = -1 row
+        # the oracle's range(0, 0) never emits
+        (F.col("chunk_idx") >= 0)
+        & (F.col("chunk_idx") * CHUNK_STRIDE < F.size("th"))
+    )
     piece = F.slice(
         F.col("th"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_W
     )

@@ -118,9 +118,14 @@ REVISIT = T.StructType(
         T.StructField("next_round", T.IntegerType(), False),
         # adaptive revisit (change detection): content hash seen at the last
         # successful fetch, and the interval that produced next_round.
-        # NULL on retry entries and under fixed-interval (non-adaptive)
-        # policies — the comparison then never fires and intervals stay at
-        # the policy base.
+        # last_hash is NULL on retry entries and under fixed-interval
+        # (non-adaptive) policies, so the change comparison never fires;
+        # interval is always populated (= the policy base under
+        # non-adaptive policies, round_loop's fixed branch writes base_k).
+        # Compat note: these two columns were added in round 2 — revisit
+        # snapshots written by the round-1 schema cannot be read on resume;
+        # the config-versioned crawl_id keys old snapshots away from new
+        # engines, which is the intended mitigation.
         T.StructField("last_hash", T.LongType(), True),
         T.StructField("interval", T.IntegerType(), True),
     ]

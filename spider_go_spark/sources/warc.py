@@ -63,6 +63,17 @@ def _encode_record(
 ) -> bytes:
     if payload is None:
         payload = b""
+    for name, v in (
+        ("record_id", record_id), ("warc_type", warc_type),
+        ("target_uri", target_uri), ("content_type", content_type),
+    ):
+        # header values are CRLF-framed: an embedded \r or \n (e.g. a
+        # crafted crawled URL) would inject forged header lines / break
+        # record framing at write time — reject rather than corrupt
+        if "\r" in v or "\n" in v:
+            raise ValueError(
+                f"WARC header {name}={v!r} contains a control character"
+            )
     head = (
         b"WARC/1.0" + _CRLF
         + b"WARC-Type: " + warc_type.encode() + _CRLF
@@ -88,6 +99,10 @@ def _decode_records(blob: bytes, path: str) -> Iterator[tuple]:
         for ln in lines[1:]:
             k, _, v = ln.partition(b": ")
             hdrs[k.decode().lower()] = v.decode()
+        if "content-length" not in hdrs:
+            raise ValueError(
+                f"{path}: record at byte {pos} has no Content-Length header"
+            )
         clen = int(hdrs["content-length"])
         body_start = end_head + 4
         payload = blob[body_start : body_start + clen]
@@ -137,17 +152,24 @@ class _WarcCommit(WriterCommitMessage):
 
 class _WarcWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        # per-JOB token in the filenames: two append jobs into the same
+        # directory can never collide (each contributes its own file set),
+        # while WITHIN a job a speculative/retried task still rewrites its
+        # own deterministic filename (last-writer-wins idempotence). The
+        # token is fixed here on the driver and rides to executors in the
+        # pickled writer.
+        self.job_token = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> _WarcCommit:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        # deterministic per-partition filename: a speculative/retried task
-        # rewrites the same file (last-writer-wins idempotence)
-        out = os.path.join(self.path, f"part-{pid:05d}.warc")
+        out = os.path.join(self.path, f"part-{self.job_token}-{pid:05d}.warc")
         n = 0
         with open(out + ".inprogress", "wb") as fh:
             for row in iterator:
@@ -161,8 +183,21 @@ class _WarcWriter(DataSourceWriter):
         os.replace(out + ".inprogress", out)  # atomic per-task publish
         return _WarcCommit(out, n)
 
-    def commit(self, messages) -> None:  # files are already atomically
-        # published per task; nothing global to flip (directory = table)
+    def commit(self, messages) -> None:
+        # task files are already atomically published; the only global step
+        # is honoring overwrite mode — AFTER every task succeeded, drop any
+        # pre-existing archive file this job did not write (old jobs can
+        # never share filenames thanks to the job token). Deleting at
+        # commit, not at write start, means a failed overwrite job leaves
+        # the previous archive intact.
+        if not self.overwrite:
+            return None
+        keep = {m.path for m in messages if m is not None}
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                p = os.path.join(root, f)
+                if f.endswith(".warc") and p not in keep:
+                    os.remove(p)
         return None
 
     def abort(self, messages) -> None:
@@ -214,15 +249,16 @@ def warc_docs_sink(root: str):
     """A ``CrawlEngine(docs_sink=...)`` adapter archiving each committed
     round's fetched docs as a WARC directory (``<root>/round=N/``).
 
-    Exactly-once composes for free: the engine invokes the sink once per
-    committed round (redelivery across resume is cut by the round-number
-    idempotence key), and within a delivery the writer's deterministic
-    per-task filenames make task retries idempotent. Register the
-    datasource on the session before crawling."""
+    Exactly-once composes: the engine acks each delivered round, and the
+    rare redelivery (crash between sink write and ack) runs in OVERWRITE
+    mode, so the round directory is replaced — never doubled — while
+    within a delivery the writer's deterministic per-task filenames make
+    task retries idempotent. Register the datasource on the session
+    before crawling."""
 
     def sink(rnd: int, docs: DataFrame) -> None:
         fetched_docs_as_warc(docs).write.format("warc").option(
             "path", os.path.join(root, f"round={rnd}")
-        ).mode("append").save()
+        ).mode("overwrite").save()
 
     return sink

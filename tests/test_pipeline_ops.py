@@ -323,3 +323,23 @@ def test_hits_bipartite_scores(spark):
     assert all(s[a][0] == 0 for a in (11, 12, 13, 14))  # authorities: no out
     assert s[1][0] < s[0][0]  # fewer out-links -> smaller hub score
     assert all(s[a][1] <= s[11][1] for a in (12, 13, 14))
+
+
+def test_chunk_documents_skips_empty_docs(spark, tmp_path):
+    """An empty / whitespace-only document has zero tokens and must emit
+    ZERO chunk rows — not the spurious chunk_idx = -1 row that Spark's
+    descending sequence(0, -1) = [0, -1] would otherwise admit (the
+    DuckDB oracle's range(0, 0) emits nothing)."""
+    from spider_go_spark.queries.pipelineops import chunk_documents
+
+    spark.createDataFrame(
+        [("d-empty", ""), ("d-blank", "   \n\t  "), ("d-one", "solo token")],
+        "doc_id string, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = chunk_documents(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert "d-empty" not in by_doc and "d-blank" not in by_doc
+    assert [r["chunk_idx"] for r in by_doc["d-one"]] == [0]
+    assert all(r["chunk_idx"] >= 0 for r in rows)

@@ -146,3 +146,52 @@ def test_fetched_docs_projection(warc_registered, tmp_path):
     assert row.record_id == "<urn:doc:d-0001>"
     assert row.target_uri == "http://h0.example.test/p/1"
     assert '"status":"200"' in row.body and '"hello world"' in row.body
+
+
+def test_overwrite_clears_stale_parts(warc_registered, tmp_path):
+    """mode('overwrite') must replace the whole archive directory: a second
+    smaller write leaves NO stale parts from the first larger write, and
+    two append jobs never collide on filenames (per-job token)."""
+    spark = warc_registered
+    from spider_go_spark.sources.warc import WARC_SCHEMA
+
+    out = str(tmp_path / "ow")
+    spark.createDataFrame(_rows(40), WARC_SCHEMA).repartition(8).write.format(
+        "warc"
+    ).option("path", out).mode("append").save()
+    n_first = len([f for f in os.listdir(out) if f.endswith(".warc")])
+    assert n_first > 1
+
+    spark.createDataFrame(_rows(3), WARC_SCHEMA).repartition(1).write.format(
+        "warc"
+    ).option("path", out).mode("overwrite").save()
+    back = spark.read.format("warc").option("path", out).load()
+    got = {
+        (r.record_id, r.warc_type, r.target_uri, r.content_type, bytes(r.payload))
+        for r in back.collect()
+    }
+    assert got == set(_rows(3))  # no mix of old and new records
+
+    # append after overwrite: records accumulate, filenames never collide
+    spark.createDataFrame(_rows(5)[3:], WARC_SCHEMA).repartition(1).write.format(
+        "warc"
+    ).option("path", out).mode("append").save()
+    assert spark.read.format("warc").option("path", out).load().count() == 5
+
+
+def test_header_injection_rejected():
+    """CR/LF in any header value would forge header lines inside the
+    archive — the encoder refuses instead of corrupting framing."""
+    with pytest.raises(ValueError, match="control character"):
+        _encode_record(
+            "<urn:x:1>", "response",
+            "http://a.test/\r\nWARC-Type: forged", "text/plain", b"x",
+        )
+    with pytest.raises(ValueError, match="control character"):
+        _encode_record("<urn:x\n:1>", "response", "http://a.test/", "t/p", b"")
+
+
+def test_missing_content_length_is_diagnostic():
+    blob = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:1>\r\nWARC-Target-URI: http://a.test/\r\n\r\n"
+    with pytest.raises(ValueError, match="no Content-Length"):
+        list(_decode_records(blob, "mem"))
