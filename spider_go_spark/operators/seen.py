@@ -13,10 +13,14 @@ Scale design (10^10 URLs):
   At 10 bits/URL and S=8192, each shard bitmap is ~1.5 MB — streams through
   ``cogroup().applyInPandas`` without memory pressure; the probe shuffles
   candidates once on shard_id and ships each bitmap exactly once per task.
-- ``seen_urls``: exact membership, written partitioned by shard_id so the
-  verify join prunes to only the shards that produced Bloom positives. The
-  verify join input is only (FP_rate × candidates + true duplicates) rows —
-  the Bloom pre-filter is what makes exact dedup affordable at 10^10.
+- ``seen_urls``: exact membership, stored as a shard_id-BUCKETED snapshot
+  table (round_loop commits it via ``append_buckets``), and the verify
+  join takes a ``read_buckets`` callable so the scan physically prunes to
+  only the shards that produced Bloom positives. The verify join input is
+  only (FP_rate × candidates + true duplicates) rows against those shards'
+  files — the Bloom pre-filter plus shard pruning is what makes exact
+  dedup affordable at 10^10 (an anti-join can never broadcast its right
+  side, so without pruning every round would shuffle the whole table).
 - Probe-side skew: candidates are hashed uniformly by url_hash, so shard
   load is balanced regardless of host skew.
 """
@@ -175,7 +179,7 @@ BROADCAST_BITMAP_CAP_BYTES = 512 << 20
 def filter_unseen(
     candidates: DataFrame,
     shards: DataFrame,
-    seen_urls: DataFrame,
+    seen_urls,
     num_shards: int,
     m_bits: int | None = None,
     k_hashes: int | None = None,
@@ -199,11 +203,29 @@ def filter_unseen(
       pandas probe; the tagged set is persisted so the two branches don't
       re-run the shuffle.
 
-    Either way the exact verify joins Bloom positives against
-    ``seen_urls`` on (shard_id, url_norm) — scan pruned to shards with
-    positives, AQE broadcasts when the maybe-side is tiny. The result is
-    returned persisted+materialized; the CALLER must unpersist it (and in
-    the cogroup arm the intermediate cache is released here).
+    Either way the exact verify left-anti-joins Bloom positives against
+    ``seen_urls`` on (shard_id, url_norm).
+
+    ``seen_urls`` may be:
+
+    - a DataFrame — the verify joins against it as given (the scan reads
+      whatever the caller's plan reads); or
+    - a CALLABLE ``read_seen(shard_ids) -> DataFrame`` — the positives'
+      distinct shard ids are collected first (≤ num_shards ints, off the
+      already-tagged candidates) and the callable returns only those
+      shards' rows (e.g. ``SnapshotTable.read_buckets`` over a
+      shard-bucketed seen table). This is the 10^10-scale arm: in a LEFT
+      ANTI join only the right side could broadcast, and that side is the
+      seen table itself (~1 TB at design point) — so WITHOUT physical
+      pruning every round pays a full shuffle of the whole seen set to
+      verify ~FP_rate×round_size positives. With shard pruning the scan
+      is bounded by the positives' shard subset, and AQE broadcasts the
+      tiny maybe-side... which it cannot: anti-join build side is the
+      seen side, so the win is the pruned scan + a shuffle proportional
+      to the POSITIVE shards only, not the whole table.
+
+    The result is returned persisted+materialized; the CALLER must
+    unpersist it (the cogroup arm's intermediate cache is released here).
     """
     use_broadcast = (
         m_bits is not None
@@ -220,11 +242,15 @@ def filter_unseen(
         tagged = tagged_cached = bloom_maybe_seen(candidates, shards, num_shards).persist()
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    # Exact verify: join on (shard_id, url_norm) so the scan of seen_urls
-    # prunes to the shards with positives (seen_urls written partitioned by
-    # shard_id). AQE converts to broadcast when the maybe-side is tiny.
+    if callable(seen_urls):
+        pos_shards = sorted(
+            r["shard_id"] for r in maybe.select("shard_id").distinct().collect()
+        )
+        seen_df = seen_urls(pos_shards)
+    else:
+        seen_df = seen_urls
     verified_new = maybe.join(
-        seen_urls.select("shard_id", "url_norm"), ["shard_id", "url_norm"], "left_anti"
+        seen_df.select("shard_id", "url_norm"), ["shard_id", "url_norm"], "left_anti"
     )
     result = definite_new.unionByName(verified_new).persist()
     result.count()

@@ -414,12 +414,20 @@ class CrawlEngine:
             n_cand = candidates.count()
         shards_all = self.seen_shards.read()
         shards = shards_all.filter(self._cid).drop("crawl_id")
-        seen = self.seen_urls.read().filter(self._cid)
+
+        def read_seen(shard_ids):
+            # physical pruning for the exact-verify anti-join: seen_urls is
+            # a shard_id-bucketed table, so only the shards with Bloom
+            # positives are read (an anti-join's right side can never
+            # broadcast — without this every round would shuffle the whole
+            # 10^10-row table to verify ~FP_rate×round_size positives)
+            return self.seen_urls.read_buckets(shard_ids).filter(self._cid)
+
         with _timed(phases, "seen_probe"):
             # filter_unseen returns persisted+materialized; projections below
             # read the cache, and we unpersist it at the end of the commit
             unseen = filter_unseen(
-                candidates, shards, seen, self.cfg.num_shards,
+                candidates, shards, read_seen, self.cfg.num_shards,
                 m_bits=self.m_bits, k_hashes=self.k_hashes,
             )
             new = unseen.select(*self._frontier_cols, "shard_id")
@@ -465,11 +473,21 @@ class CrawlEngine:
             self.frontier.replace_buckets(replaced, sorted(touched), f"round-{rnd:06d}")
 
         with _timed(phases, "seen_append"):
-            self.seen_urls.append(
-                new.select(
-                    "crawl_id", "url_hash", "url_norm", "shard_id",
-                    F.lit(rnd).cast("int").alias("seen_round"),
-                ),
+            # bucket-scoped append keyed on shard_id: write cost stays
+            # O(new rows) (existing shard dirs are never re-read) while the
+            # verify join's read_buckets prunes to positive shards only.
+            # Touched-shard collect is ≤ num_shards ints off the cached
+            # unseen set; repartition gives one output file per shard.
+            seen_new = new.select(
+                "crawl_id", "url_hash", "url_norm", "shard_id",
+                F.lit(rnd).cast("int").alias("seen_round"),
+            ).withColumn("__bucket", F.col("shard_id"))
+            touched_shards = sorted(
+                r["shard_id"] for r in new.select("shard_id").distinct().collect()
+            )
+            self.seen_urls.append_buckets(
+                seen_new.repartition(max(len(touched_shards), 1), "__bucket"),
+                touched_shards,
                 f"round-{rnd:06d}",
             )
         updates = build_shard_updates(
@@ -881,20 +899,24 @@ class CrawlEngine:
         return history
 
     # -- scoped cascade delete ----------------------------------------------------
-    def _scoped_bucket_delete(self, table: SnapshotTable, label: str) -> None:
+    def _scoped_bucket_delete(self, table: SnapshotTable, label: str, bucket_expr=None) -> None:
         """Partition-scoped delete of this crawl's rows from a bucketed
         table: only buckets holding the crawl's rows are re-read and
-        rewritten; every other bucket's dirs carry over untouched."""
+        rewritten; every other bucket's dirs carry over untouched.
+        ``bucket_expr``: the table's bucket-key Column (default: the
+        frontier transform pmod(url_hash, frontier_buckets))."""
+        if bucket_expr is None:
+            bucket_expr = self._bucket_col()
         mine = table.read().filter(self._cid)
         touched = sorted(
             r["__bucket"]
-            for r in mine.select(self._bucket_col().alias("__bucket")).distinct().collect()
+            for r in mine.select(bucket_expr.alias("__bucket")).distinct().collect()
         )
         if touched:
             kept = (
                 table.read_buckets(touched)
                 .filter(~self._cid)
-                .withColumn("__bucket", self._bucket_col())
+                .withColumn("__bucket", bucket_expr)
                 .repartition(max(len(touched), 1), "__bucket")
             )
             table.replace_buckets(kept, touched, label)
@@ -906,8 +928,9 @@ class CrawlEngine:
         durable restore point (otherwise the next resume would roll them
         back). ≙ Iceberg's rewrite_data_files + expire_snapshots services.
 
-        Why: append tables (fetched_docs, lineage, seen_urls, fetch_metrics)
-        grow one data dir per round, so reads union R dirs after R rounds —
+        Why: append tables (fetched_docs, lineage, fetch_metrics) and the
+        bucket-append seen set grow one data dir (per bucket) per round,
+        so reads union R dirs after R rounds —
         planning time and open-file count grow without bound. At 100 TB this
         runs as its own scheduled job between rounds (it takes the same
         single-writer catalog lock as a round; here: just call it from the
@@ -916,10 +939,25 @@ class CrawlEngine:
         """
         compacted: dict[str, dict] = {}
         for name, t in self._tables().items():
-            if t.snapshot().bucket_dirs is not None:
-                # bucketed tables (frontier, revisit) hold exactly one
-                # dir/file per bucket by construction — compacting them
-                # would be a full-table rewrite for zero layout gain
+            snap = t.snapshot()
+            if snap.bucket_dirs is not None:
+                # replace-bucketed tables (frontier, revisit) hold exactly
+                # one dir/file per bucket by construction — compacting them
+                # would be a full-table rewrite for zero layout gain. The
+                # APPEND-bucketed seen set, however, gains one dir per
+                # bucket per round: compact it once any bucket's dir chain
+                # reaches the threshold (compact() folds each bucket back
+                # to a single dir while keeping the bucket mapping)
+                worst = max((len(d) for d in snap.bucket_dirs.values()), default=0)
+                if worst >= min_dirs:
+                    before = t.data_file_stats()
+                    t.compact(label="compact")
+                    after = t.data_file_stats()
+                    compacted[name] = {
+                        "dirs_before": before["n_data_dirs"],
+                        "dirs_after": after["n_data_dirs"],
+                        "rows": after["row_count"],
+                    }
                 continue
             stats = t.data_file_stats()
             if stats["n_data_dirs"] >= min_dirs:
@@ -950,14 +988,16 @@ class CrawlEngine:
         post-delete snapshots the new restore point, so the dropped crawl
         no longer resumes and other crawls resume over the cleaned state."""
         label = f"drop-{self.cfg.crawl_id}"
-        # the frontier AND the revisit queue are bucketed tables: both must
-        # take the partition-scoped delete (a flat overwrite would commit a
-        # snapshot with no bucket mapping, breaking the next crawl round's
-        # replace_buckets on the shared catalog)
+        # the frontier, the revisit queue AND the seen set are bucketed
+        # tables: all must take the partition-scoped delete (a flat
+        # overwrite would commit a snapshot with no bucket mapping,
+        # breaking the next crawl round's bucket-scoped commits on the
+        # shared catalog)
         self._scoped_bucket_delete(self.frontier, label)
         self._scoped_bucket_delete(self.revisit, label)
+        self._scoped_bucket_delete(self.seen_urls, label, bucket_expr=F.col("shard_id"))
         for name, t in self._tables().items():
-            if name in ("frontier", "revisit"):
+            if name in ("frontier", "revisit", "seen_urls"):
                 continue
             t.overwrite(t.read().filter(~self._cid), label)
         metrics = {"dropped_crawl": self.cfg.crawl_id}

@@ -252,6 +252,54 @@ class SnapshotTable:
             bucket_dirs=new_bd, bucket_rows=new_br,
         )
 
+    def append_buckets(
+        self,
+        df: DataFrame,
+        touched,
+        label: str,
+        bucket_col: str = "__bucket",
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Commit a bucket-scoped APPEND: ``df``'s rows are ADDED to the
+        listed ``touched`` buckets (each written bucket gains one new data
+        dir; its existing dirs are neither read nor rewritten). The
+        bucketed complement of :meth:`append` — write cost is O(new rows)
+        like a flat append, but readers get :meth:`read_buckets` pruning.
+
+        This is the right shape for an append-mostly table that is probed
+        by key (e.g. a 10^10-row seen set verified per round against a few
+        hash shards): a flat append gives cheap writes but O(table) probe
+        scans; replace_buckets gives pruned scans but O(bucket) rewrites
+        per commit. Bucket-scoped appends give both; per-bucket dir counts
+        then grow one per commit, which :meth:`compact` folds back to one
+        (maintenance cadence amortizes it).
+        """
+        touched = {int(b) for b in touched}
+        prev = self.snapshot()
+        if prev.data_dirs and prev.bucket_dirs is None:
+            raise RuntimeError(
+                "append_buckets on a table with non-bucketed data: the "
+                "existing rows have no bucket mapping to merge into"
+            )
+        rel, _n = self._write_data(df, label, partition_by=bucket_col)
+        out = os.path.join(self.path, rel)
+        new_bd = {b: list(dirs) for b, dirs in (prev.bucket_dirs or {}).items()}
+        new_br = dict(prev.bucket_rows or {})
+        for d in sorted(os.listdir(out)):
+            if d.startswith(bucket_col + "="):
+                b = int(d.split("=", 1)[1])
+                if b not in touched:
+                    raise RuntimeError(
+                        f"append_buckets: df contains rows in undeclared bucket {b}"
+                    )
+                new_bd.setdefault(b, []).append(os.path.join(rel, d))
+                new_br[b] = new_br.get(b, 0) + self._count_rows(os.path.join(out, d))
+        data_dirs = sorted(d for dirs in new_bd.values() for d in dirs)
+        return self._commit(
+            data_dirs, sum(new_br.values()), properties,
+            bucket_dirs=new_bd, bucket_rows=new_br,
+        )
+
     def compact(
         self,
         label: str = "compact",
