@@ -137,6 +137,44 @@ def budget_cut(
     return df.drop("__rk1", "__budget")
 
 
+def tier_split(
+    frontier: DataFrame, hot_per_host: int, salt_n: int = DEFAULT_SALT_N
+) -> DataFrame:
+    """Split the frontier into scheduling tiers: per host, the top
+    ``hot_per_host`` rows under the scheduler order get ``__tier`` = 0
+    (hot), everything else ``__tier`` = 1 (cold).
+
+    This is what makes per-round scheduling O(round), not O(frontier):
+    between rebalances the scheduler scans ONLY the hot tier, and the cut
+    is provably identical to a full-frontier cut — every cold row of a
+    host ranks below ``hot_per_host`` hot rows of that host, so with
+    ``hot_per_host`` = R × max_budget the per-host top-budget can't reach
+    into the cold tier for R consecutive rounds (each round consumes at
+    most max_budget of the guard prefix), and NEW rows may enter the hot
+    tier freely: a new row only makes a round's cut by outranking guard
+    rows, which already outrank every cold row, so the cut stays exact.
+
+    Same salted two-phase shape as :func:`budget_cut` (and the same
+    correctness argument: a row in the true per-host top-H is in the
+    top-H of its salt), so a hot host splits across ``salt_n`` tasks and
+    no phase-2 group exceeds salt_n × hot_per_host rows."""
+    order = frontier_order()
+    df = frontier.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    df = df.withColumn("__rk1", F.row_number().over(w1)).drop("__salt")
+    survivors = df.filter(F.col("__rk1") <= hot_per_host)
+    deep_cold = df.filter(F.col("__rk1") > hot_per_host)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("__rk2", F.row_number().over(w2))
+    tiered = ranked.withColumn(
+        "__tier",
+        F.when(F.col("__rk2") <= hot_per_host, F.lit(0)).otherwise(F.lit(1)).cast("int"),
+    ).drop("__rk2")
+    return tiered.unionByName(
+        deep_cold.withColumn("__tier", F.lit(1).cast("int"))
+    ).drop("__rk1")
+
+
 def schedule_round(
     frontier: DataFrame,
     host_policy: DataFrame,

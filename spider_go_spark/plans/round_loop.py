@@ -136,6 +136,20 @@ class CrawlConfig:
     # synthetic content churn: half the nodes publish new content every
     # change_period rounds (0 = static; see webgraph.content_hash_of_nodes)
     change_period: int = 0
+    # hot/cold frontier tiering (0 = off): per-round scheduling scans only
+    # the HOT tier — each host's top (hot_tier_rounds × max budget) rows
+    # under the scheduler order — instead of the whole frontier, and a
+    # salted rebalance every hot_tier_rounds rounds re-splits the tiers.
+    # Exactness: the hot prefix guards R rounds of cuts (see
+    # politeness.tier_split), so assignments are bit-identical to the
+    # untiered scheduler; what changes is per-round cost — O(hot tier)
+    # instead of O(frontier), with the O(frontier) rebalance amortized
+    # over R rounds. At the 10^10-frontier / 10^7-round design point this
+    # is the difference between the scheduler shuffling ~2 TB per round
+    # and shuffling the ~per-host-prefix hot set (bounded by
+    # n_hosts × R × budget rows). Cold rows live in bucket ids offset by
+    # frontier_buckets, so the hot scan is a physical partition prune.
+    hot_tier_rounds: int = 0
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -157,6 +171,12 @@ class CrawlConfig:
             self.adaptive_revisit, self.revisit_max_interval,
             self.change_period,
         )
+        if self.hot_tier_rounds:
+            # appended only when tiering is on: toggling tiers mid-crawl
+            # would strand assigned-row removal (cold bucket ids are not in
+            # the untiered bucket transform); appending conditionally keeps
+            # pre-tiering checkpoints resumable under default configs
+            parts += (self.hot_tier_rounds,)
         return "-".join(str(p) for p in parts)
 
 
@@ -213,6 +233,18 @@ class CrawlEngine:
             and "revisit_after_rounds" in self.host_policy.columns
             and not self.host_policy.filter("revisit_after_rounds > 0").isEmpty()
         )
+        # max effective per-host budget (effective ≤ max_in_flight, and
+        # unknown hosts get default_budget) — sizes the hot-tier guard
+        # prefix; only computed when tiering is on (the policy is a tiny
+        # dim, but the job per construction is still a job)
+        self._budget_max = self.cfg.default_budget
+        if self.cfg.hot_tier_rounds and not self._policy_empty:
+            top = self.host_policy.agg(F.max("max_in_flight")).first()[0]
+            if top is not None:
+                self._budget_max = max(self._budget_max, int(top))
+        # a policy swap can raise budgets, shrinking the guard margin the
+        # last rebalance provisioned — force a re-split before next round
+        self._needs_rebalance = True
 
     def update_policy(self, new_policy: DataFrame) -> DataFrame:
         """Config pickup at a round boundary ≙ the reference's cron trigger
@@ -590,10 +622,54 @@ class CrawlEngine:
         res["n_batches_drained"] = len(batch_dirs)
         return res
 
+    # -- hot/cold frontier tiering ------------------------------------------------
+    def _hot_bucket_ids(self) -> list[int]:
+        return list(range(self.cfg.frontier_buckets))
+
+    def _maybe_rebalance(self, rnd: int, phases: dict[str, float]) -> bool:
+        """Re-split this crawl's frontier rows into hot/cold tiers when the
+        tier window has elapsed (every hot_tier_rounds rounds) or a policy
+        swap invalidated the guard sizing. The O(frontier) pass lives HERE,
+        amortized over the window — scheduled rounds read only hot buckets.
+        Other tenants' rows carry through with their existing bucket tags
+        (their tier splits are theirs to maintain). Returns True if a
+        rebalance ran."""
+        R = self.cfg.hot_tier_rounds
+        if not R or not (self._needs_rebalance or (rnd - 1) % R == 0):
+            return False
+        with _timed(phases, "tier_rebalance"):
+            from spider_go_spark.operators.politeness import tier_split
+
+            B = self.cfg.frontier_buckets
+            tagged = self.frontier.read_buckets_tagged()
+            others = tagged.filter(~self._cid)
+            mine = tagged.filter(self._cid).drop("__bucket")
+            H = R * self._budget_max
+            placed = tier_split(mine, H, salt_n=self.cfg.salt_n).withColumn(
+                "__bucket",
+                (self._bucket_col() + F.col("__tier") * F.lit(B)).cast("int"),
+            ).drop("__tier")
+            prev_ids = set((self.frontier.snapshot().bucket_dirs or {}).keys())
+            touched = sorted(prev_ids | set(range(2 * B)))
+            replaced = others.unionByName(placed).repartition(
+                max(len(touched), 1), "__bucket"
+            )
+            self.frontier.replace_buckets(replaced, touched, f"rebalance-{rnd:06d}")
+        self._needs_rebalance = False
+        return True
+
     # -- one crawl round ---------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
         phases: dict[str, float] = {}
-        frontier = self.frontier.read().filter(self._cid)
+        if self.cfg.hot_tier_rounds:
+            rebalanced = self._maybe_rebalance(rnd, phases)
+            # physical prune: the scheduling pool is the hot buckets only
+            frontier = self.frontier.read_buckets(self._hot_bucket_ids()).filter(
+                self._cid
+            )
+        else:
+            rebalanced = False
+            frontier = self.frontier.read().filter(self._cid)
         # revisit eligibility (≙ cron trigger firing, cmd/cron-trigger/
         # main.go:82-229): fetched URLs whose recrawl round has arrived
         # rejoin the scheduling pool. Invariant: a URL is in the revisit
@@ -635,6 +711,14 @@ class CrawlEngine:
             assignments = ranked.withColumn("round", F.lit(rnd).cast("int"))
             n_assigned = ranked.count()
         if n_assigned == 0:
+            if self.cfg.hot_tier_rounds and not rebalanced:
+                # an empty HOT tier does not mean an empty frontier: force
+                # a re-split and retry once — after a fresh rebalance an
+                # empty hot tier proves the frontier itself is drained (hot
+                # is every host's top-H), so the retry terminates
+                ranked.unpersist()
+                self._needs_rebalance = True
+                return self.run_round(rnd)
             ranked.unpersist()
             n_pending = rev_all.filter(self._cid).count() if use_revisit else 0
             metrics = {
@@ -899,24 +983,23 @@ class CrawlEngine:
         return history
 
     # -- scoped cascade delete ----------------------------------------------------
-    def _scoped_bucket_delete(self, table: SnapshotTable, label: str, bucket_expr=None) -> None:
+    def _scoped_bucket_delete(self, table: SnapshotTable, label: str) -> None:
         """Partition-scoped delete of this crawl's rows from a bucketed
         table: only buckets holding the crawl's rows are re-read and
-        rewritten; every other bucket's dirs carry over untouched.
-        ``bucket_expr``: the table's bucket-key Column (default: the
-        frontier transform pmod(url_hash, frontier_buckets))."""
-        if bucket_expr is None:
-            bucket_expr = self._bucket_col()
-        mine = table.read().filter(self._cid)
+        rewritten; every other bucket's dirs carry over untouched. Bucket
+        membership comes from the manifest tags (read_buckets_tagged), so
+        this works for ANY bucket transform — including tiered frontiers,
+        whose bucket id encodes hot/cold state no row column can
+        reconstruct."""
+        tagged = table.read_buckets_tagged()
         touched = sorted(
             r["__bucket"]
-            for r in mine.select(bucket_expr.alias("__bucket")).distinct().collect()
+            for r in tagged.filter(self._cid).select("__bucket").distinct().collect()
         )
         if touched:
             kept = (
-                table.read_buckets(touched)
+                table.read_buckets_tagged(touched)
                 .filter(~self._cid)
-                .withColumn("__bucket", bucket_expr)
                 .repartition(max(len(touched), 1), "__bucket")
             )
             table.replace_buckets(kept, touched, label)
@@ -995,7 +1078,7 @@ class CrawlEngine:
         # shared catalog)
         self._scoped_bucket_delete(self.frontier, label)
         self._scoped_bucket_delete(self.revisit, label)
-        self._scoped_bucket_delete(self.seen_urls, label, bucket_expr=F.col("shard_id"))
+        self._scoped_bucket_delete(self.seen_urls, label)
         for name, t in self._tables().items():
             if name in ("frontier", "revisit", "seen_urls"):
                 continue

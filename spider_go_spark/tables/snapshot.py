@@ -202,6 +202,37 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*paths)
 
+    def read_buckets_tagged(
+        self, bucket_ids=None, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read buckets (default: all) with a ``__bucket`` literal column
+        recovered from the manifest mapping — for rewrites that must
+        preserve rows' EXISTING bucket placement without recomputing the
+        bucket transform (e.g. carrying other tenants' rows through a
+        rebalance, or a scoped delete on a table whose bucket id encodes
+        state beyond a pure hash of the row)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        snap = self.snapshot(snapshot_id)
+        bd = snap.bucket_dirs or {}
+        ids = sorted(bd) if bucket_ids is None else sorted(
+            b for b in (int(x) for x in bucket_ids) if b in bd
+        )
+        parts = [
+            self.read_buckets([b], snapshot_id).withColumn("__bucket", F.lit(b).cast("int"))
+            for b in ids
+        ]
+        if not parts:
+            schema = T.StructType(
+                list(self.schema.fields) + [T.StructField("__bucket", T.IntegerType(), False)]
+            )
+            return self.spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def replace_buckets(
         self,
         df: DataFrame,
@@ -333,13 +364,7 @@ class SnapshotTable:
         props.update(properties or {})
         props["compacted_from_snapshot"] = snap.snapshot_id
         if snap.bucket_dirs is not None:
-            parts = [
-                self.read_buckets([b]).withColumn("__bucket", F.lit(int(b)))
-                for b in sorted(snap.bucket_dirs)
-            ]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+            df = self.read_buckets_tagged()
             # hash-repartition on the bucket id: each bucket lands in exactly
             # one task, so partitionBy emits exactly one file per bucket
             n_parts = target_partitions or max(len(snap.bucket_dirs), 1)
