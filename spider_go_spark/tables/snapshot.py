@@ -156,25 +156,52 @@ class SnapshotTable:
                 # deleting committed data
                 raise RuntimeError(f"refusing to overwrite committed data dir {rel}")
             shutil.rmtree(out)  # failed earlier attempt — never committed
-        writer = df.write.mode("overwrite")
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        # row count via observe(): the WRITE job itself reports it — no
+        # second count job, and no driver-side metadata reads (walking every
+        # written file's footer on the driver serializes commits behind
+        # thousands of storage round-trips at 10^7-row rounds)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(out)
-        return rel, self._count_rows(out)
+        return rel, int(obs.get["rows"])
 
-    @staticmethod
-    def _count_rows(out: str) -> int:
-        """Row count from Parquet footers (driver-side metadata read — no
-        Spark job; an extra count job per commit would double the round's
-        job count)."""
-        import pyarrow.parquet as pq
+    def _bucket_file_rows(self, bucket_rel_dirs: dict[int, str]) -> dict[int, int]:
+        """Per-bucket row counts for a just-written bucketed data dir, from
+        Parquet footers read in ONE distributed job (metadata-only — the
+        footer carries num_rows; no data pages move). The driver only LISTS
+        the files (one listing per bucket dir); opening every footer
+        serially on the driver is the anti-pattern this replaces. A real
+        Iceberg catalog records these counts in its own manifests at write
+        time; this is the minimal equivalent for the miniature commit
+        model."""
+        tasks: list[tuple[int, str]] = []
+        for b, d in bucket_rel_dirs.items():
+            root = os.path.join(self.path, d)
+            for r, _dd, files in os.walk(root):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        tasks.append((int(b), os.path.join(r, fname)))
+        out = {int(b): 0 for b in bucket_rel_dirs}
+        if not tasks:
+            return out
 
-        n = 0
-        for root, _dirs, files in os.walk(out):
-            for fname in files:
-                if fname.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
-        return n
+        def footer_rows(t):
+            import pyarrow.parquet as pq
+
+            b, p = t
+            return b, pq.ParquetFile(p).metadata.num_rows
+
+        n_slices = max(1, min(len(tasks), self.spark.sparkContext.defaultParallelism))
+        for b, n in (
+            self.spark.sparkContext.parallelize(tasks, n_slices).map(footer_rows).collect()
+        ):
+            out[b] += n
+        return out
 
     def append(self, df: DataFrame, label: str, properties: dict | None = None) -> Snapshot:
         """Append ``df`` as a new data dir named ``label`` (e.g. round-000007)."""
@@ -262,12 +289,11 @@ class SnapshotTable:
         rel, _n = self._write_data(df, label, partition_by=bucket_col)
         out = os.path.join(self.path, rel)
         written: dict[int, list[str]] = {}
-        written_rows: dict[int, int] = {}
         for d in sorted(os.listdir(out)):
             if d.startswith(bucket_col + "="):
                 b = int(d.split("=", 1)[1])
                 written[b] = [os.path.join(rel, d)]
-                written_rows[b] = self._count_rows(os.path.join(out, d))
+        written_rows = self._bucket_file_rows({b: ds[0] for b, ds in written.items()})
         stray = set(written) - touched
         if stray:
             raise RuntimeError(
@@ -316,6 +342,7 @@ class SnapshotTable:
         out = os.path.join(self.path, rel)
         new_bd = {b: list(dirs) for b, dirs in (prev.bucket_dirs or {}).items()}
         new_br = dict(prev.bucket_rows or {})
+        added: dict[int, str] = {}
         for d in sorted(os.listdir(out)):
             if d.startswith(bucket_col + "="):
                 b = int(d.split("=", 1)[1])
@@ -323,8 +350,11 @@ class SnapshotTable:
                     raise RuntimeError(
                         f"append_buckets: df contains rows in undeclared bucket {b}"
                     )
-                new_bd.setdefault(b, []).append(os.path.join(rel, d))
-                new_br[b] = new_br.get(b, 0) + self._count_rows(os.path.join(out, d))
+                added[b] = os.path.join(rel, d)
+        added_rows = self._bucket_file_rows(added)
+        for b, d in added.items():
+            new_bd.setdefault(b, []).append(d)
+            new_br[b] = new_br.get(b, 0) + added_rows[b]
         data_dirs = sorted(d for dirs in new_bd.values() for d in dirs)
         return self._commit(
             data_dirs, sum(new_br.values()), properties,

@@ -42,7 +42,13 @@ def test_compact_flat_table(spark, tmp_path):
 def test_compact_refuses_row_drift(spark, tmp_path, monkeypatch):
     t = Catalog(spark, str(tmp_path)).load("t", SCHEMA)
     t.append(_df(spark, [(1, "a"), (2, "b")]), "b0")
-    monkeypatch.setattr(t, "_count_rows", lambda out: 1)
+    orig = t._write_data
+    # simulate a rewrite that silently lost a row (observed count drifts)
+    monkeypatch.setattr(
+        t,
+        "_write_data",
+        lambda df, label, partition_by=None: (orig(df, label, partition_by)[0], 1),
+    )
     with pytest.raises(RuntimeError, match="row drift"):
         t.compact()
 
