@@ -81,6 +81,8 @@ def crawl_oracle(
     adaptive_revisit: bool = False,
     revisit_max_interval: int = 16,
     change_period: int = 0,
+    round_period_s: int = 3600,
+    cron_epoch: str = "2024-01-01T00:00:00",
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
@@ -166,7 +168,15 @@ def crawl_oracle(
                     np.array([node]), np.array([rnd]), change_period
                 )[0]
             )
-            k = host_policy.get(e.host, {}).get("revisit_after_rounds") or 0
+            pol_h = host_policy.get(e.host, {})
+            if pol_h.get("cron"):
+                # cron-spec schedule: same shared pure function the engine's
+                # per-round policy override calls (functions/cron.cron_gap)
+                from spider_go_spark.functions.cron import cron_gap
+
+                k = cron_gap(pol_h["cron"], rnd, round_period_s, cron_epoch)
+            else:
+                k = pol_h.get("revisit_after_rounds") or 0
             if k > 0:  # (re)schedule the refetch; re-enters the scheduler
                 # order at its eligibility round. Adaptive (change-detection)
                 # mode: unchanged content doubles the interval up to the cap;

@@ -136,6 +136,12 @@ class CrawlConfig:
     # synthetic content churn: half the nodes publish new content every
     # change_period rounds (0 = static; see webgraph.content_hash_of_nodes)
     change_period: int = 0
+    # wall-clock cadence a round represents + the fixed time anchor for
+    # round 0 — used ONLY to map cron-spec revisit schedules (host_policy
+    # "cron" column) onto eligibility rounds; no wall clock is ever read,
+    # so cron crawls stay deterministic and resume bit-identically
+    round_period_s: int = 3600
+    cron_epoch: str = "2024-01-01T00:00:00"
     # hot/cold frontier tiering (0 = off): per-round scheduling scans only
     # the HOT tier — each host's top (hot_tier_rounds × max budget) rows
     # under the scheduler order — instead of the whole frontier, and a
@@ -177,6 +183,10 @@ class CrawlConfig:
             # the untiered bucket transform); appending conditionally keeps
             # pre-tiering checkpoints resumable under default configs
             parts += (self.hot_tier_rounds,)
+        if (self.round_period_s, self.cron_epoch) != (3600, "2024-01-01T00:00:00"):
+            # cron time mapping changes revisit semantics; appended only
+            # when non-default for the same compat reason as above
+            parts += (self.round_period_s, self.cron_epoch)
         return "-".join(str(p) for p in parts)
 
 
@@ -228,7 +238,24 @@ class CrawlEngine:
 
     def _memoize_policy(self) -> None:
         self._policy_empty = self.host_policy.isEmpty()
-        self._has_revisit = (
+        # cron-spec revisit schedules (≙ the reference's gocron specs,
+        # cmd/cron-trigger/main.go:149): hosts with a "cron" policy column
+        # get their revisit gap recomputed each round from the spec and the
+        # round↔wall-time mapping. Collected once (the policy is a tiny
+        # dim); specs are validated loudly here, not mid-crawl.
+        self._cron_hosts: dict[str, str] = {}
+        if not self._policy_empty and "cron" in self.host_policy.columns:
+            from spider_go_spark.functions.cron import parse_cron
+
+            rows = (
+                self.host_policy.filter(F.col("cron").isNotNull())
+                .select("host", "cron")
+                .collect()
+            )
+            self._cron_hosts = {r["host"]: r["cron"] for r in rows}
+            for spec in self._cron_hosts.values():
+                parse_cron(spec)
+        self._has_revisit = bool(self._cron_hosts) or (
             not self._policy_empty
             and "revisit_after_rounds" in self.host_policy.columns
             and not self.host_policy.filter("revisit_after_rounds > 0").isEmpty()
@@ -658,6 +685,29 @@ class CrawlEngine:
         self._needs_rebalance = False
         return True
 
+    def _policy_for_round(self, rnd: int) -> DataFrame:
+        """The live policy with cron hosts' revisit_after_rounds overridden
+        to this round's cron gap (rounds until the spec's next fire — a
+        pure function shared with the oracle, functions/cron.cron_gap).
+        The override rides the normal broadcast policy join, so the whole
+        revisit pipeline (passthrough columns, adaptive interaction, retry
+        precedence) is unchanged; non-cron configs return the policy
+        as-is."""
+        if not self._cron_hosts:
+            return self.host_policy
+        from spider_go_spark.functions.cron import cron_gap
+
+        rows = [
+            (h, cron_gap(spec, rnd, self.cfg.round_period_s, self.cfg.cron_epoch))
+            for h, spec in sorted(self._cron_hosts.items())
+        ]
+        over = self.spark.createDataFrame(rows, "host string, __cron_k int")
+        pol = self.host_policy.drop("cron").join(F.broadcast(over), "host", "left")
+        return pol.withColumn(
+            "revisit_after_rounds",
+            F.coalesce(F.col("__cron_k"), F.col("revisit_after_rounds")),
+        ).drop("__cron_k")
+
     # -- one crawl round ---------------------------------------------------------
     def run_round(self, rnd: int) -> dict:
         phases: dict[str, float] = {}
@@ -699,7 +749,7 @@ class CrawlEngine:
         with _timed(phases, "schedule_rank"):
             assignments = schedule_round(
                 pool,
-                self.host_policy,
+                self._policy_for_round(rnd),
                 default_budget=self.cfg.default_budget,
                 round_budget_ms=self.cfg.round_budget_ms,
                 salt_n=self.cfg.salt_n,
