@@ -1,14 +1,22 @@
 """Benchmark harness — driver contract.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus a synthetic-frontier
-crawl-throughput round, and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus crawl-throughput
+rounds, and prints ONE JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "crawl": {...}}
+     "queries": {...}, "sf": ..., "crawl": {...}, ...}
 
 Queries are materialized with a noop write (full computation, no driver
 collect) so projection-heavy queries aren't pruned away by count().
+
+Regression detectability (round-3 protocol): this host shows bursty
+hypervisor steal that can inflate a single-shot crawl figure 2.8× (measured
+in BENCH/BASELINE.md), so the crawl entries now run PINNED (taskset over
+exactly the advertised cores, so stray host load can't donate extra cores)
+and BEST-OF-N with every rep's wall time and per-phase breakdown emitted —
+a round-over-round diff attributes to a phase or is dismissed as noise by
+the rep spread, instead of being unfalsifiable.
 """
 
 from __future__ import annotations
@@ -23,6 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Headline set: one per operator family, sized to run at sf0.1 in seconds.
 HEADLINE = [
@@ -59,7 +69,7 @@ HEADLINE = [
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
-# per-round fixed costs (~150k fetches over 3 rounds, ~1 min on 32 cores).
+# per-round fixed costs (~150k fetches over 3 rounds).
 CRAWL_N_URLS = 200_000
 CRAWL_N_HOSTS = 200
 CRAWL_SEEDS = 20_000
@@ -67,12 +77,239 @@ CRAWL_ROUNDS = 3
 CRAWL_BUDGET = 100_000  # per-host budget high enough to be frontier-bound
 CRAWL_SHARDS = 32
 
+# Steady-state round workload (matches BENCH/run_scaling.py's shape).
+STEADY_N_URLS = 2_000_000
+STEADY_N_HOSTS = 500
+STEADY_SEEDS = 300_000
+STEADY_SHARDS = 64
+STEADY_BUDGET = 1_000_000
+
+# Tiered-scheduling evidence: a frontier MUCH larger than the round so the
+# O(frontier)-vs-O(hot) scheduling cost is visible (the throughput benches
+# above fetch their whole frontier each round, hiding it). Two frontier
+# sizes prove the asymptotics, not just a ratio: untiered per-round cost
+# grows with the frontier, tiered stays flat (bounded by hosts × R × B).
+TIER_N_URLS = 8_000_000
+TIER_N_HOSTS = 400
+TIER_SEED_SIZES = (800_000, 1_600_000)
+TIER_BUDGET = 50          # 400 hosts × 50 = 20k fetches/round
+TIER_ROUNDS = 3
+TIER_R = 4                # hot tier holds 4 rounds of budget per host
+
+
+def _pin_self() -> None:
+    """Re-exec under taskset so the whole bench (JVM + Python workers) is
+    pinned to exactly the advertised core count — stray host load can't
+    donate cores to one round and starve the next (the r2 bench drifted
+    −21% with no way to tell noise from regression)."""
+    if os.environ.get("_SPARK_GRAFT_BENCH_PINNED") == "1":
+        return
+    if shutil.which("taskset") is None:
+        return
+    env = dict(os.environ)
+    env["_SPARK_GRAFT_BENCH_PINNED"] = "1"
+    os.execvpe(
+        "taskset", ["taskset", "-c", f"0-{CPUS - 1}", sys.executable, *sys.argv], env
+    )
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _merge_phases(into: dict, phase_sec: dict) -> None:
+    for k, v in (phase_sec or {}).items():
+        into[k] = round(into.get(k, 0.0) + v, 3)
+
+
+def _bench_full_crawl(spark) -> dict:
+    """Best-of-N 3-round crawls, each on a fresh workdir; per-phase
+    breakdown taken from the best rep's round commits."""
+    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+    from spider_go_spark.sources.webgraph import make_seeds
+
+    walls, reps_meta = [], []
+    best = None
+    for _rep in range(CRAWL_REPS):
+        workdir = tempfile.mkdtemp(prefix="bench-crawl-")
+        try:
+            cfg = CrawlConfig(
+                workdir=workdir, n_urls=CRAWL_N_URLS, n_hosts=CRAWL_N_HOSTS,
+                num_shards=CRAWL_SHARDS, max_rounds=CRAWL_ROUNDS,
+                default_budget=CRAWL_BUDGET,
+            )
+            eng = CrawlEngine(spark, cfg)
+            t0 = time.time()
+            history = eng.crawl(
+                seeds=make_seeds(spark, CRAWL_SEEDS, CRAWL_N_URLS, CRAWL_N_HOSTS)
+            )
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        walls.append(round(wall, 3))
+        phases: dict[str, float] = {}
+        for h in history:
+            _merge_phases(phases, h.get("phase_sec"))
+        n_fetched = sum(h.get("n_fetched", 0) for h in history)
+        n_deduped = sum(h.get("n_candidates", 0) for h in history)
+        meta = {
+            "wall_sec": round(wall, 3), "phase_sec": phases,
+            "n_fetched": n_fetched, "n_deduped": n_deduped,
+        }
+        reps_meta.append(meta)
+        if best is None or wall < best["wall_sec"]:
+            best = meta
+    return {
+        "n_urls_fetched": best["n_fetched"],
+        "n_candidates_deduped": best["n_deduped"],
+        "rounds": CRAWL_ROUNDS,
+        "wall_sec": best["wall_sec"],
+        "walls_sec": walls,
+        "reps": CRAWL_REPS,
+        "phase_sec": best["phase_sec"],
+        "urls_fetched_per_sec": round(best["n_fetched"] / best["wall_sec"], 2),
+        "candidates_deduped_per_sec": round(best["n_deduped"] / best["wall_sec"], 2),
+    }
+
+
+def _bench_steady_round(spark) -> dict:
+    """Prepare a 300k-row frontier once, then best-of-N single fetch
+    rounds, each on a fresh copy of the prepared workdir (identical
+    input per rep)."""
+    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+    from spider_go_spark.sources.webgraph import make_seeds
+
+    base = tempfile.mkdtemp(prefix="bench-steady-")
+    src = os.path.join(base, "src")
+    try:
+        cfg = CrawlConfig(
+            workdir=src, n_urls=STEADY_N_URLS, n_hosts=STEADY_N_HOSTS,
+            num_shards=STEADY_SHARDS, max_rounds=2, default_budget=STEADY_BUDGET,
+        )
+        CrawlEngine(spark, cfg).inject_seeds(
+            make_seeds(spark, STEADY_SEEDS, STEADY_N_URLS, STEADY_N_HOSTS)
+        )
+        walls, best = [], None
+        for rep in range(CRAWL_REPS):
+            wd = os.path.join(base, f"run-{rep}")
+            shutil.copytree(src, wd)
+            cfg_r = CrawlConfig(
+                workdir=wd, n_urls=STEADY_N_URLS, n_hosts=STEADY_N_HOSTS,
+                num_shards=STEADY_SHARDS, max_rounds=2, default_budget=STEADY_BUDGET,
+            )
+            eng = CrawlEngine(spark, cfg_r)
+            t0 = time.time()
+            m = eng.run_round(1)
+            wall = time.time() - t0
+            shutil.rmtree(wd, ignore_errors=True)
+            walls.append(round(wall, 3))
+            meta = {
+                "wall_sec": round(wall, 3),
+                "phase_sec": dict(m.get("phase_sec") or {}),
+                "n_fetched": m["n_fetched"], "n_candidates": m["n_candidates"],
+            }
+            if best is None or wall < best["wall_sec"]:
+                best = meta
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_urls_fetched": best["n_fetched"],
+        "n_candidates_deduped": best["n_candidates"],
+        "wall_sec": best["wall_sec"],
+        "walls_sec": walls,
+        "reps": CRAWL_REPS,
+        "phase_sec": best["phase_sec"],
+        "urls_fetched_per_sec": round(best["n_fetched"] / best["wall_sec"], 2),
+    }
+
+
+def _bench_tiered_scheduling(spark) -> dict:
+    """Frontier ≫ round size, at TWO frontier sizes: per-round scheduling
+    cost untiered (scans the whole frontier) vs hot/cold tiered (scans the
+    hot tier). The asymptotics are the evidence: doubling the frontier
+    grows the untiered schedule_rank cost but leaves the tiered one flat
+    (bounded by hosts × hot_tier_rounds × budget). Assignments are
+    bit-identical between modes by construction (test_tiering)."""
+    from spider_go_spark import schemas
+    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+    from spider_go_spark.sources.webgraph import make_seeds
+
+    # a real (small) policy so scheduling pays the robots/policy pass the
+    # 10^10 design point pays — that is exactly the O(frontier) cost tiering
+    # bounds; policy hosts use the same budget as the default
+    policy = spark.createDataFrame(
+        [(f"h{i}.example.test", 0, TIER_BUDGET, None, False, None) for i in range(64)],
+        schemas.HOST_POLICY,
+    )
+
+    def cfg_for(wd: str, tiered: bool) -> "CrawlConfig":
+        return CrawlConfig(
+            workdir=wd, n_urls=TIER_N_URLS, n_hosts=TIER_N_HOSTS,
+            num_shards=STEADY_SHARDS, max_rounds=TIER_ROUNDS + 1,
+            default_budget=TIER_BUDGET,
+            hot_tier_rounds=TIER_R if tiered else 0,
+        )
+
+    sizes_out = []
+    for seeds in TIER_SEED_SIZES:
+        base = tempfile.mkdtemp(prefix="bench-tier-")
+        src = os.path.join(base, "src")
+        try:
+            CrawlEngine(spark, cfg_for(src, False)).inject_seeds(
+                make_seeds(spark, seeds, TIER_N_URLS, TIER_N_HOSTS)
+            )
+            out: dict[str, dict] = {}
+            for mode, tiered in (("untiered", False), ("tiered", True)):
+                wd = os.path.join(base, mode)
+                shutil.copytree(src, wd)
+                eng = CrawlEngine(spark, cfg_for(wd, tiered), host_policy=policy)
+                sched, reb, fetched = [], 0.0, 0
+                for rnd in range(1, TIER_ROUNDS + 1):
+                    m = eng.run_round(rnd)
+                    ph = m.get("phase_sec") or {}
+                    sched.append(round(ph.get("schedule_rank", 0.0), 3))
+                    reb += ph.get("tier_rebalance", 0.0)
+                    fetched += m.get("n_fetched", 0)
+                # steady rounds only (round 1 absorbs warm-up + rebalance)
+                steady = sched[1:]
+                out[mode] = {
+                    "schedule_rank_sec_per_round": sched,
+                    "sched_sec_steady_avg": round(sum(steady) / len(steady), 3),
+                    "rebalance_sec_total": round(reb, 3),
+                    "n_fetched_total": fetched,
+                }
+                shutil.rmtree(wd, ignore_errors=True)
+            sizes_out.append(
+                {
+                    "frontier_rows": seeds,
+                    "untiered": out["untiered"],
+                    "tiered": out["tiered"],
+                    "sched_speedup_steady": round(
+                        out["untiered"]["sched_sec_steady_avg"]
+                        / max(out["tiered"]["sched_sec_steady_avg"], 1e-9),
+                        2,
+                    ),
+                }
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    growth = lambda mode: round(
+        sizes_out[-1][mode]["sched_sec_steady_avg"]
+        / max(sizes_out[0][mode]["sched_sec_steady_avg"], 1e-9),
+        2,
+    )
+    return {
+        "round_fetches": TIER_N_HOSTS * TIER_BUDGET,
+        "hot_tier_rounds": TIER_R,
+        "sizes": sizes_out,
+        # frontier 2×: untiered sched should grow ~2×, tiered ~1×
+        "untiered_sched_growth": growth("untiered"),
+        "tiered_sched_growth": growth("tiered"),
+    }
+
+
 def main() -> None:
+    _pin_self()
     from spider_go_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -94,50 +331,11 @@ def main() -> None:
         materialize(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
 
-    # crawl throughput: full engine rounds on the synthetic graph
-    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
-    from spider_go_spark.sources.webgraph import make_seeds
-
-    workdir = tempfile.mkdtemp(prefix="bench-crawl-")
-    try:
-        cfg = CrawlConfig(
-            workdir=workdir,
-            n_urls=CRAWL_N_URLS,
-            n_hosts=CRAWL_N_HOSTS,
-            num_shards=CRAWL_SHARDS,
-            max_rounds=CRAWL_ROUNDS,
-            default_budget=CRAWL_BUDGET,
-        )
-        eng = CrawlEngine(spark, cfg)
-        t0 = time.time()
-        history = eng.crawl(seeds=make_seeds(spark, CRAWL_SEEDS, CRAWL_N_URLS, CRAWL_N_HOSTS))
-        crawl_sec = time.time() - t0
-        n_fetched = sum(h.get("n_fetched", 0) for h in history)
-        n_deduped = sum(h.get("n_candidates", 0) for h in history)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-    times["crawl_3_rounds"] = round(crawl_sec, 3)
-
-    # steady-state round: one big fetch round on a prepared 280k-URL
-    # frontier — the sustained-throughput figure (seed injection and
-    # termination excluded; matches the BENCH/run_scaling.py workload shape)
-    workdir2 = tempfile.mkdtemp(prefix="bench-steady-")
-    try:
-        from spider_go_spark.plans.round_loop import CrawlConfig as _CC
-        from spider_go_spark.plans.round_loop import CrawlEngine as _CE
-
-        cfg2 = _CC(
-            workdir=workdir2, n_urls=2_000_000, n_hosts=500, num_shards=64,
-            max_rounds=2, default_budget=1_000_000,
-        )
-        eng2 = _CE(spark, cfg2)
-        eng2.inject_seeds(make_seeds(spark, 300_000, cfg2.n_urls, cfg2.n_hosts))
-        t0 = time.time()
-        m2 = eng2.run_round(1)
-        steady_sec = time.time() - t0
-    finally:
-        shutil.rmtree(workdir2, ignore_errors=True)
-    times["crawl_steady_round"] = round(steady_sec, 3)
+    crawl = _bench_full_crawl(spark)
+    times["crawl_3_rounds"] = crawl["wall_sec"]
+    steady = _bench_steady_round(spark)
+    times["crawl_steady_round"] = steady["wall_sec"]
+    tiered = _bench_tiered_scheduling(spark)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -146,20 +344,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "crawl": {
-            "n_urls_fetched": n_fetched,
-            "n_candidates_deduped": n_deduped,
-            "rounds": CRAWL_ROUNDS,
-            "wall_sec": round(crawl_sec, 3),
-            "urls_fetched_per_sec": round(n_fetched / crawl_sec, 2) if crawl_sec else None,
-            "candidates_deduped_per_sec": round(n_deduped / crawl_sec, 2) if crawl_sec else None,
-        },
-        "crawl_steady_round": {
-            "n_urls_fetched": m2["n_fetched"],
-            "n_candidates_deduped": m2["n_candidates"],
-            "wall_sec": round(steady_sec, 3),
-            "urls_fetched_per_sec": round(m2["n_fetched"] / steady_sec, 2) if steady_sec else None,
-        },
+        "pinned_cpus": CPUS,
+        "crawl_reps": CRAWL_REPS,
+        "crawl": crawl,
+        "crawl_steady_round": steady,
+        "tiered_scheduling": tiered,
     }
     print(json.dumps(out))
 
