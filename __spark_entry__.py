@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "pipelineops",
     "sketchops",
     "crawlq",
+    "flowq",
 )
 
 
