@@ -17,11 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def crawl_fetch_ordering(spark: SparkSession, sf: str) -> DataFrame:
-    """Full 3-round crawl of the deterministic synthetic graph (150 URLs,
-    5 hosts, skewed hot host): returns the fetch log in scheduler order.
-    Deterministic across runs/partitionings (tested at local[2] vs
-    local[8])."""
+_CRAWL_ENGINE = None  # per-process memo: both crawl gate queries read the
+# SAME committed 3-round crawl (the crawl is deterministic, so splitting it
+# per query only doubled the gate's cost — the driver's capped pass was
+# spending >60 s on these two rows-only checks alone)
+
+
+def _shared_crawl(spark: SparkSession):
+    global _CRAWL_ENGINE
+    if _CRAWL_ENGINE is not None:
+        return _CRAWL_ENGINE
     from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
     from spider_go_spark.sources.webgraph import make_seeds
 
@@ -29,6 +34,16 @@ def crawl_fetch_ordering(spark: SparkSession, sf: str) -> DataFrame:
     cfg = CrawlConfig(workdir=workdir, n_urls=150, n_hosts=5, num_shards=4, max_rounds=3)
     eng = CrawlEngine(spark, cfg)
     eng.crawl(seeds=make_seeds(spark, 20, cfg.n_urls, cfg.n_hosts))
+    _CRAWL_ENGINE = eng
+    return eng
+
+
+def crawl_fetch_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """Full 3-round crawl of the deterministic synthetic graph (150 URLs,
+    5 hosts, skewed hot host): returns the fetch log in scheduler order.
+    Deterministic across runs/partitionings (tested at local[2] vs
+    local[8])."""
+    eng = _shared_crawl(spark)
     return (
         eng.fetched_docs.read()
         .select("round", "fetch_rank", "url_norm", "host", "status")
@@ -40,13 +55,7 @@ def crawl_frontier_lineage(spark: SparkSession, sf: str) -> DataFrame:
     """Same crawl; returns per-URL lineage (url, parent, discovery round) —
     the reference's session-context accumulation
     (storage_workflow_mongodb.go:751-757) as a table."""
-    from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
-    from spider_go_spark.sources.webgraph import make_seeds
-
-    workdir = tempfile.mkdtemp(prefix="crawlq-", dir=os.environ.get("TMPDIR", "/tmp"))
-    cfg = CrawlConfig(workdir=workdir, n_urls=150, n_hosts=5, num_shards=4, max_rounds=3)
-    eng = CrawlEngine(spark, cfg)
-    eng.crawl(seeds=make_seeds(spark, 20, cfg.n_urls, cfg.n_hosts))
+    eng = _shared_crawl(spark)
     return (
         eng.lineage.read()
         .select("url_norm", "parent_hash", "round")

@@ -160,13 +160,74 @@ FROM toks WHERE len(tokens) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# REAL byte-level image decode gate: P6 PPM payloads synthesized from a
+# deterministic pixel rule, decoded by functions/media.decode_ppm (header
+# parse + numpy stats). The oracle recomputes the channel sums from the
+# SAME pixel rule in SQL — so the gate verifies genuine binary decoding
+# (any header/offset/reshape bug breaks the sums), not a copied constant.
+# --------------------------------------------------------------------------
+
+PPM_DOCS = 200
+# pixel rule: doc d is w×h, w = 4 + d%5, h = 3 + d%4, and raw pixel byte j
+# (row-major RGB) has value (d*31 + j*7) % 256
+PPM_STATS_DDL = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def media_ppm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_ppm, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                j = np.arange(w * h * 3, dtype=np.int64)
+                payload = encode_ppm(w, h, ((d * 31 + j * 7) % 256).astype(np.uint8))
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(PPM_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(PPM_STATS_DDL)
+    )
+
+
+MEDIA_PPM_SQL = f"""
+SELECT r AS doc_id,
+       (4 + r % 5)::INTEGER AS width,
+       (3 + r % 4)::INTEGER AS height,
+       ((4 + r % 5) * (3 + r % 4))::BIGINT AS n_pixels,
+       list_sum(list_transform(range((4 + r % 5) * (3 + r % 4)),
+                p -> (r*31 + (p*3 + 0)*7) % 256))::BIGINT AS sum_r,
+       list_sum(list_transform(range((4 + r % 5) * (3 + r % 4)),
+                p -> (r*31 + (p*3 + 1)*7) % 256))::BIGINT AS sum_g,
+       list_sum(list_transform(range((4 + r % 5) * (3 + r % 4)),
+                p -> (r*31 + (p*3 + 2)*7) % 256))::BIGINT AS sum_b
+FROM range({PPM_DOCS}) t(r)
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
     "span_stats_synth": span_stats_synth,
+    "media_ppm_decode": media_ppm_decode,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
     "span_stats_synth": SPAN_STATS_SQL,
+    "media_ppm_decode": MEDIA_PPM_SQL,
 }
