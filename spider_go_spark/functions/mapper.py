@@ -282,14 +282,34 @@ class Mapper:
         raise ExprError(f"unknown mapper mode {self.mode!r}")
 
 
+def string_paths(schema) -> set[str]:
+    """Every dotted path in ``schema`` that resolves to a string — so the
+    static ``+``-concat overload and ``len()`` dispatch work on NESTED
+    fields too (e.g. the flow interpreter's ``a1.output.value`` context
+    accesses), not just top-level columns."""
+    from pyspark.sql import types as T
+
+    out: set[str] = set()
+
+    def walk(prefix: str, dtype) -> None:
+        if isinstance(dtype, T.StringType) and prefix:
+            out.add(prefix)
+        elif isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f"{prefix}.{f.name}" if prefix else f.name, f.dataType)
+
+    walk("", schema)
+    return out
+
+
 def apply_mappers(
     df: DataFrame, mappers: dict[str, Mapper], functions: dict | None = None
 ) -> DataFrame:
     """≙ the ex() projection loop (workflow.go:347-399): build the output
-    record field-by-field. String-typed input columns are detected from the
-    schema so ``+`` concat/arithmetic overloading matches the dynamic
-    semantics."""
-    str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    record field-by-field. String-typed input columns — including nested
+    struct paths — are detected from the schema so ``+`` concat/arithmetic
+    overloading matches the dynamic semantics."""
+    str_cols = string_paths(df.schema)
     return df.select(
         *[m.to_column(str_cols, functions).alias(name) for name, m in mappers.items()]
     )

@@ -297,10 +297,12 @@ class FlowRuntime:
         ).alias("task_id")
         if not child.mapper:
             return routed.select(task_id, "ctx")
+        from spider_go_spark.functions.mapper import string_paths
+
         flat = routed.select("task_id", "emit_idx", "ctx", "ctx.*")
-        str_cols = {
-            f.name for f in flat.schema.fields if f.dataType.simpleString() == "string"
-        }
+        # nested paths included: `a1.output.value` is statically known to
+        # be a string, so `+` concat and len() dispatch correctly
+        str_cols = string_paths(flat.schema)
         val = F.struct(
             *[
                 m.to_column(str_cols).alias(name)

@@ -374,3 +374,34 @@ def test_vectorized_worker_contract(spark):
     )
     res = rt.trigger("a", "triggered", trig)
     assert sorted(r["y"] for r in res.delivered_rows("out")) == [9, 25]
+
+
+def test_nested_string_paths_in_mappers(spark):
+    """len()/+ on NESTED context fields resolve by static type: the mapper
+    knows a1.output.value is a string through the struct schema, so len()
+    compiles to length() and + to concat (this exact shape failed before
+    string_paths existed)."""
+    from spider_go_spark.functions.mapper import string_paths
+
+    cat = (
+        FlowCatalog("nested")
+        .add_action("a", "trigger-action")
+        .add_action(
+            "s", "sink-action",
+            mapper={"n": Mapper("expression", "string(len(a.output.value))"),
+                    "v": Mapper("expression", "a.output.value + '!'")},
+        )
+        .add_dep("a", "triggered", "s")
+    )
+    rt = FlowRuntime(spark, cat, {})
+    trig = spark.createDataFrame(
+        [("t1", "abc"), ("t2", "hello")], "task_id string, value string"
+    )
+    res = rt.trigger("a", "triggered", trig)
+    got = _sorted_vals(res.delivered_rows("s"))
+    assert got == _sorted_vals(
+        [{"n": "3", "v": "abc!"}, {"n": "5", "v": "hello!"}]
+    )
+    # helper sanity: nested + top-level string paths both found
+    df = spark.createDataFrame([("x", (("y",),))], "a string, b struct<c:struct<d:string>>")
+    assert string_paths(df.schema) == {"a", "b.c.d"}
