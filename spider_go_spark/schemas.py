@@ -105,6 +105,15 @@ HOST_POLICY = T.StructType(
     ]
 )
 
+# HOST_POLICY plus the optional 5-field cron revisit spec (≙ gocron specs,
+# cmd/cron-trigger/main.go:149). The engine detects the column by name, so
+# cron-less policies keep the narrower schema. Built as a NEW StructType —
+# StructType.add() mutates in place, which must never touch the shared
+# HOST_POLICY above.
+HOST_POLICY_CRON = T.StructType(
+    HOST_POLICY.fields + [T.StructField("cron", T.StringType(), True)]
+)
+
 # --- revisit queue: fetched URLs awaiting their recrawl round ---------------
 # ≙ the cron-trigger's scheduled-job table. Bucketed like the frontier
 # (pmod(url_hash, frontier_buckets)) so consuming/inserting rows is a

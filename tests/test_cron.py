@@ -149,7 +149,7 @@ def test_cron_revisit_matches_oracle(spark, tmp_path):
         ("hot.example.test", 0, 4, None, False, None, "5 * * * *"),
         ("h2.example.test", 0, 6, None, False, 3, None),
     ]
-    schema = schemas.HOST_POLICY.add("cron", "string")
+    schema = schemas.HOST_POLICY_CRON
     policy_df = spark.createDataFrame(policy_rows, schema)
 
     seeds_df = make_seeds(spark, 15, N_URLS, N_HOSTS)
