@@ -228,12 +228,12 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5) -> str:
     ``rank{iters}(node, rank_u)`` ready for a final SELECT."""
     parts = [
         edges_cte,
-        """
+        f"""
 , nodes AS (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
 outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
 e AS (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
-rank0 AS (SELECT node, 1000000::BIGINT AS rank_u FROM nodes)
+rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
 """,
     ]
     for i in range(iters):
