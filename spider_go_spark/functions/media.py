@@ -108,16 +108,151 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+def encode_bmp(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Write an uncompressed 24-bit BMP (BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, BI_RGB). ``rgb`` is row-major top-down RGB — the
+    encoder performs the format's two quirks: pixels are stored as BGR
+    triples, rows bottom-up, each row padded to a 4-byte boundary."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows.append(rgb[y, :, ::-1].tobytes() + pad)  # RGB → BGR
+    pixel_data = b"".join(rows)
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL byte-level decode for uncompressed 24-bit BI_RGB BMP: parse the
+    little-endian file + info headers, honor the pixel-data offset, undo the
+    bottom-up row order, 4-byte row padding and BGR channel order, and
+    return the same integer-exact channel statistics as :func:`decode_ppm`.
+    Top-down bitmaps (negative height) are handled per the spec. Anything
+    the decoder cannot prove it understands fails loudly."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP (magic {payload[:2]!r})")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    _, file_size, _, _, offset = struct.unpack("<2sIHHI", payload[:14])
+    header_size, width, height_raw, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    stride = (width * 3 + 3) & ~3
+    need = offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"BMP pixel payload has {len(payload) - offset} bytes, needs {stride * height}")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up → top-down
+    rgb = rows[:, :, ::-1].astype(np.int64)  # BGR → RGB
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": int(rgb[:, :, 0].sum()),
+        "sum_g": int(rgb[:, :, 1].sum()),
+        "sum_b": int(rgb[:, :, 2].sum()),
+    }
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Write a canonical RIFF/WAVE file: PCM (format 1), mono, 16-bit
+    little-endian samples."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL byte-level decode for PCM WAV: walk the RIFF chunk list (fmt and
+    data may be separated by ancillary chunks such as LIST; chunks are
+    word-aligned with a pad byte after odd sizes), validate PCM/16-bit/mono,
+    then interpret the data chunk as little-endian int16 and return
+    integer-exact sample statistics."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE (magic {payload[:4]!r}/{payload[8:12]!r})")
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r} at byte {pos}")
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data_chunk = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt_chunk[:16]
+    )
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV: format={audio_fmt} channels={channels} bits={bits}"
+        )
+    if len(data_chunk) % 2:
+        raise ValueError("WAV data chunk has odd byte length for 16-bit samples")
+    samples = np.frombuffer(data_chunk, dtype="<i2").astype(np.int64)
+    return {
+        "sample_rate": int(sample_rate),
+        "n_samples": int(samples.size),
+        "sum_abs": int(np.abs(samples).sum()),
+        "peak": int(np.abs(samples).max()) if samples.size else 0,
+        "sum_sq": int((samples * samples).sum()),
+    }
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
-    """Real codec dispatch: binary P6 PPM images decode byte-for-byte
-    (header parse + numpy pixel stats, :func:`decode_ppm`); other
+    """Real codec dispatch by container magic: binary P6 PPM and
+    uncompressed 24-bit BMP images, and PCM WAV audio, decode byte-for-byte
+    (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_wav`); other
     containers still require an external codec backend (PIL/pyav) and
     raise until one is installed."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond P6 PPM requires a codec backend "
-        "(PIL/pyav); use fake_decode for deterministic tests"
+        "real media decoding beyond P6 PPM / 24-bit BMP / PCM WAV requires "
+        "a codec backend (PIL/pyav); use fake_decode for deterministic tests"
     )
 
 

@@ -219,15 +219,135 @@ FROM range({PPM_DOCS}) t(r)
 """
 
 
+# --------------------------------------------------------------------------
+# REAL BMP decode gate: 24-bit uncompressed BMPs synthesized from a
+# deterministic pixel rule. The encoder stores BGR triples bottom-up with
+# 4-byte row padding; the decoder must undo all three, so any
+# stride/flip/channel-order bug breaks the channel sums vs the oracle's
+# direct recomputation of the rule. Width varies mod 6 so every padding
+# residue (w*3 mod 4) is exercised.
+# --------------------------------------------------------------------------
+
+BMP_DOCS = 200
+# pixel rule: doc d is w×h, w = 3 + d%6, h = 2 + d%3, raw pixel byte j
+# (row-major top-down RGB) has value (d*17 + j*11) % 256
+BMP_STATS_DDL = PPM_STATS_DDL
+
+
+def media_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_bmp, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 3 + d % 6, 2 + d % 3
+                j = np.arange(w * h * 3, dtype=np.int64)
+                payload = encode_bmp(w, h, ((d * 17 + j * 11) % 256).astype(np.uint8))
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(BMP_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(BMP_STATS_DDL)
+    )
+
+
+MEDIA_BMP_SQL = f"""
+SELECT r AS doc_id,
+       (3 + r % 6)::INTEGER AS width,
+       (2 + r % 3)::INTEGER AS height,
+       ((3 + r % 6) * (2 + r % 3))::BIGINT AS n_pixels,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 3)),
+                p -> (r*17 + (p*3 + 0)*11) % 256))::BIGINT AS sum_r,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 3)),
+                p -> (r*17 + (p*3 + 1)*11) % 256))::BIGINT AS sum_g,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 3)),
+                p -> (r*17 + (p*3 + 2)*11) % 256))::BIGINT AS sum_b
+FROM range({BMP_DOCS}) t(r)
+"""
+
+
+# --------------------------------------------------------------------------
+# REAL WAV decode gate: canonical RIFF/WAVE PCM-16 mono files synthesized
+# from a deterministic sample rule; the decoder walks the chunk list and
+# interprets little-endian int16 — an endianness, chunk-offset or
+# sign-extension bug breaks sum_abs / sum_sq vs the oracle.
+# --------------------------------------------------------------------------
+
+WAV_DOCS = 200
+# sample rule: doc d has n = 50 + d%17 samples at rate 8000 + (d%3)*4000;
+# sample i has value ((d*131 + i*97) % 4001) - 2000
+WAV_STATS_DDL = (
+    "doc_id bigint, sample_rate int, n_samples bigint, "
+    "sum_abs bigint, peak bigint, sum_sq bigint"
+)
+
+
+def media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_wav, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                n = 50 + d % 17
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 131 + i * 97) % 4001) - 2000
+                payload = encode_wav(8000 + (d % 3) * 4000, samples)
+                stats = real_decode(payload, "audio")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(WAV_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(WAV_STATS_DDL)
+    )
+
+
+MEDIA_WAV_SQL = f"""
+SELECT r AS doc_id,
+       (8000 + (r % 3) * 4000)::INTEGER AS sample_rate,
+       (50 + r % 17)::BIGINT AS n_samples,
+       list_sum(list_transform(range(50 + r % 17),
+                i -> abs((r*131 + i*97) % 4001 - 2000)))::BIGINT AS sum_abs,
+       list_max(list_transform(range(50 + r % 17),
+                i -> abs((r*131 + i*97) % 4001 - 2000)))::BIGINT AS peak,
+       list_sum(list_transform(range(50 + r % 17),
+                i -> ((r*131 + i*97) % 4001 - 2000)
+                   * ((r*131 + i*97) % 4001 - 2000)))::BIGINT AS sum_sq
+FROM range({WAV_DOCS}) t(r)
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
     "span_stats_synth": span_stats_synth,
     "media_ppm_decode": media_ppm_decode,
+    "media_bmp_decode": media_bmp_decode,
+    "media_wav_decode": media_wav_decode,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
     "span_stats_synth": SPAN_STATS_SQL,
     "media_ppm_decode": MEDIA_PPM_SQL,
+    "media_bmp_decode": MEDIA_BMP_SQL,
+    "media_wav_decode": MEDIA_WAV_SQL,
 }

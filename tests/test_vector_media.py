@@ -152,3 +152,134 @@ def test_ppm_header_comments_and_errors():
     # non-PPM payloads still hit the honest unimplemented hook
     with pytest.raises(NotImplementedError):
         real_decode(b"\x89PNG\r\n", "image")
+
+
+# --------------------------------------------------------------------------
+# real 24-bit BMP codec: little-endian headers, BGR triples, bottom-up rows,
+# 4-byte row padding — all verified against HAND-BUILT golden bytes so a
+# symmetric encode/decode bug cannot cancel out.
+# --------------------------------------------------------------------------
+
+
+def test_bmp_golden_bytes():
+    import struct
+
+    from spider_go_spark.functions.media import decode_bmp, encode_bmp, real_decode
+
+    # hand-construct a 2x2 BMP: top-down logical pixels
+    #   row0: (10,20,30) (40,50,60)
+    #   row1: (70,80,90) (1,2,3)
+    # stored bottom-up as BGR with stride 8 (2*3=6 → padded to 8)
+    pixel_rows = (
+        bytes([90, 80, 70, 3, 2, 1, 0, 0])  # bottom row first (logical row1)
+        + bytes([30, 20, 10, 60, 50, 40, 0, 0])  # logical row0
+    )
+    golden = (
+        struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+        + pixel_rows
+    )
+    stats = decode_bmp(golden)
+    assert (stats["width"], stats["height"], stats["n_pixels"]) == (2, 2, 4)
+    assert stats["sum_r"] == 10 + 40 + 70 + 1
+    assert stats["sum_g"] == 20 + 50 + 80 + 2
+    assert stats["sum_b"] == 30 + 60 + 90 + 3
+    # the encoder must reproduce the golden bytes exactly
+    import numpy as np
+
+    rgb = np.array([10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2, 3], dtype=np.uint8)
+    assert encode_bmp(2, 2, rgb) == golden
+    assert real_decode(golden, "image") == stats
+
+
+def test_bmp_top_down_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spider_go_spark.functions.media import decode_bmp, encode_bmp
+
+    rgb = np.arange(3 * 2 * 3, dtype=np.uint8)  # 3 wide, 2 tall
+    ok = encode_bmp(3, 2, rgb)
+    up = decode_bmp(ok)
+    # flip to a top-down bitmap (negative height) with rows in file order
+    # reversed — must decode to the SAME stats
+    stride = 12
+    offset = 54
+    rows = [ok[offset + stride * i : offset + stride * (i + 1)] for i in range(2)]
+    td = (
+        ok[:14]
+        + struct.pack("<Iii", 40, 3, -2)
+        + ok[26:offset]
+        + rows[1]
+        + rows[0]
+    )
+    assert decode_bmp(td) == up
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + ok[2:])
+    with pytest.raises(ValueError, match="needs"):
+        decode_bmp(ok[:-4])  # truncated pixels
+    bad_bpp = ok[:28] + struct.pack("<H", 8) + ok[30:]
+    with pytest.raises(ValueError, match="bpp=8"):
+        decode_bmp(bad_bpp)
+
+
+# --------------------------------------------------------------------------
+# real PCM WAV codec: RIFF chunk walk (ancillary chunks, odd-size padding),
+# little-endian int16 — golden bytes again.
+# --------------------------------------------------------------------------
+
+
+def test_wav_golden_bytes():
+    import struct
+
+    from spider_go_spark.functions.media import decode_wav, encode_wav, real_decode
+
+    # samples: 100, -200, 32767, -32768
+    data = struct.pack("<4h", 100, -200, 32767, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 8) + data
+    golden = b"RIFF" + struct.pack("<I", len(body)) + body
+    stats = decode_wav(golden)
+    assert stats == {
+        "sample_rate": 8000,
+        "n_samples": 4,
+        "sum_abs": 100 + 200 + 32767 + 32768,
+        "peak": 32768,
+        "sum_sq": 100 * 100 + 200 * 200 + 32767 * 32767 + 32768 * 32768,
+    }
+    import numpy as np
+
+    assert encode_wav(8000, np.array([100, -200, 32767, -32768])) == golden
+    assert real_decode(golden, "audio") == stats
+
+
+def test_wav_chunk_walk_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spider_go_spark.functions.media import decode_wav, encode_wav
+
+    ok = encode_wav(16000, np.array([1, -1, 5]))
+    base = decode_wav(ok)
+    # insert an odd-sized ancillary LIST chunk (with its pad byte) between
+    # fmt and data — the chunk walk must skip it
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    riffed = ok[:fmt_end] + junk + ok[fmt_end:]
+    riffed = b"RIFF" + struct.pack("<I", len(riffed) - 8) + riffed[8:]
+    assert decode_wav(riffed) == base
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"RIFX" + ok[4:])
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(ok[:-2])
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    bad = ok[:20] + stereo_fmt + ok[36:]
+    with pytest.raises(ValueError, match="channels=2"):
+        decode_wav(bad)
