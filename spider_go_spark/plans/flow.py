@@ -127,6 +127,75 @@ class FlowCatalog:
             if e.parent_key == key and e.meta_output == meta_output
         ]
 
+    # -- persistence (≙ CreateFlow storing the definition in Mongo and the
+    # workflow engine reloading it on boot,
+    # storage_workflow_mongodb.go:137-211) — the definition is tiny
+    # control-plane metadata, stored as one JSON document
+    def to_dict(self) -> dict:
+        return {
+            "flow_id": self.flow_id,
+            "actions": [
+                {
+                    "key": a.key,
+                    "action_id": a.action_id,
+                    "config": a.config,
+                    "mapper": (
+                        None
+                        if a.mapper is None
+                        else {
+                            name: {"mode": m.mode, "value": m.value}
+                            for name, m in sorted(a.mapper.items())
+                        }
+                    ),
+                    "disabled": a.disabled,
+                }
+                for a in self._actions.values()
+            ],
+            "edges": [
+                {"parent_key": e.parent_key, "meta_output": e.meta_output,
+                 "child_key": e.child_key}
+                for e in self._edges
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "FlowCatalog":
+        cat = cls(doc["flow_id"])
+        for a in doc["actions"]:
+            cat.add_action(
+                a["key"],
+                a["action_id"],
+                config=a.get("config") or {},
+                mapper=(
+                    None
+                    if a.get("mapper") is None
+                    else {
+                        name: Mapper(m["mode"], m["value"])
+                        for name, m in a["mapper"].items()
+                    }
+                ),
+                disabled=a.get("disabled", False),
+            )
+        for e in doc["edges"]:
+            cat.add_dep(e["parent_key"], e["meta_output"], e["child_key"])
+        return cat
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic: readers never see a partial flow
+
+    @classmethod
+    def load(cls, path: str) -> "FlowCatalog":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
     # catalog-as-dim-tables: the flow definition is data, queryable like
     # any other table (≙ listing the Mongo collections)
     def actions_df(self, spark: SparkSession) -> DataFrame:

@@ -405,3 +405,42 @@ def test_nested_string_paths_in_mappers(spark):
     # helper sanity: nested + top-level string paths both found
     df = spark.createDataFrame([("x", (("y",),))], "a string, b struct<c:struct<d:string>>")
     assert string_paths(df.schema) == {"a", "b.c.d"}
+
+
+# --------------------------------------------------------------------------
+# persistence: save/load round-trips the full definition (≙ CreateFlow
+# storing to Mongo + the engine reloading on boot) and the reloaded flow
+# produces identical deliveries
+# --------------------------------------------------------------------------
+
+
+def test_catalog_save_load_roundtrip(spark, tmp_path):
+    cat = (
+        FlowCatalog("persisted")
+        .add_action("a1", "trigger-action", config={"k": "v"})
+        .add_action(
+            "a2", "test-action-b",
+            mapper={
+                "value": Mapper("expression", "a1.output.value + '_x'"),
+                "tagged": Mapper("fixed", "constant"),
+            },
+        )
+        .add_action("dead", "test-action-b", disabled=True)
+        .add_action("sink", "sink-action", mapper={"v": Mapper("key", "a2.output.value")})
+        .add_dep("a1", "triggered", "a2")
+        .add_dep("a1", "triggered", "dead")
+        .add_dep("a2", "success", "sink")
+    )
+    path = str(tmp_path / "flow.json")
+    cat.save(path)
+    loaded = FlowCatalog.load(path)
+    assert loaded.to_dict() == cat.to_dict()
+
+    workers = {"test-action-b": row_worker(echo_b, "value string")}
+    trig = spark.createDataFrame([("t1", "hi")], "task_id string, value string")
+    orig = FlowRuntime(spark, cat, workers).trigger("a1", "triggered", trig)
+    redo = FlowRuntime(spark, loaded, workers).trigger("a1", "triggered", trig)
+    assert _sorted_vals(orig.delivered_rows("sink")) == _sorted_vals(
+        redo.delivered_rows("sink")
+    )
+    assert orig.n_dropped_disabled == redo.n_dropped_disabled == 1
