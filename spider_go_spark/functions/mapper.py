@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
-    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    # '$' allowed as a segment's leading char: the workflow engine aliases
+    # the trigger context as "$trigger" (workflow.go:128)
+    r"|(?P<ident>[$A-Za-z_][A-Za-z0-9_]*(?:\.[$A-Za-z_][A-Za-z0-9_]*)*)"
     r"|(?P<op>==|!=|<=|>=|&&|\|\||[-+*/<>!()\[\],]))"
 )
 

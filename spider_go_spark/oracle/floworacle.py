@@ -75,7 +75,9 @@ def flow_oracle(
             pending.append((child_key, values, new_ctx))
 
     for v in trigger_values:
-        route(trigger_key, trigger_meta, v, {})
+        # "$trigger" alias (workflow.go:128): set once at trigger time,
+        # carried through the whole session like any other context key
+        route(trigger_key, trigger_meta, v, {"$trigger": {"output": dict(v)}})
 
     for _hop in range(max_hops):
         if not pending:

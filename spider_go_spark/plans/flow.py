@@ -409,9 +409,9 @@ class FlowRuntime:
             F.lit(0).cast("long").alias("emit_idx"),
             *out_fields,
         )
-        # context starts as {key: {output: values}} (the "$trigger" alias
-        # of workflow.go:126 is not modeled — '$' is not addressable in
-        # the mapper dialect; reference fixtures address the key directly)
+        # context starts as {key: {output: values}, $trigger: <same>} —
+        # the "$trigger" alias of workflow.go:128 rides the whole session
+        # (set once at trigger time, carried forward like any context key)
         deliveries, leaves = self._route_trigger(action, seeded, out_fields)
 
         pending: dict[str, list[DataFrame]] = deliveries
@@ -464,10 +464,11 @@ class FlowRuntime:
     ) -> tuple[dict[str, list[DataFrame]], list[DataFrame]]:
         """Trigger routing — identical to _route but the 'output' is the
         trigger values themselves and the pre-merge context is empty."""
+        trig_val = F.struct(
+            F.struct(*[F.col(f) for f in out_fields]).alias("output")
+        )
         ctx = F.struct(
-            F.struct(
-                F.struct(*[F.col(f) for f in out_fields]).alias("output")
-            ).alias(action.key)
+            trig_val.alias("$trigger"), trig_val.alias(action.key)
         )
         joined = seeded.withColumn("ctx", ctx)
         labels = sorted(

@@ -444,3 +444,52 @@ def test_catalog_save_load_roundtrip(spark, tmp_path):
         redo.delivered_rows("sink")
     )
     assert orig.n_dropped_disabled == redo.n_dropped_disabled == 1
+
+
+# --------------------------------------------------------------------------
+# "$trigger" context alias (workflow.go:128): set once at trigger time,
+# addressable from any depth of the session
+# --------------------------------------------------------------------------
+
+
+def test_trigger_alias_addressable_at_depth(spark):
+    cat = (
+        FlowCatalog("alias")
+        .add_action("a1", "trigger-action")
+        .add_action("a2", "test-action-b", mapper={"value": Mapper("key", "a1.output.value")})
+        .add_action(
+            "a3", "test-action-b",
+            # two hops down, still addressing the trigger alias — and mixing
+            # it with the nearer context in one expression
+            mapper={"value": Mapper("expression", "$trigger.output.value + ':' + a2.output.value")},
+        )
+        .add_action("sink", "sink-action", mapper={"v": Mapper("key", "$trigger.output.value")})
+        .add_dep("a1", "triggered", "a2")
+        .add_dep("a2", "success", "a3")
+        .add_dep("a3", "success", "sink")
+    )
+    workers = {"test-action-b": row_worker(echo_b, "value string")}
+    rt = FlowRuntime(spark, cat, workers)
+    trig = spark.createDataFrame([("t1", "seed")], "task_id string, value string")
+    res = rt.trigger("a1", "triggered", trig)
+
+    oflow = (
+        OracleFlow()
+        .add_action("a1", "trigger-action")
+        .add_action("a2", "test-action-b", mapper={"value": lambda c: c["a1"]["output"]["value"]})
+        .add_action(
+            "a3", "test-action-b",
+            mapper={"value": lambda c: c["$trigger"]["output"]["value"] + ":" + c["a2"]["output"]["value"]},
+        )
+        .add_action("sink", "sink-action", mapper={"v": lambda c: c["$trigger"]["output"]["value"]})
+        .add_dep("a1", "triggered", "a2")
+        .add_dep("a2", "success", "a3")
+        .add_dep("a3", "success", "sink")
+    )
+    expect = flow_oracle(
+        oflow, {"test-action-b": echo_b}, "a1", "triggered", [{"value": "seed"}]
+    )
+    assert _sorted_vals(res.delivered_rows("a3")) == _sorted_vals(expect["a3"])
+    assert _sorted_vals(res.delivered_rows("sink")) == _sorted_vals(expect["sink"])
+    assert res.delivered_rows("a3") == [{"value": "seed:seed"}]
+    assert res.delivered_rows("sink") == [{"v": "seed"}]
