@@ -97,6 +97,75 @@ TIER_ROUNDS = 3
 TIER_R = 4                # hot tier holds 4 rounds of budget per host
 
 
+# Flow-DAG interpreter throughput: the reference's core product surface.
+# A 3-hop chain with a 1→3 fan-out; deliveries = triggers × (1 + 1 + 3).
+FLOW_TRIGGERS = 200_000
+
+
+def _bench_flow_dag(spark) -> dict:
+    """Messages/sec through the generic DAG interpreter with natively
+    VECTORIZED workers (the hot-path Worker contract — pandas batch in/out;
+    row_worker's per-record loop is the parity fixture, not the fast path).
+    The reference's one-goroutine-per-message interpreter pays ≥2 broker
+    hops + ≥3 Mongo round-trips per DAG hop; this is the batched columnar
+    equivalent of the same topology."""
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.mapper import Mapper
+    from spider_go_spark.plans.flow import FlowCatalog, FlowRuntime, Worker
+
+    def echo(pdf: "pd.DataFrame", cfg: dict) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"task_id": pdf["task_id"], "meta_output": "success",
+             "value": pdf["value"] + "_x"}
+        )
+
+    def fan3(pdf: "pd.DataFrame", cfg: dict) -> "pd.DataFrame":
+        rep = pdf.loc[pdf.index.repeat(3)]
+        k = np.tile(np.arange(3), len(pdf)).astype(str)
+        return pd.DataFrame(
+            {"task_id": rep["task_id"].to_numpy(), "meta_output": "success",
+             "item": rep["value"].to_numpy() + "@" + k}
+        )
+
+    cat = (
+        FlowCatalog("bench")
+        .add_action("a1", "trigger-action")
+        .add_action("a2", "echo", mapper={"value": Mapper("key", "a1.output.value")})
+        .add_action("fan", "fan3", mapper={"value": Mapper("key", "a2.output.value")})
+        .add_action("sink", "sink", mapper={"item": Mapper("key", "fan.output.item")})
+        .add_dep("a1", "triggered", "a2")
+        .add_dep("a2", "success", "fan")
+        .add_dep("fan", "success", "sink")
+    )
+    workers = {
+        "echo": Worker(handler=echo, output_schema="value string"),
+        "fan3": Worker(handler=fan3, output_schema="item string"),
+    }
+    trig = spark.range(FLOW_TRIGGERS).selectExpr(
+        "concat('t', id) AS task_id", "concat('v', id) AS value"
+    )
+    rt = FlowRuntime(spark, cat, workers)
+    t0 = time.time()
+    res = rt.trigger("a1", "triggered", trig)
+    n_sink = 0
+    for df in res.delivered["sink"]:
+        n_sink += df.count()
+    wall = time.time() - t0
+    n_delivered = sum(
+        df.count() for dfs in res.delivered.values() for df in dfs
+    )
+    return {
+        "triggers": FLOW_TRIGGERS,
+        "hops": res.hops,
+        "n_sink_deliveries": n_sink,
+        "n_messages_delivered": n_delivered,
+        "wall_sec": round(wall, 3),
+        "messages_per_sec": round(n_delivered / wall, 1),
+    }
+
+
 def _pin_self() -> None:
     """Re-exec under taskset so the whole bench (JVM + Python workers) is
     pinned to exactly the advertised core count — stray host load can't
@@ -336,6 +405,8 @@ def main() -> None:
     steady = _bench_steady_round(spark)
     times["crawl_steady_round"] = steady["wall_sec"]
     tiered = _bench_tiered_scheduling(spark)
+    flow = _bench_flow_dag(spark)
+    times["flow_dag_interpret"] = flow["wall_sec"]
 
     total = round(sum(times.values()), 3)
     out = {
@@ -349,6 +420,7 @@ def main() -> None:
         "crawl": crawl,
         "crawl_steady_round": steady,
         "tiered_scheduling": tiered,
+        "flow_dag": flow,
     }
     print(json.dumps(out))
 
