@@ -167,14 +167,55 @@ FROM range({N_TRIGGERS}) t(r)
 """
 
 
+# -- $trigger alias (workflow.go:128): trigger values addressable at depth ---
+
+def flow_trigger_alias(spark: SparkSession, sf: str) -> DataFrame:
+    """Two hops down the chain, the sink's mapper mixes the $trigger alias
+    with the nearer context in one expression — the oracle recomputes both
+    from the trigger rule, so a broken alias (missing field, wrong ride-
+    along through the withField merges) breaks the concat."""
+    cat = (
+        FlowCatalog("alias")
+        .add_action("a1", "test-action-a")
+        .add_action("a2", "test-action-b",
+                    mapper={"value": Mapper("expression", "a1.output.value + '_m'")})
+        .add_action(
+            "sink", "sink-action",
+            mapper={"pair": Mapper(
+                "expression", "$trigger.output.value + ':' + a2.output.value"
+            )},
+        )
+        .add_dep("a1", "triggered", "a2")
+        .add_dep("a2", "success", "sink")
+    )
+    rt = FlowRuntime(
+        spark, cat, {"test-action-b": row_worker(_echo_b, "value string")}
+    )
+    trig = _trigger_df(
+        spark, N_TRIGGERS,
+        [F.concat(F.lit("v"), F.col("id").cast("string")).alias("value")],
+    )
+    res = rt.trigger("a1", "triggered", trig)
+    return _delivered_union(res, "sink")
+
+
+FLOW_ALIAS_SQL = f"""
+SELECT concat('v', CAST(r AS VARCHAR), ':',
+              'v', CAST(r AS VARCHAR), '_m') AS pair
+FROM range({N_TRIGGERS}) t(r)
+"""
+
+
 QUERIES = {
     "flow_chain_mapped": flow_chain_mapped,
     "flow_fanout_orders": flow_fanout_orders,
     "flow_branch_split": flow_branch_split,
+    "flow_trigger_alias": flow_trigger_alias,
 }
 
 ORACLES = {
     "flow_chain_mapped": FLOW_CHAIN_SQL,
     "flow_fanout_orders": FLOW_FANOUT_SQL,
     "flow_branch_split": FLOW_BRANCH_SQL,
+    "flow_trigger_alias": FLOW_ALIAS_SQL,
 }
