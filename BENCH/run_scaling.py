@@ -151,7 +151,14 @@ def main() -> None:
                 ROUND_SRC.format(src=src_dir, wd=wd, **params),
                 {
                     "SPARK_GRAFT_CPUS": str(cores),
-                    "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(max(cores, 2)),
+                    # ≥16 threads share one fixed driver heap in local mode:
+                    # at 7.2M rows / 32 partitions each concurrent task's
+                    # sorter holds ~225k rows and 32 of them OOM'd a 16g
+                    # heap (round-3, BENCH/scaling_7M_r3.log). 2× partitions
+                    # halve per-task memory; verified clean twice at 32.
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(
+                        2 * cores if cores >= 16 else max(cores, 2)
+                    ),
                 },
                 cpus=f"0-{cores - 1}" if args.pin else None,
             )
