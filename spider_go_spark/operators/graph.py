@@ -140,24 +140,24 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     parts = [
         edges_cte,
         f"""
-, nodes AS (SELECT DISTINCT src AS node FROM edges
+, nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
 hub0 AS (SELECT node, {SCALE}::BIGINT AS hub_u FROM nodes)
 """,
     ]
     for i in range(iters):
         parts.append(
-            f""", a{i + 1}r AS (
+            f""", a{i + 1}r AS MATERIALIZED (
   SELECT e.dst AS node, sum(h.hub_u)::BIGINT AS s
   FROM edges e JOIN hub{i} h ON e.src = h.node GROUP BY e.dst
-), auth{i + 1} AS (
+), auth{i + 1} AS MATERIALIZED (
   SELECT n.node,
          (coalesce(a.s, 0) * {SCALE} // greatest((SELECT max(s) FROM a{i + 1}r), 1))::BIGINT AS auth_u
   FROM nodes n LEFT JOIN a{i + 1}r a ON n.node = a.node
-), h{i + 1}r AS (
+), h{i + 1}r AS MATERIALIZED (
   SELECT e.src AS node, sum(a.auth_u)::BIGINT AS s
   FROM edges e JOIN auth{i + 1} a ON e.dst = a.node GROUP BY e.src
-), hub{i + 1} AS (
+), hub{i + 1} AS MATERIALIZED (
   SELECT n.node,
          (coalesce(h.s, 0) * {SCALE} // greatest((SELECT max(s) FROM h{i + 1}r), 1))::BIGINT AS hub_u
   FROM nodes n LEFT JOIN h{i + 1}r h ON n.node = h.node
@@ -208,7 +208,7 @@ def label_prop_oracle_sql(iters: int = 5) -> str:
     parts = ["\n, lab0 AS (SELECT node, node AS label FROM nodes)\n"]
     for i in range(iters):
         parts.append(
-            f""", lab{i + 1} AS (
+            f""", lab{i + 1} AS MATERIALIZED (
   SELECT node, min(label) AS label FROM (
     SELECT node, label FROM lab{i}
     UNION ALL
@@ -229,10 +229,10 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5) -> str:
     parts = [
         edges_cte,
         f"""
-, nodes AS (SELECT DISTINCT src AS node FROM edges
+, nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
 outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-e AS (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
 rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
 """,
     ]
