@@ -75,6 +75,17 @@ def flow_stream_query(
     def interpret(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if "task_id" not in batch.columns:
+            # the batch interpreter's ordinal fallback restarts every
+            # micro-batch; scope generated ids by batch so session/task
+            # identities stay unique across the stream's lifetime
+            batch = batch.withColumn(
+                "task_id",
+                F.concat(
+                    F.lit(f"b{batch_id}-"),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
+            )
         res = runtime.trigger(trigger_key, meta_output, batch)
         for key in sink_keys:
             batches = [_flatten_delivery(b) for b in res.delivered.get(key, [])]

@@ -117,3 +117,30 @@ def test_stream_equals_batch_across_restart(spark, tmp_path):
     # deterministic task paths make streaming and batch results
     # tuple-identical, not merely value-equal
     assert got == expect
+
+
+def test_generated_task_ids_unique_across_batches(spark, tmp_path):
+    """Trigger files WITHOUT a task_id column: generated ids must not
+    collide between micro-batches (the batch interpreter's ordinal
+    fallback restarts per batch; the stream scopes it by batch id)."""
+    trig_dir = str(tmp_path / "t2")
+    out_dir = str(tmp_path / "o2")
+    ckpt = str(tmp_path / "c2")
+    (tmp_path / "t2").mkdir()
+
+    for chunk in (["hello", "world"], ["again", "more"]):
+        spark.createDataFrame([(v,) for v in chunk], "value string") \
+            .coalesce(1).write.mode("append").parquet(trig_dir)
+        q = flow_stream_query(
+            spark, _chain_catalog(), _workers(), "a1", "triggered",
+            trig_dir, "value string", out_dir, ckpt, sink_keys=["sink"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    rows = read_flow_sink(spark, out_dir, "sink").collect()
+    task_ids = [r["task_id"] for r in rows]
+    assert len(rows) == 12  # 4 triggers × 3-way fan-out, none lost
+    assert len(set(task_ids)) == 12  # no cross-batch collisions
