@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERY_MODULES = (
     "relational",
     "relational2",
+    "webindex",
     "textops",
     "vectorops",
     "mediaops",

@@ -94,3 +94,60 @@ def span_stream_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         text_chars.alias("n_text_chars"),
         runs["best"].alias("max_media_run"),
     )
+
+
+def link_anchor_texts(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """(doc_id, href, anchor, link_offset) — one row per ``link`` span: the
+    link target (carried in ``media_ref``, the span schema's reference slot)
+    and its anchor text (the span's own ``text``, i.e. the ``<a>…</a>``
+    inner prose the fetch worker recorded at that stream position).
+
+    Anchor text is the classic off-page relevance/priority signal a crawler
+    aggregates per *target* URL (what other pages call this page); the
+    downstream groupBy is the consumer's choice — this operator is the
+    map-only extraction: one HOF filter + inline explode, rows ≈ link
+    spans, no join, no window, no Python."""
+    spans = F.col(spans_col)
+    links = F.filter(spans, lambda s: s["kind"] == F.lit("link"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                links,
+                lambda s: F.struct(
+                    s["media_ref"].alias("href"),
+                    s["text"].alias("anchor"),
+                    s["offset"].alias("link_offset"),
+                ),
+            )
+        ).alias("l"),
+    ).select("doc_id", "l.*")
+
+
+def span_kind_transitions(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Corpus-level kind-transition counts over the interleaved stream:
+    (prev_kind, next_kind, n_transitions) for every adjacent span pair —
+    the layout profile that separates prose-with-figures pages from
+    galleries, link farms and media walls (and, per-source, drives
+    extraction-template choices).
+
+    Shape: zip_with over two slices of the same array builds the adjacent
+    pairs in place (no self-join on offset!), one inline explode, one hash
+    agg on a tiny key space (kinds²) with map-side partial aggregation —
+    the shuffle carries ≤ |kinds|² rows per partition regardless of corpus
+    size."""
+    spans = F.col(spans_col)
+    n = F.size(spans)
+    pairs = F.zip_with(
+        F.slice(spans, 1, n - 1),
+        F.slice(spans, 2, n - 1),
+        lambda a, b: F.struct(
+            a["kind"].alias("prev_kind"), b["kind"].alias("next_kind")
+        ),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.prev_kind").alias("prev_kind"), F.col("p.next_kind").alias("next_kind"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

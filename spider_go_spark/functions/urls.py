@@ -117,6 +117,53 @@ def path_of_series(url_norms: pd.Series) -> pd.Series:
     return url_norms.str.replace(r"^[a-z0-9+.-]+://[^/?#]*", "", regex=True).replace("", "/")
 
 
+def surt_key(url_norm: Column | str) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform) of a canonical URL
+    — the sort key web-archive CDX indexes use: scheme (and userinfo)
+    dropped, host components reversed and comma-joined, a non-default port
+    kept as ``:port``, then ``)`` + path?query. Every URL under one host —
+    and one registered domain — becomes a contiguous key range
+    (``test,example,h7)/…``), so host- and domain-scoped index lookups are
+    range scans instead of full scans when the index table is sorted or
+    bucketed by this key.
+
+    Pure Catalyst projection (regexp + split/reverse/concat): codegen'd,
+    no Python — map-only at 10^10 rows. Input must already be canonical
+    (:func:`canonicalize_series` output: lowercase host, default ports
+    stripped, non-empty path).
+
+    Reference analogue: spider-go keys messages by opaque ids
+    (/root/reference/pkg/spider/message.go:14-24); the crawl reading needs
+    a key under which one host's URLs cluster — SURT is that key.
+    """
+    c = F.col(url_norm) if isinstance(url_norm, str) else url_norm
+    hostport = F.regexp_extract(c, r"^[a-z0-9+.-]+://(?:[^/?#]*@)?([^/?#]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    pathq = F.regexp_replace(c, r"^[a-z0-9+.-]+://[^/?#]*", "")
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        pathq,
+    )
+
+
+def surt_key_one(url_norm: str) -> str:
+    """Single-URL pure-Python SURT twin (oracle/test replay of
+    :func:`surt_key` — same spec, independent implementation)."""
+    m = re.match(r"^[a-z0-9+.-]+://(?:[^/?#]*@)?([^/?#]*)", url_norm)
+    hostport = m.group(1) if m else ""
+    pm = re.search(r":(\d+)$", hostport)
+    port = pm.group(1) if pm else ""
+    host = re.sub(r":\d+$", "", hostport)
+    pathq = re.sub(r"^[a-z0-9+.-]+://[^/?#]*", "", url_norm) or "/"
+    rev = ",".join(reversed(host.split(".")))
+    return rev + (f":{port}" if port else "") + ")" + pathq
+
+
 # --- Spark-facing pandas UDFs ----------------------------------------------
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:

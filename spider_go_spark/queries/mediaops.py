@@ -160,6 +160,45 @@ FROM toks WHERE len(tokens) > 0
 """
 
 
+def span_transitions_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus layout profile through the REAL kind-transition operator
+    (functions/spans.span_kind_transitions — zip_with over adjacent slices,
+    no self-join) on the same deterministic synthesized stream as
+    caption_pairs_synth. The oracle recomputes all three transition counts
+    by pure group arithmetic: G text groups with an image after every 3rd
+    group give n_img = ⌈G/3⌉ text→image, n_img minus the trailing image
+    image→text, and the remaining adjacencies text→text."""
+    from spider_go_spark.functions.spans import span_kind_transitions
+
+    return span_kind_transitions(_synth_span_docs(spark, sf)).orderBy(
+        "prev_kind", "next_kind"
+    )
+
+
+SPAN_TRANSITIONS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), per AS (
+  SELECT (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} AS G,
+         ((len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} + {MEDIA_EVERY} - 1)
+           // {MEDIA_EVERY} AS n_img,
+         CASE WHEN ((len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS} - 1)
+                   % {MEDIA_EVERY} = 0 THEN 1 ELSE 0 END AS img_last
+  FROM toks WHERE len(tokens) > 0
+)
+SELECT prev_kind, next_kind, n_transitions FROM (
+  SELECT 'image' AS prev_kind, 'text' AS next_kind,
+         sum(n_img - img_last)::BIGINT AS n_transitions FROM per
+  UNION ALL
+  SELECT 'text', 'image', sum(n_img)::BIGINT FROM per
+  UNION ALL
+  SELECT 'text', 'text', sum(G - 1 - (n_img - img_last))::BIGINT FROM per
+)
+ORDER BY prev_kind, next_kind
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL byte-level image decode gate: P6 PPM payloads synthesized from a
 # deterministic pixel rule, decoded by functions/media.decode_ppm (header
@@ -339,6 +378,7 @@ QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
     "span_stats_synth": span_stats_synth,
+    "span_transitions_synth": span_transitions_synth,
     "media_ppm_decode": media_ppm_decode,
     "media_bmp_decode": media_bmp_decode,
     "media_wav_decode": media_wav_decode,
@@ -347,6 +387,7 @@ ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
     "span_stats_synth": SPAN_STATS_SQL,
+    "span_transitions_synth": SPAN_TRANSITIONS_SQL,
     "media_ppm_decode": MEDIA_PPM_SQL,
     "media_bmp_decode": MEDIA_BMP_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,

@@ -1,0 +1,338 @@
+"""Web-index queries: SURT/CDX capture index, URL template mining, sitemap
+ingestion, and anchor-text aggregation over interleaved link spans.
+
+These are the crawl-adjacent *index-side* operators (what a crawler builds
+and queries over what it fetched): a web-archive CDX lookup keyed by SURT,
+crawler-trap analytics over URL path templates, sitemap-driven seed
+discovery, and the per-target anchor-text signal. Inputs are synthesized
+deterministically from the driver's testdata tables (no external data), so
+every query carries a value-exact DuckDB oracle.
+
+Reference parity: spider-go keeps no URL index (it is a generic DAG engine,
+/root/reference/pkg/spider/storage_workflow_mongodb.go:57-80); these are the
+crawl-engine reading of its catalog scans (SURVEY §2.1) over the north
+rule's URL corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spider_go_spark.functions.urls import surt_key
+from spider_go_spark.queries import T
+
+# shared deterministic URL synthesis (no dependence on table row counts, so
+# the same rule runs at every sf): host from l_suppkey, path from l_partkey —
+# many lineitem rows collapse onto one URL, giving the CDX dedup real groups
+N_CDX_HOSTS = 25
+N_CDX_PAGES = 200
+CDX_PREFIX_HOST = "h7"  # the host whose SURT range the lookup scans
+CDX_LIMIT = 200
+
+
+def _capture_urls(li: DataFrame) -> DataFrame:
+    return li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_suppkey") % N_CDX_HOSTS).cast("string"),
+            F.lit(".example.test/p/"),
+            (F.col("l_partkey") % N_CDX_PAGES).cast("string"),
+        ).alias("url_norm"),
+        (F.col("l_orderkey") % 97).cast("long").alias("capture_round"),
+    )
+
+
+def cdx_prefix_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX index build + prefix lookup: canonical capture URLs keyed by
+    SURT (functions/urls.surt_key — host-reversed sort key), deduped to one
+    index row per URL (latest capture round + capture count), then a
+    host-scoped *prefix range scan* (``test,example,h7)…``) — the lookup
+    shape a web archive serves and a recrawler uses to skip known pages.
+
+    Scale shape: surt_key is a codegen'd projection; the dedup is one hash
+    agg on the SURT key; the prefix filter is a sargable range predicate —
+    on a SURT-sorted/bucketed index table it prunes to one key range
+    instead of scanning 10^10 rows. Top-N is TakeOrderedAndProject."""
+    caps = _capture_urls(T(spark, sf, "lineitem"))
+    idx = (
+        caps.select(surt_key("url_norm").alias("surt"), "capture_round")
+        .groupBy("surt")
+        .agg(
+            F.max("capture_round").alias("last_capture"),
+            F.count("*").cast("long").alias("n_captures"),
+        )
+    )
+    prefix = f"test,example,{CDX_PREFIX_HOST})"
+    return (
+        idx.filter(F.col("surt").startswith(prefix))
+        .orderBy("surt")
+        .limit(CDX_LIMIT)
+    )
+
+
+CDX_PREFIX_SCAN_SQL = f"""
+WITH caps AS (
+  SELECT 'http://h' || (l_suppkey % {N_CDX_HOSTS})::VARCHAR
+           || '.example.test/p/' || (l_partkey % {N_CDX_PAGES})::VARCHAR AS url_norm,
+         (l_orderkey % 97)::BIGINT AS capture_round
+  FROM lineitem
+), keyed AS (
+  SELECT array_to_string(
+           list_reverse(string_split(regexp_extract(url_norm,
+             '^[a-z0-9+.-]+://(?:[^/?#]*@)?([^/?#]*)', 1), '.')), ',')
+         || ')' || regexp_replace(url_norm, '^[a-z0-9+.-]+://[^/?#]*', '') AS surt,
+         capture_round
+  FROM caps
+)
+SELECT surt, max(capture_round) AS last_capture, count(*)::BIGINT AS n_captures
+FROM keyed
+WHERE surt LIKE 'test,example,{CDX_PREFIX_HOST}){"%"}'
+GROUP BY surt
+ORDER BY surt
+LIMIT {CDX_LIMIT}
+"""
+
+
+N_TPL_HOSTS = 10
+TPL_TOP_K = 3
+
+
+def url_template_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """URL template mining: mask digit runs in paths (``/p/N/N``,
+    ``/item-N.html``) and rank each host's most common templates — the
+    crawler-trap / site-structure analytic (a host whose top template holds
+    millions of URLs is a calendar/session trap; a handful of fat templates
+    means a schema-regular site worth a custom extractor).
+
+    Two deterministic path shapes are synthesized per lineitem row; the
+    operator itself is generic: regexp digit-masking (codegen'd projection),
+    hash agg on (host, template) — a key space of site-count × templates,
+    tiny vs the URL count — and a per-host top-k window over that already
+    aggregated (small) set, never over raw URLs."""
+    li = T(spark, sf, "lineitem")
+    path = F.when(
+        F.col("l_linenumber") % 2 == 1,
+        F.concat(
+            F.lit("/p/"), F.col("l_orderkey").cast("string"),
+            F.lit("/"), F.col("l_linenumber").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("/item-"), F.col("l_partkey").cast("string"), F.lit(".html"))
+    )
+    urls = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_suppkey") % N_TPL_HOSTS).cast("string"),
+            F.lit(".example.test"),
+        ).alias("host"),
+        F.regexp_replace(path, "[0-9]+", "N").alias("template"),
+    )
+    counts = urls.groupBy("host", "template").agg(F.count("*").alias("n_urls"))
+    w = Window.partitionBy("host").orderBy(F.desc("n_urls"), "template")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TPL_TOP_K)
+        .orderBy("host", "rnk")
+    )
+
+
+URL_TEMPLATE_MINING_SQL = f"""
+WITH urls AS (
+  SELECT 'h' || (l_suppkey % {N_TPL_HOSTS})::VARCHAR || '.example.test' AS host,
+         regexp_replace(
+           CASE WHEN l_linenumber % 2 = 1
+                THEN '/p/' || l_orderkey::VARCHAR || '/' || l_linenumber::VARCHAR
+                ELSE '/item-' || l_partkey::VARCHAR || '.html' END,
+           '[0-9]+', 'N', 'g') AS template
+  FROM lineitem
+), counts AS (
+  SELECT host, template, count(*) AS n_urls FROM urls GROUP BY host, template
+)
+SELECT host, template, n_urls,
+       row_number() OVER (PARTITION BY host ORDER BY n_urls DESC, template) AS rnk
+FROM counts
+QUALIFY rnk <= {TPL_TOP_K}
+ORDER BY host, rnk
+"""
+
+
+N_SITEMAP_HOSTS = 5
+
+
+def sitemap_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion: per-host sitemap XML bodies (synthesized from
+    ``orders`` — one ``<url><loc>…</loc><lastmod>…</lastmod></url>`` entry
+    per order) parsed back into seed rows with ``regexp_extract_all`` and a
+    zipped double explode — the mid-crawl seed source a polite crawler
+    reads before spending fetch budget on link discovery.
+
+    Scale shape: bodies are one hash agg per host (sitemaps are ≤ 50k URLs
+    by spec, so a body row is bounded); extraction is a codegen'd
+    projection + explode with output rows = sitemap entries. No Python."""
+    o = T(spark, sf, "orders").filter(F.col("o_custkey") % 20 < N_SITEMAP_HOSTS)
+    entries = o.select(
+        (F.col("o_custkey") % 20).cast("long").alias("hostid"),
+        F.concat(
+            F.lit("<url><loc>http://s"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".example.test/o/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</loc><lastmod>"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("</lastmod></url>"),
+        ).alias("entry"),
+    )
+    bodies = entries.groupBy("hostid").agg(
+        F.array_join(F.array_sort(F.collect_list("entry")), "").alias("body")
+    )
+    parsed = bodies.select(
+        "hostid",
+        F.explode(
+            F.arrays_zip(
+                F.expr(r"regexp_extract_all(body, '<loc>([^<]+)</loc>', 1)").alias("url"),
+                F.expr(
+                    r"regexp_extract_all(body, '<lastmod>([^<]+)</lastmod>', 1)"
+                ).alias("lastmod"),
+            )
+        ).alias("e"),
+    )
+    return parsed.select(
+        "hostid", F.col("e.url").alias("url"), F.col("e.lastmod").alias("lastmod")
+    ).orderBy("hostid", "url")
+
+
+SITEMAP_EXTRACT_SQL = f"""
+WITH entries AS (
+  SELECT (o_custkey % 20)::BIGINT AS hostid,
+         '<url><loc>http://s' || (o_custkey % 20)::VARCHAR || '.example.test/o/'
+           || o_orderkey::VARCHAR || '</loc><lastmod>'
+           || strftime(o_orderdate, '%Y-%m-%d') || '</lastmod></url>' AS entry
+  FROM orders WHERE o_custkey % 20 < {N_SITEMAP_HOSTS}
+), bodies AS (
+  SELECT hostid, string_agg(entry, '' ORDER BY entry) AS body
+  FROM entries GROUP BY hostid
+)
+SELECT hostid,
+       unnest(regexp_extract_all(body, '<loc>([^<]+)</loc>', 1)) AS url,
+       unnest(regexp_extract_all(body, '<lastmod>([^<]+)</lastmod>', 1)) AS lastmod
+FROM bodies
+ORDER BY hostid, url
+"""
+
+
+# anchor-text synthesis over interleaved spans: a text span per 5-token
+# group at offset 2g; after every 2nd group, a link span at offset 2g+1
+# whose media_ref is the target URL and whose text is the group's tokens
+# (the <a> inner prose). Shares GROUP_TOKENS with the mediaops synthesis.
+ANCHOR_GROUP_TOKENS = 5
+ANCHOR_LINK_EVERY = 2
+N_ANCHOR_TARGETS = 40
+
+
+def _synth_link_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from spider_go_spark.functions import textkernel as tk
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
+    n_groups = F.ceil(F.size("tokens") / ANCHOR_GROUP_TOKENS).cast("int")
+    gidx = F.sequence(F.lit(0), n_groups - 1)
+
+    def text_span(g):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(
+                F.slice(F.col("tokens"), g * ANCHOR_GROUP_TOKENS + 1, ANCHOR_GROUP_TOKENS),
+                " ",
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (g * 2).cast("int").alias("offset"),
+        )
+
+    def link_span(g):
+        return F.struct(
+            F.when(g % ANCHOR_LINK_EVERY == 0, F.lit("link"))
+            .otherwise(F.lit("skip"))
+            .alias("kind"),
+            F.array_join(
+                F.slice(F.col("tokens"), g * ANCHOR_GROUP_TOKENS + 1, ANCHOR_GROUP_TOKENS),
+                " ",
+            ).alias("text"),
+            F.concat(
+                F.lit("http://t"),
+                ((F.col("doc_id") * 7 + g) % N_ANCHOR_TARGETS).cast("string"),
+                F.lit(".example.test/"),
+            ).alias("media_ref"),
+            (g * 2 + 1).cast("int").alias("offset"),
+        )
+
+    spans = F.filter(
+        F.flatten(F.transform(gidx, lambda g: F.array(text_span(g), link_span(g)))),
+        lambda s: s["kind"] != F.lit("skip"),
+    )
+    return toks.filter(F.size("tokens") > 0).select("doc_id", spans.alias("spans"))
+
+
+def anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation through the REAL interleaved-span operator
+    (functions/spans.link_anchor_texts): extract (href, anchor) from link
+    spans, tokenize the anchor prose, and keep each target's most frequent
+    anchor term — the off-page relevance signal (what other pages call a
+    page) that crawl prioritizers and rankers consume.
+
+    Scale shape: extraction is a map-only HOF projection; the only
+    shuffles are the hash agg on (href, term) — bounded by targets ×
+    vocabulary, not by corpus size — and a top-1 window over that already
+    aggregated set."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.spans import link_anchor_texts
+
+    anchors = link_anchor_texts(_synth_link_docs(spark, sf))
+    terms = anchors.select(
+        "href", F.explode(tk.tokens(F.col("anchor"))).alias("term")
+    )
+    counts = terms.groupBy("href", "term").agg(F.count("*").alias("n_mentions"))
+    w = Window.partitionBy("href").orderBy(F.desc("n_mentions"), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+        .orderBy("href")
+    )
+
+
+ANCHOR_TEXT_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id, tokens,
+         unnest(range(0, (len(tokens) + {ANCHOR_GROUP_TOKENS} - 1) // {ANCHOR_GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+), links AS (
+  SELECT 'http://t' || ((doc_id * 7 + g) % {N_ANCHOR_TARGETS})::VARCHAR
+           || '.example.test/' AS href,
+         unnest(tokens[{ANCHOR_GROUP_TOKENS}*g + 1 : {ANCHOR_GROUP_TOKENS}*(g+1)]) AS term
+  FROM gs WHERE g % {ANCHOR_LINK_EVERY} = 0
+), counts AS (
+  SELECT href, term, count(*) AS n_mentions FROM links GROUP BY href, term
+)
+SELECT href, term, n_mentions
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY href ORDER BY n_mentions DESC, term) = 1
+ORDER BY href
+"""
+
+
+QUERIES = {
+    "cdx_prefix_scan": cdx_prefix_scan,
+    "url_template_mining": url_template_mining,
+    "sitemap_extract": sitemap_extract,
+    "anchor_text_topk": anchor_text_topk,
+}
+ORACLES = {
+    "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
+    "url_template_mining": URL_TEMPLATE_MINING_SQL,
+    "sitemap_extract": SITEMAP_EXTRACT_SQL,
+    "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,
+}

@@ -1,0 +1,106 @@
+"""Web-index kernel tests: SURT keys vs the pure-Python twin, link-anchor
+extraction and kind-transition counting vs direct replays over handcrafted
+span streams (cases the lineitem-derived gate synthesis never produces:
+ports, userinfo, deep hosts, media runs, single-span docs)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions.spans import link_anchor_texts, span_kind_transitions
+from spider_go_spark.functions.urls import surt_key, surt_key_one
+
+SURT_CASES = [
+    "http://example.test/",
+    "http://h7.example.test/p/12/3",
+    "https://a.b.c.d.example.test/deep/path?b=2&a=1",
+    "http://example.test:8080/port/kept",
+    "https://example.test/q?only=1",
+    "http://user:pw@example.test/with/userinfo",
+    "http://single/",
+    "http://example.test/trailing/",
+]
+
+
+def test_surt_key_matches_python_twin(spark):
+    df = spark.createDataFrame([Row(url_norm=u) for u in SURT_CASES])
+    got = {
+        r["url_norm"]: r["surt"]
+        for r in df.select("url_norm", surt_key("url_norm").alias("surt")).collect()
+    }
+    for u in SURT_CASES:
+        assert got[u] == surt_key_one(u), u
+
+
+def test_surt_key_specifics():
+    # host reversed + comma-joined, scheme and userinfo dropped
+    assert surt_key_one("http://h7.example.test/p/1") == "test,example,h7)/p/1"
+    # non-default port kept after the host
+    assert surt_key_one("http://example.test:8080/x") == "test,example:8080)/x"
+    # userinfo dropped
+    assert surt_key_one("http://u@example.test/x") == "test,example)/x"
+    # query survives; one host is one contiguous prefix range
+    a = surt_key_one("https://example.test/q?a=1")
+    assert a.startswith("test,example)") and a.endswith("?a=1")
+
+
+SPAN_DOCS = [
+    # prose with isolated figures
+    (1, [("text", "alpha beta", None, 0), ("image", None, "m://1", 1),
+         ("text", "gamma", None, 2)]),
+    # media wall (gallery): image, image, video
+    (2, [("image", None, "m://2a", 0), ("image", None, "m://2b", 1),
+         ("video", None, "m://2c", 2)]),
+    # link farm: alternating text/link with anchors
+    (3, [("text", "intro", None, 0),
+         ("link", "click here", "http://t1.example.test/", 1),
+         ("link", "here again", "http://t2.example.test/", 2),
+         ("text", "outro", None, 3)]),
+    # single span: no transitions, no links
+    (4, [("text", "solo", None, 0)]),
+]
+
+
+@pytest.fixture(scope="module")
+def span_df(spark):
+    rows = [
+        Row(doc_id=d, spans=[
+            Row(kind=k, text=t, media_ref=m, offset=o) for (k, t, m, o) in spans
+        ])
+        for d, spans in SPAN_DOCS
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_link_anchor_texts_extracts_only_links(span_df):
+    got = sorted(
+        (r["doc_id"], r["href"], r["anchor"], r["link_offset"])
+        for r in link_anchor_texts(span_df).collect()
+    )
+    assert got == [
+        (3, "http://t1.example.test/", "click here", 1),
+        (3, "http://t2.example.test/", "here again", 2),
+    ]
+
+
+def test_span_kind_transitions_vs_replay(span_df):
+    expected: dict[tuple[str, str], int] = {}
+    for _, spans in SPAN_DOCS:
+        for a, b in zip(spans, spans[1:]):
+            expected[(a[0], b[0])] = expected.get((a[0], b[0]), 0) + 1
+    got = {
+        (r["prev_kind"], r["next_kind"]): r["n_transitions"]
+        for r in span_kind_transitions(span_df).collect()
+    }
+    assert got == expected
+
+
+def test_span_kind_transitions_partition_invariant(span_df):
+    one = span_kind_transitions(span_df.coalesce(1))
+    many = span_kind_transitions(span_df.repartition(7))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_transitions_plan_has_no_python(span_df):
+    plan = span_kind_transitions(span_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
