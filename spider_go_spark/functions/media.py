@@ -132,13 +132,13 @@ def encode_bmp(width: int, height: int, rgb: "np.ndarray") -> bytes:
     return file_header + info_header + pixel_data
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """REAL byte-level decode for uncompressed 24-bit BI_RGB BMP: parse the
-    little-endian file + info headers, honor the pixel-data offset, undo the
-    bottom-up row order, 4-byte row padding and BGR channel order, and
-    return the same integer-exact channel statistics as :func:`decode_ppm`.
-    Top-down bitmaps (negative height) are handled per the spec. Anything
-    the decoder cannot prove it understands fails loudly."""
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """REAL byte-level decode for uncompressed 24-bit BI_RGB BMP to a
+    top-down ``(height, width, 3)`` uint8 RGB array: parse the little-endian
+    file + info headers, honor the pixel-data offset, undo the bottom-up row
+    order, 4-byte row padding and BGR channel order. Top-down bitmaps
+    (negative height) are handled per the spec. Anything the decoder cannot
+    prove it understands fails loudly."""
     import struct
 
     import numpy as np
@@ -167,7 +167,15 @@ def decode_bmp(payload: bytes) -> dict:
     rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
     if not top_down:
         rows = rows[::-1]  # stored bottom-up → top-down
-    rgb = rows[:, :, ::-1].astype(np.int64)  # BGR → RGB
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """BMP decode to the same integer-exact channel statistics as
+    :func:`decode_ppm` (see :func:`decode_bmp_pixels` for the byte-level
+    parse)."""
+    rgb = decode_bmp_pixels(payload).astype("int64")
+    height, width = rgb.shape[0], rgb.shape[1]
     return {
         "width": width,
         "height": height,
@@ -176,6 +184,31 @@ def decode_bmp(payload: bytes) -> dict:
         "sum_g": int(rgb[:, :, 1].sum()),
         "sum_b": int(rgb[:, :, 2].sum()),
     }
+
+
+def ahash_bits(rgb: "np.ndarray", grid: int = 8) -> str:
+    """Average-hash (aHash) of a decoded RGB image, as a ``grid²``-char
+    '0'/'1' string: integer grayscale ((r+g+b)//3), block-mean downsample to
+    grid×grid (integer mean per block), bit = block value > global integer
+    mean. All-integer arithmetic end to end, so the hash is bit-reproducible
+    across engines — near-identical images (re-encodes, minor crops scaled
+    away by the downsample) collide, which is exactly the perceptual-dedup
+    bucket key. A string key, not int64, to sidestep sign-bit overflow in
+    SQL twins.
+
+    Dimensions must be divisible by ``grid`` (the decode pipeline resizes
+    first at real scale); anything else fails loudly."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    if h % grid or w % grid:
+        raise ValueError(f"aHash needs dims divisible by {grid}, got {w}x{h}")
+    gray = rgb.astype(np.int64).sum(axis=2) // 3
+    bh, bw = h // grid, w // grid
+    blocks = gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3)) // (bh * bw)
+    flat = blocks.reshape(-1)
+    mean = int(flat.sum()) // flat.size
+    return "".join("1" if int(v) > mean else "0" for v in flat.tolist())
 
 
 def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:

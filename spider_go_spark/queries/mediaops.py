@@ -374,6 +374,93 @@ FROM range({WAV_DOCS}) t(r)
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual image dedup over REAL decoded bytes: 16×16 BMPs synthesized
+# from a deterministic pixel rule (pattern p = doc % 24 repeats every 24
+# docs → true duplicate groups), decoded byte-for-byte by
+# functions/media.decode_bmp_pixels, block-mean aHashed, and grouped. The
+# oracle recomputes the hash from the SAME pixel rule in SQL — all-integer
+# grayscale/downsample/threshold, so any decode or hash bug breaks parity.
+# --------------------------------------------------------------------------
+
+AHASH_DOCS = 240
+AHASH_PATTERNS = 24
+AHASH_W = 16  # 16×16 source → real 2×2 block-mean downsample to the 8×8 grid
+
+
+def image_ahash_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual (average-hash) image dedup: encode → REAL byte decode →
+    integer aHash → hash-groupBy — the image twin of exact text dedup, and
+    the bucket key under which near-identical images (re-encodes, resizes)
+    collapse at 100 TB without any pairwise comparison.
+
+    Scale shape: encode/decode/hash is one Arrow map stage (rows = images,
+    no shuffle); the dedup is a single hash agg on the 64-bit-equivalent
+    key. Raw pixel rule: byte j of pattern p is (p*37 + j*j*11 + j*7) % 256."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import (
+        ahash_bits,
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    n_px = AHASH_W * AHASH_W * 3
+
+    def gen_hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        j = np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                p = d % AHASH_PATTERNS
+                payload = encode_bmp(
+                    AHASH_W, AHASH_W, ((p * 37 + j * j * 11 + j * 7) % 256).astype(np.uint8)
+                )
+                rows.append({"doc_id": d, "ahash": ahash_bits(decode_bmp_pixels(payload))})
+            yield pd.DataFrame(rows)
+
+    hashed = (
+        spark.range(AHASH_DOCS)
+        .repartition(8)
+        .mapInPandas(gen_hash, "doc_id bigint, ahash string")
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("ahash")
+    )
+
+
+MEDIA_AHASH_SQL = f"""
+WITH px AS (
+  SELECT p, i,
+         (((p*37 + (3*i)*(3*i)*11 + (3*i)*7) % 256)
+        + ((p*37 + (3*i+1)*(3*i+1)*11 + (3*i+1)*7) % 256)
+        + ((p*37 + (3*i+2)*(3*i+2)*11 + (3*i+2)*7) % 256)) // 3 AS gray,
+         ((i // {AHASH_W}) // 2) * 8 + ((i % {AHASH_W}) // 2) AS b
+  FROM range({AHASH_PATTERNS}) t(p), range({AHASH_W * AHASH_W}) s(i)
+), blocks AS (
+  SELECT p, b, sum(gray) // 4 AS bval FROM px GROUP BY p, b
+), means AS (
+  SELECT p, sum(bval) // 64 AS mean FROM blocks GROUP BY p
+), bits AS (
+  SELECT blocks.p,
+         string_agg(CASE WHEN bval > mean THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+  FROM blocks JOIN means ON blocks.p = means.p GROUP BY blocks.p
+)
+SELECT ahash, sum({AHASH_DOCS // AHASH_PATTERNS})::BIGINT AS n_docs,
+       min(p)::BIGINT AS first_doc
+FROM bits GROUP BY ahash ORDER BY ahash
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
@@ -382,6 +469,7 @@ QUERIES = {
     "media_ppm_decode": media_ppm_decode,
     "media_bmp_decode": media_bmp_decode,
     "media_wav_decode": media_wav_decode,
+    "image_ahash_groups": image_ahash_groups,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
@@ -391,4 +479,5 @@ ORACLES = {
     "media_ppm_decode": MEDIA_PPM_SQL,
     "media_bmp_decode": MEDIA_BMP_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
+    "image_ahash_groups": MEDIA_AHASH_SQL,
 }

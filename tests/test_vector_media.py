@@ -283,3 +283,36 @@ def test_wav_chunk_walk_and_errors():
     bad = ok[:20] + stereo_fmt + ok[36:]
     with pytest.raises(ValueError, match="channels=2"):
         decode_wav(bad)
+
+
+def test_ahash_kernel_properties():
+    import numpy as np
+    import pytest
+
+    from spider_go_spark.functions.media import (
+        ahash_bits,
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    h = ahash_bits(rgb)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    # encode → byte-decode roundtrip preserves pixels exactly, so the hash
+    # of the decoded image equals the hash of the source array
+    decoded = decode_bmp_pixels(encode_bmp(16, 16, rgb))
+    assert np.array_equal(decoded, rgb)
+    assert ahash_bits(decoded) == h
+    # perceptual: a ±1 brightness jitter keeps the hash close (≤ 8/64 bits)
+    jitter = np.clip(rgb.astype(np.int16) + rng.integers(-1, 2, rgb.shape), 0, 255)
+    h2 = ahash_bits(jitter.astype(np.uint8))
+    assert sum(a != b for a, b in zip(h, h2)) <= 8
+    # sensitivity: inverting the image flips most bits
+    h3 = ahash_bits(255 - rgb)
+    assert sum(a != b for a, b in zip(h, h3)) >= 32
+    # block-mean downsample really averages: a 2x-upscaled image hashes equal
+    up = np.repeat(np.repeat(rgb, 2, axis=0), 2, axis=1)
+    assert ahash_bits(up) == h
+    with pytest.raises(ValueError, match="divisible"):
+        ahash_bits(rgb[:15])
