@@ -250,3 +250,64 @@ rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
 """
         )
     return "".join(parts)
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """(node, dist) — breadth-first hop distance from the seed set over
+    ``edges(src, dst)``, up to ``max_hops`` synchronous expansions: the
+    crawl-reachability operator (which pages are within k link hops of the
+    seed list, and at what depth — the set a depth-capped crawl will ever
+    see, computed without running the crawl).
+
+    Shape per hop: one equi-join frontier⋈edges, a distinct, and one
+    left-anti join against the visited set — the exact plan a crawl round's
+    dedup uses (operators/seen.py), so BFS here is the *static* twin of the
+    frontier loop. Lineage is truncated each hop with an eager
+    localCheckpoint; the loop always runs ``max_hops`` expansions (an empty
+    frontier joins to empty for free), so there is no per-hop driver-side
+    isEmpty() job."""
+    dist = (
+        seeds.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int) -> str:
+    """DuckDB twin of :func:`bfs_levels`: unrolled per-hop CTE chain
+    (matching the Spark loop join-for-join; CTEs materialized so DuckDB
+    doesn't re-derive every prior level per hop). ``edges_cte`` must define
+    ``edges(src, dst)``; ``seeds_sql`` is a query producing ``node``;
+    returns SQL ending in ``dist{max_hops}(node, dist)``."""
+    parts = [
+        edges_cte,
+        f""",
+dist0 AS MATERIALIZED (SELECT DISTINCT node::BIGINT AS node, 0 AS dist FROM ({seeds_sql}))
+""",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""", next{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, {k} AS dist
+  FROM dist{k - 1} f JOIN edges e ON f.node = e.src
+  WHERE f.dist = {k - 1} AND e.dst NOT IN (SELECT node FROM dist{k - 1})
+), dist{k} AS MATERIALIZED (
+  SELECT node, dist FROM dist{k - 1} UNION ALL SELECT node, dist FROM next{k}
+)
+"""
+        )
+    return "".join(parts)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from spider_go_spark.functions import textkernel as tk
 from spider_go_spark.operators import sampling
 from spider_go_spark.operators.graph import (
+    bfs_oracle_sql,
     label_prop_oracle_sql,
     label_propagation_min,
     pagerank_int,
@@ -203,6 +204,47 @@ PAGERANK_TOP20_SQL = (
     + f"""
 SELECT node, rank_u FROM rank{PAGERANK_ITERS}
 ORDER BY rank_u DESC, node LIMIT 20
+"""
+)
+
+
+BFS_HOPS = 3
+BFS_SEED_EVERY = 25
+
+
+def seed_distance_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop distance from a seed list over the bidirectional supplier↔part
+    graph (operators/graph.bfs_levels): the static crawl-reachability
+    question — every node a depth-3 crawl from these seeds would visit,
+    with its discovery depth. Seeds are suppliers with key ≡ 0 (mod 25).
+
+    The iterative operator is SQL-expressible by unrolling one CTE per hop
+    (frontier⋈edges + anti-join against visited — the dedup plan of a real
+    crawl round), so the gate is value-exact."""
+    from spider_go_spark.operators.graph import bfs_levels
+
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    fwd = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + PART_NODE_OFFSET).cast("long").alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        li.filter(F.col("l_suppkey") % BFS_SEED_EVERY == 0)
+        .select(F.col("l_suppkey").cast("long").alias("node"))
+        .distinct()
+    )
+    return bfs_levels(edges, seeds, BFS_HOPS).orderBy("dist", "node")
+
+
+SEED_DISTANCE_BFS_SQL = (
+    bfs_oracle_sql(
+        _PAGERANK_EDGES_CTE,
+        f"SELECT DISTINCT l_suppkey AS node FROM lineitem WHERE l_suppkey % {BFS_SEED_EVERY} = 0",
+        BFS_HOPS,
+    )
+    + f"""
+SELECT node, dist::INTEGER AS dist FROM dist{BFS_HOPS} ORDER BY dist, node
 """
 )
 
@@ -717,6 +759,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "pagerank_top20": pagerank_top20,
+    "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
     "inverted_index_topterms": inverted_index_topterms,
@@ -733,6 +776,7 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pagerank_top20": PAGERANK_TOP20_SQL,
+    "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
     "inverted_index_topterms": INVERTED_INDEX_SQL,

@@ -343,3 +343,44 @@ def test_chunk_documents_skips_empty_docs(spark, tmp_path):
     assert "d-empty" not in by_doc and "d-blank" not in by_doc
     assert [r["chunk_idx"] for r in by_doc["d-one"]] == [0]
     assert all(r["chunk_idx"] >= 0 for r in rows)
+
+
+def test_bfs_levels_vs_python_replay(spark):
+    """BFS hop distances vs a direct Python BFS on a graph with a cycle,
+    a diamond, an unreachable component, and a node beyond the hop cap."""
+    from collections import deque
+
+    from pyspark.sql import Row
+
+    from spider_go_spark.operators.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11)]  # 10-11 unreachable from seed 1; 7 is 4 hops out
+    seeds = [1]
+    max_hops = 3
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    expected, q = {1: 0}, deque([(1, 0)])
+    while q:
+        n, d = q.popleft()
+        if d == max_hops:
+            continue
+        for m in adj.get(n, []):
+            if m not in expected:
+                expected[m] = d + 1
+                q.append((m, d + 1))
+
+    e_df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    s_df = spark.createDataFrame([Row(node=n) for n in seeds])
+    got = {r["node"]: r["dist"] for r in bfs_levels(e_df, s_df, max_hops).collect()}
+    assert got == expected
+    assert 7 not in got and 10 not in got  # depth cap + unreachability
+
+    # partition invariance: dist assignment must not depend on layout
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(e_df.repartition(7), s_df.repartition(3), max_hops).collect()
+    }
+    assert got2 == expected
