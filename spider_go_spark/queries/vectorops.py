@@ -726,6 +726,95 @@ SELECT cluster_id, vec_id_a, vec_id_b, cosine FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Per-label centroid outliers: semantic outlier detection inside each
+# cluster/source — the "wrong-cluster / mislabeled / off-topic" filter a
+# training-data pipeline runs after clustering (the flip side of SemDeDup:
+# SemDeDup drops what is too CLOSE to the centroid's neighbors, this flags
+# what is too FAR from its own centroid). Same int64 fixed-point discipline
+# as kmeans_step, so the gate is value-exact.
+# --------------------------------------------------------------------------
+
+OUTLIER_TOP = 2
+
+
+def label_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per label: the element-wise integer-mean centroid of its vectors,
+    then the ``OUTLIER_TOP`` furthest members by integer squared-L2 — with
+    their distances, for thresholding downstream.
+
+    Scale shape (10^9 vectors): the centroid is a (label, dim)-keyed hash
+    agg whose partial sums combine map-side (shuffle carries ≤ labels·D
+    rows per task); centroids broadcast back (labels·D values); distance is
+    a pure projection. The final top-k-per-label window sorts only within a
+    label partition — with balanced labels that is corpus/labels rows per
+    task, and a skewed giant label is exactly the AQE skew-join/salting
+    case the engine handles elsewhere (operators/politeness.py)."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(KM_SCALE))).cast("long")
+            + F.lit(KM_SHIFT),
+        ).alias("v"),
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cent = (
+        dims.select("label", "dim", F.expr("sx div cnt").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(F.broadcast(cent), "label").select("label", "vec_id", d2.alias("d2"))
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+        .orderBy("label", "rnk")
+    )
+
+
+LABEL_CENTROID_OUTLIERS_SQL = f"""
+WITH sq AS (
+  SELECT vec_id, label::INT AS label,
+         list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT + {KM_SHIFT}) AS v
+  FROM embeddings
+), dims AS (
+  SELECT label, i AS dim, sum(v[i]) AS sx, count(*) AS cnt
+  FROM sq, range(1, {DIMS + 1}) t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list((sx // cnt)::BIGINT ORDER BY dim) AS cv FROM dims GROUP BY label
+), scored AS (
+  SELECT s.label, s.vec_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, {DIMS + 1}), i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))),
+           (a, b) -> a + b)::BIGINT AS d2
+  FROM sq s JOIN cent c USING (label)
+)
+SELECT label, vec_id, d2,
+       row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk
+FROM scored
+QUALIFY rnk <= {OUTLIER_TOP}
+ORDER BY label, rnk
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -736,6 +825,7 @@ QUERIES = {
     "ann_int8_topk": ann_int8_topk,
     "pq_ann_topk": pq_ann_topk,
     "semdedup_pairs": semdedup_pairs,
+    "label_centroid_outliers": label_centroid_outliers,
 }
 
 ORACLES = {
@@ -748,4 +838,5 @@ ORACLES = {
     "ann_int8_topk": ANN_INT8_TOPK_SQL,
     "pq_ann_topk": PQ_ANN_TOPK_SQL,
     "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
+    "label_centroid_outliers": LABEL_CENTROID_OUTLIERS_SQL,
 }

@@ -263,3 +263,29 @@ def test_pii_scrub_matches_python(spark):
     }
     assert got == expected
     assert all(v[0] >= 1 and v[1] >= 1 for v in got.values())  # regexes fired
+
+
+def test_label_centroid_outliers_invariants(spark):
+    """Outlier ranking is partition-invariant; each label with enough
+    members yields exactly OUTLIER_TOP rows ranked by descending distance."""
+    from spider_go_spark.queries.vectorops import (
+        OUTLIER_TOP,
+        label_centroid_outliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = label_centroid_outliers(spark, sf).collect()
+    by_label: dict[int, list] = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rows in by_label.items():
+        assert len(rows) <= OUTLIER_TOP
+        ds = [r["d2"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert ds == sorted(ds, reverse=True) and all(d >= 0 for d in ds)
+
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = label_centroid_outliers(spark, sf).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
