@@ -66,6 +66,10 @@ HEADLINE = [
     "filter_funnel",          # corpus filter yield report (md5-keyed dup agg)
     "hits_top_nodes",         # iterative integer HITS (3 rounds, 2 shuffles each)
     "frontier_pagerank_rerank",  # authority-weighted frontier reorder
+    "cdx_prefix_scan",        # SURT key projection + index dedup + range scan
+    "anchor_text_topk",       # span HOF extraction + (href, term) agg
+    "image_ahash_groups",     # Arrow encode→byte-decode→aHash→dedup groups
+    "seed_distance_bfs",      # iterative BFS reachability (3 hops)
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
