@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "flowq",
     "pipelineops",
     "crawlq",
+    "lineops",
 )
 
 

@@ -114,6 +114,34 @@ def combine_windows(th_col: Column | str, k: int = 3, distinct: bool = True) -> 
     return F.when(n >= k, mk).otherwise(F.array().cast("array<long>"))
 
 
+def line_hashes(th_col: Column | str, line_tokens: int = 8) -> Column:
+    """array<long> of per-line combined hashes over a token-hash array:
+    the stream is cut into consecutive NON-overlapping ``line_tokens``-token
+    groups ("lines" — the corpus text carries no newlines, so the line
+    boundary is a deterministic token count, same convention as the span
+    synthesis in queries/mediaops.py), each folded with the shared
+    h' = h·COMBINE_A + tok_hash mod P combiner. The trailing partial group
+    is kept (CCNet dedups the final short paragraph too). Position matters:
+    no distinct — a line repeated within a document counts each time.
+
+    Pure HOF projection (sequence/slice/aggregate); int64-safe like
+    :func:`combine_windows`, so the SQL oracle reproduces it bit-for-bit.
+    """
+    th = F.col(th_col) if isinstance(th_col, str) else th_col
+    n_lines = F.ceil(F.size(th) / line_tokens).cast("int")
+    gidx = F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        gidx,
+        lambda g: F.aggregate(
+            F.slice(th, g * line_tokens + 1, line_tokens),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(COMBINE_A) + x) % F.lit(POLY_P),
+        ),
+    )
+
+
 def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
     """array<long> of distinct k-shingle hashes for a text column. One-shot
     convenience for small inputs/tests; pipelines should materialize
