@@ -124,6 +124,110 @@ def link_anchor_texts(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     ).select("doc_id", "l.*")
 
 
+def _by_offset(spans: Column) -> Column:
+    """Spans sorted by stream position (offset) — reading order."""
+    return F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+
+
+def assemble_text(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    placeholders: dict[str, str] | None = None,
+) -> DataFrame:
+    """(doc_id, assembled) — the document's reading-order plain text: text
+    spans joined by single spaces in offset order, media/link spans replaced
+    by a typed placeholder token ("[IMG]"/"[VID]"/"[LNK]") at their stream
+    position.
+
+    This is the canonical "render the interleaved stream to trainable text"
+    step (the form multimodal corpora serialize to before tokenization, with
+    placeholders later swapped for media embeddings). Pure HOF projection —
+    sort + transform + array_join, map-only at any corpus size."""
+    ph = placeholders or {"image": "[IMG]", "video": "[VID]", "link": "[LNK]"}
+    spans = _by_offset(F.col(spans_col))
+
+    def render(s: Column) -> Column:
+        out = F.when(s["kind"] == F.lit("text"), s["text"])
+        for kind, token in ph.items():
+            out = out.when(s["kind"] == F.lit(kind), F.lit(token))
+        return out.otherwise(F.lit("[UNK]"))
+
+    assembled = F.array_join(F.transform(spans, render), " ")
+    return docs.select("doc_id", assembled.alias("assembled"))
+
+
+def pack_spans(
+    docs: DataFrame,
+    budget: int,
+    media_tokens: int = 4,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, sample_id, n_text_spans, n_media_spans, n_tokens) —
+    interleaved spans packed into fixed token-budget training samples.
+    Each text span costs its whitespace token count; every non-text span
+    costs a flat ``media_tokens`` (the image-embedding slot count). A span
+    goes to sample ``prefix_cost_before div budget`` in reading order, so
+    spans are never split and sample boundaries are deterministic.
+
+    Scale shape: the prefix costs are computed with an in-array fold
+    (aggregate building the running total) — NO window, NO per-doc shuffle;
+    the only shuffle is the final (doc_id, sample_id) hash agg. The fold's
+    array append is O(spans²) per document, fine for page-sized span counts
+    and strictly cheaper than shuffling 10^10 docs through a window."""
+    spans = _by_offset(F.col(spans_col))
+    costs = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == F.lit("text"),
+            F.size(F.filter(F.split(s["text"], r"\s+"), lambda t: F.length(t) > 0)),
+        )
+        .otherwise(F.lit(media_tokens))
+        .cast("long"),
+    )
+    # prefix-before fold: acc.arr[i] = Σ costs[0..i-1]
+    prefix = F.aggregate(
+        costs,
+        F.struct(
+            F.array().cast("array<long>").alias("arr"),
+            F.lit(0).cast("long").alias("total"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["total"])).alias("arr"),
+            (acc["total"] + x).alias("total"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    tagged = F.zip_with(
+        F.zip_with(
+            spans, costs, lambda s, c: F.struct(s["kind"].alias("kind"), c.alias("cost"))
+        ),
+        prefix,
+        lambda sc, p: F.struct(
+            sc["kind"].alias("kind"),
+            sc["cost"].alias("cost"),
+            F.floor(p / F.lit(budget)).cast("long").alias("sample_id"),
+        ),
+    )
+    rows = docs.select("doc_id", F.explode(tagged).alias("s"))
+    return (
+        rows.groupBy("doc_id", F.col("s.sample_id").alias("sample_id"))
+        .agg(
+            F.sum(F.when(F.col("s.kind") == "text", 1).otherwise(0)).alias(
+                "n_text_spans"
+            ),
+            F.sum(F.when(F.col("s.kind") != "text", 1).otherwise(0)).alias(
+                "n_media_spans"
+            ),
+            F.sum("s.cost").alias("n_tokens"),
+        )
+    )
+
+
 def span_kind_transitions(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Corpus-level kind-transition counts over the interleaved stream:
     (prev_kind, next_kind, n_transitions) for every adjacent span pair —

@@ -461,6 +461,93 @@ FROM bits GROUP BY ahash ORDER BY ahash
 """
 
 
+def assemble_text_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Reading-order text assembly through the REAL span renderer
+    (functions/spans.assemble_text): text spans joined in offset order with
+    media spans replaced by "[IMG]" placeholders — the serialize-to-
+    trainable-text step of a multimodal pipeline. Gate output keeps rows
+    small: (doc_id, n_chars, text_md5). Map-only HOF projection; the
+    oracle rebuilds the same string from documents.text group math."""
+    from spider_go_spark.functions.spans import assemble_text
+
+    out = assemble_text(_synth_span_docs(spark, sf))
+    return out.select(
+        "doc_id",
+        F.length("assembled").cast("long").alias("n_chars"),
+        F.md5(F.col("assembled").cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+ASSEMBLE_TEXT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), grp AS (
+  SELECT doc_id,
+         list_transform(range(0, (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS}),
+            g -> array_to_string(tokens[{GROUP_TOKENS}*g + 1 : {GROUP_TOKENS}*(g+1)], ' ')
+                 || CASE WHEN g % {MEDIA_EVERY} = 0 THEN ' [IMG]' ELSE '' END) AS parts
+  FROM toks WHERE len(tokens) > 0
+), asm AS (
+  SELECT doc_id, array_to_string(parts, ' ') AS assembled FROM grp
+)
+SELECT doc_id, length(assembled)::BIGINT AS n_chars, md5(assembled) AS text_md5
+FROM asm ORDER BY doc_id
+"""
+
+PACK_BUDGET = 16  # tokens per packed training sample
+PACK_MEDIA_TOKENS = 4  # flat embedding-slot cost of one media span
+
+
+def multimodal_pack_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget packing of interleaved spans through the REAL packer
+    (functions/spans.pack_spans): text spans cost their token count, media
+    spans a flat 4, and each span lands in sample floor(prefix_cost/16) in
+    reading order. The Spark side computes prefix costs with an in-array
+    fold (no window, no per-doc shuffle); the oracle recomputes them with a
+    SQL window over the synthesized span units — two independent routes to
+    the same packing."""
+    from spider_go_spark.functions.spans import pack_spans
+
+    return pack_spans(
+        _synth_span_docs(spark, sf),
+        budget=PACK_BUDGET,
+        media_tokens=PACK_MEDIA_TOKENS,
+    ).orderBy("doc_id", "sample_id")
+
+
+MULTIMODAL_PACK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id, len(tokens) AS n,
+         unnest(range(0, (len(tokens) + {GROUP_TOKENS} - 1) // {GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+), units AS (
+  SELECT doc_id, 2*g AS ord, 'text' AS kind,
+         least({GROUP_TOKENS}, n - g*{GROUP_TOKENS})::BIGINT AS cost
+  FROM gs
+  UNION ALL
+  SELECT doc_id, 2*g + 1 AS ord, 'image' AS kind, {PACK_MEDIA_TOKENS}::BIGINT AS cost
+  FROM gs WHERE g % {MEDIA_EVERY} = 0
+), cum AS (
+  SELECT doc_id, kind, cost,
+         coalesce(sum(cost) OVER (PARTITION BY doc_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cost_before
+  FROM units
+)
+SELECT doc_id,
+       (cost_before // {PACK_BUDGET})::BIGINT AS sample_id,
+       sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text_spans,
+       sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)::BIGINT AS n_media_spans,
+       sum(cost)::BIGINT AS n_tokens
+FROM cum
+GROUP BY doc_id, cost_before // {PACK_BUDGET}
+ORDER BY doc_id, sample_id
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "caption_pairs_synth": caption_pairs_synth,
@@ -470,6 +557,8 @@ QUERIES = {
     "media_bmp_decode": media_bmp_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
+    "assemble_text_synth": assemble_text_synth,
+    "multimodal_pack_synth": multimodal_pack_synth,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
@@ -480,4 +569,6 @@ ORACLES = {
     "media_bmp_decode": MEDIA_BMP_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
+    "assemble_text_synth": ASSEMBLE_TEXT_SQL,
+    "multimodal_pack_synth": MULTIMODAL_PACK_SQL,
 }

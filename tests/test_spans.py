@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from spider_go_spark.functions.spans import media_text_pairs, span_stream_stats
+from spider_go_spark.functions.spans import (
+    assemble_text,
+    media_text_pairs,
+    pack_spans,
+    span_stream_stats,
+)
 from spider_go_spark.sources.webgraph import (
     canonical_urls,
     out_links_of_nodes,
@@ -110,6 +115,68 @@ def test_span_stream_stats_match_replay(fetched):
 
 def test_no_python_in_span_plans(fetched):
     docs, _ = fetched
-    for df in (media_text_pairs(docs), span_stream_stats(docs)):
+    for df in (
+        media_text_pairs(docs),
+        span_stream_stats(docs),
+        assemble_text(docs),
+        pack_spans(docs, budget=16),
+    ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+_PLACEHOLDER = {"image": "[IMG]", "video": "[VID]", "link": "[LNK]"}
+
+
+def _replay_assemble(span_list):
+    parts = []
+    for s in sorted(span_list, key=lambda s: s["offset"]):
+        parts.append(s["text"] if s["kind"] == "text" else _PLACEHOLDER.get(s["kind"], "[UNK]"))
+    return " ".join(parts)
+
+
+def test_assemble_text_match_replay(fetched):
+    docs, spans = fetched
+    got = {
+        int(r["doc_id"]): r["assembled"]
+        for r in assemble_text(docs.withColumn("doc_id", F.col("url_hash"))).collect()
+    }
+    assert got and set(got) == set(spans)
+    for h, span_list in spans.items():
+        assert got[h] == _replay_assemble(span_list), h
+
+
+def _replay_pack(span_list, budget, media_tokens):
+    samples = {}
+    before = 0
+    for s in sorted(span_list, key=lambda s: s["offset"]):
+        cost = (
+            len([t for t in s["text"].split() if t])
+            if s["kind"] == "text"
+            else media_tokens
+        )
+        sid = before // budget
+        n_text, n_media, n_tok = samples.get(sid, (0, 0, 0))
+        samples[sid] = (
+            n_text + (s["kind"] == "text"),
+            n_media + (s["kind"] != "text"),
+            n_tok + cost,
+        )
+        before += cost
+    return samples
+
+
+def test_pack_spans_match_replay(fetched):
+    docs, spans = fetched
+    budget, mt = 16, 4
+    out = pack_spans(
+        docs.withColumn("doc_id", F.col("url_hash")), budget=budget, media_tokens=mt
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(int(r["doc_id"]), {})[int(r["sample_id"])] = (
+            r["n_text_spans"], r["n_media_spans"], r["n_tokens"],
+        )
+    assert set(got) == set(spans)
+    for h, span_list in spans.items():
+        assert got[h] == _replay_pack(span_list, budget, mt), h
