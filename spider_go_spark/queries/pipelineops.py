@@ -749,8 +749,82 @@ GROUP BY 1
 """
 
 
+VOCAB_K = 24  # tokenizer vocabulary size for the OOV gate
+
+
+def oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build a VOCAB_K-entry vocabulary from
+    corpus token frequencies (ties broken by token hash — deterministic
+    cross-engine), then report per-document (doc_id, n_tokens, n_oov,
+    oov_pm) where n_oov counts tokens outside the vocabulary and oov_pm is
+    the integer per-mille OOV rate. This is the coverage check run before
+    committing to a tokenizer: a rising OOV rate on new crawl slices means
+    the vocab no longer fits the corpus.
+
+    Scale shape: vocab build is one hash agg + top-k (24 rows, collected
+    into a broadcast); scoring is explode → broadcast LEFT join → per-doc
+    re-agg — the per-token shuffle is keyed by doc_id only in the final
+    agg, and the vocab side never leaves the driver-size class."""
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tk.token_hashes(F.col("text"))).alias("tok_hash")
+    )
+    vocab = (
+        toks.groupBy("tok_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok_hash"))
+        .limit(VOCAB_K)
+        .select("tok_hash", F.lit(1).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok_hash", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("1000 * n_oov div n_tokens").alias("oov_pm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+OOV_RATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id,
+         unnest(list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007))) AS tok_hash
+  FROM toks WHERE len(tokens) > 0
+), vocab AS (
+  SELECT tok_hash FROM tok_rows
+  GROUP BY tok_hash ORDER BY count(*) DESC, tok_hash ASC LIMIT {VOCAB_K}
+)
+SELECT r.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.tok_hash IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       (1000 * sum(CASE WHEN v.tok_hash IS NULL THEN 1 ELSE 0 END)::BIGINT)
+         // count(*) AS oov_pm
+FROM tok_rows r LEFT JOIN vocab v USING (tok_hash)
+GROUP BY r.doc_id
+ORDER BY r.doc_id
+"""
+
+
 QUERIES = {
     "train_split_strata": train_split_strata,
+    "oov_rate": oov_rate,
     "filter_funnel": filter_funnel,
     "chunk_documents": chunk_documents,
     "hits_top_nodes": hits_top_nodes,
@@ -768,6 +842,7 @@ QUERIES = {
 
 ORACLES = {
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
+    "oov_rate": OOV_RATE_SQL,
     "filter_funnel": FILTER_FUNNEL_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "hits_top_nodes": _hits_sql(),

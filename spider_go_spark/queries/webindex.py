@@ -324,14 +324,88 @@ ORDER BY href
 """
 
 
+N_AUDIT_SHARDS = 64
+
+
+def frontier_shard_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier shard-balance audit: distinct canonical URLs assigned to
+    N_AUDIT_SHARDS shards by a 64-bit URL hash, reporting per shard
+    (shard_id, n_urls, n_hosts, pm_of_total) — the report an operator reads
+    before resizing the seen-set sharding or diagnosing a hot partition
+    (north rule: "salted repartition by host-hash to break hot-domain
+    skew" needs exactly this visibility).
+
+    Hash note: the production seen set shards by Spark's engine-private
+    xxhash64 (operators/seen.py); this gate shards by the repo's portable
+    polynomial hash (functions/textkernel.poly_hash) so the DuckDB oracle
+    recomputes the assignment value-exactly — the operator shape (dedup →
+    map-side shard projection → 64-row agg) is identical whichever hash
+    feeds it.
+
+    Scale shape: one distinct on url_norm (hash-partitioned, uniform), a
+    codegen'd shard projection, then an agg onto 64 rows with map-side
+    combine; the total for pm_of_total is a broadcast single-row agg, not
+    a window over the corpus."""
+    from spider_go_spark.functions import textkernel as tk
+
+    urls = _capture_urls(T(spark, sf, "lineitem")).select("url_norm").distinct()
+    host = F.regexp_extract("url_norm", r"^[a-z0-9+.-]+://([^/:?#]*)", 1)
+    sharded = urls.select(
+        F.pmod(tk.poly_hash(F.col("url_norm")), F.lit(N_AUDIT_SHARDS))
+        .cast("int")
+        .alias("shard_id"),
+        host.alias("host"),
+    )
+    per_shard = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    total = per_shard.agg(F.sum("n_urls").alias("total"))
+    return (
+        per_shard.join(F.broadcast(total))
+        .select(
+            "shard_id",
+            "n_urls",
+            "n_hosts",
+            F.expr("1000 * n_urls div total").alias("pm_of_total"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+FRONTIER_SHARD_SKEW_SQL = f"""
+WITH urls AS (
+  SELECT DISTINCT 'http://h' || (l_suppkey % {N_CDX_HOSTS})::VARCHAR
+           || '.example.test/p/' || (l_partkey % {N_CDX_PAGES})::VARCHAR AS url_norm
+  FROM lineitem
+), sharded AS (
+  SELECT list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(url_norm, ''), c -> unicode(c)::BIGINT)),
+           (a, b) -> (a*31 + b) % 1000000007) % {N_AUDIT_SHARDS} AS shard_id,
+         regexp_extract(url_norm, '^[a-z0-9+.-]+://([^/:?#]*)', 1) AS host
+  FROM urls
+), per_shard AS (
+  SELECT shard_id::INTEGER AS shard_id, count(*) AS n_urls,
+         count(DISTINCT host)::BIGINT AS n_hosts
+  FROM sharded GROUP BY shard_id
+)
+SELECT shard_id, n_urls, n_hosts,
+       ((1000 * n_urls) // (SELECT sum(n_urls) FROM per_shard))::BIGINT AS pm_of_total
+FROM per_shard ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "cdx_prefix_scan": cdx_prefix_scan,
+    "frontier_shard_skew": frontier_shard_skew,
     "url_template_mining": url_template_mining,
     "sitemap_extract": sitemap_extract,
     "anchor_text_topk": anchor_text_topk,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
+    "frontier_shard_skew": FRONTIER_SHARD_SKEW_SQL,
     "url_template_mining": URL_TEMPLATE_MINING_SQL,
     "sitemap_extract": SITEMAP_EXTRACT_SQL,
     "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,

@@ -384,3 +384,16 @@ def test_bfs_levels_vs_python_replay(spark):
         for r in bfs_levels(e_df.repartition(7), s_df.repartition(3), max_hops).collect()
     }
     assert got2 == expected
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark):
+    from spider_go_spark.queries.pipelineops import oov_rate
+
+    rows = oov_rate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_pm == 1000 * r.n_oov // r.n_tokens
+    # vocab holds the 24 most frequent of a ~36-word vocabulary: corpus-wide
+    # OOV mass must be a strict minority of tokens
+    assert sum(r.n_oov for r in rows) * 2 < sum(r.n_tokens for r in rows)

@@ -104,3 +104,15 @@ def test_span_kind_transitions_partition_invariant(span_df):
 def test_transitions_plan_has_no_python(span_df):
     plan = span_kind_transitions(span_df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frontier_shard_skew_totals(spark):
+    from spider_go_spark.queries.webindex import N_AUDIT_SHARDS, frontier_shard_skew
+
+    rows = frontier_shard_skew(spark, "/root/testdata/sf0.001").collect()
+    assert 1 <= len(rows) <= N_AUDIT_SHARDS
+    assert all(0 <= r.shard_id < N_AUDIT_SHARDS for r in rows)
+    total = sum(r.n_urls for r in rows)
+    for r in rows:
+        assert r.n_hosts <= r.n_urls
+        assert r.pm_of_total == 1000 * r.n_urls // total
