@@ -133,6 +133,81 @@ def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
     return hub.join(auth, "node")
 
 
+def pagerank_weighted_int(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """(node, rank_u) — weighted PageRank over ``edges(src, dst, w)``: each
+    source splits its rank proportionally to edge weight, contribution =
+    ``(rank_u·w) div out_w``. The natural rank for collapsed multigraphs
+    (e.g. a host graph where w = number of URL-level links between two
+    hosts — dropping multiplicity there, as unweighted PageRank would,
+    erases exactly the linkage signal the collapse kept).
+
+    Same int64 fixed-point discipline as :func:`pagerank_int` (micro-unit
+    SCALE, split damping multiply, simplified dangling contract). Overflow
+    bound: rank_u ≤ total mass ≈ N·SCALE, so rank_u·w needs
+    N·w_max < 9.2·10^12 — comfortably above any collapsed graph (10^8
+    hosts × 10^4 max inter-host links still fits)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(outw, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank_u", F.lit(SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.expr("(rank_u * w) div out_w").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, "node", "left")
+            .withColumn("s0", F.coalesce(F.col("s"), F.lit(0).cast("long")))
+            .select(
+                "node",
+                F.expr(
+                    f"{TELEPORT_U} + (s0 div {SCALE}) * {DAMPING_PPM}"
+                    f" + ((s0 % {SCALE}) * {DAMPING_PPM}) div {SCALE}"
+                )
+                .cast("long")
+                .alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_weighted_oracle_sql(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`pagerank_weighted_int`. ``edges_cte`` must
+    define ``edges(src, dst, w)``; ends in ``rank{iters}(node, rank_u)``."""
+    parts = [
+        edges_cte,
+        f"""
+, nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+outw AS (SELECT src, sum(w)::BIGINT AS out_w FROM edges GROUP BY src),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w, outw.out_w
+                   FROM edges JOIN outw USING (src)),
+rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", rank{i + 1} AS (
+  SELECT n.node,
+         ({TELEPORT_U} + (coalesce(a.s, 0) // {SCALE}) * {DAMPING_PPM}
+          + ((coalesce(a.s, 0) % {SCALE}) * {DAMPING_PPM}) // {SCALE})::BIGINT AS rank_u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((r.rank_u * e.w) // e.out_w)::BIGINT AS s
+    FROM e JOIN rank{i} r ON e.src = r.node GROUP BY e.dst
+  ) a ON n.node = a.node
+)
+"""
+        )
+    return "".join(parts)
+
+
 def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     """DuckDB twin of :func:`hits_int`: unrolled CTE chain with scalar-
     subquery max-norms. ``edges_cte`` must define ``edges(src, dst)``;

@@ -397,3 +397,39 @@ def test_oov_rate_bounds_and_vocab_coverage(spark):
     # vocab holds the 24 most frequent of a ~36-word vocabulary: corpus-wide
     # OOV mass must be a strict minority of tokens
     assert sum(r.n_oov for r in rows) * 2 < sum(r.n_tokens for r in rows)
+
+
+def test_pagerank_weighted_reduces_to_unweighted(spark, star_edges):
+    from spider_go_spark.operators.graph import pagerank_weighted_int
+
+    w1 = star_edges.withColumn("w", F.lit(1).cast("long"))
+    got = {r["node"]: r["rank_u"] for r in pagerank_weighted_int(w1, iters=4).collect()}
+    want = {r["node"]: r["rank_u"] for r in pagerank_int(star_edges, iters=4).collect()}
+    assert got == want
+
+
+def test_pagerank_weighted_matches_python_replay(spark):
+    from spider_go_spark.operators.graph import (
+        DAMPING_PPM,
+        TELEPORT_U,
+        pagerank_weighted_int,
+    )
+
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    iters = 4
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    rank = {n: SCALE for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b, w in edges:
+            s[b] += rank[a] * w // outw[a]
+        rank = {
+            n: TELEPORT_U + (s[n] // SCALE) * DAMPING_PPM + (s[n] % SCALE) * DAMPING_PPM // SCALE
+            for n in nodes
+        }
+    got = {r["node"]: r["rank_u"] for r in pagerank_weighted_int(df, iters=iters).collect()}
+    assert got == rank
