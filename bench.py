@@ -70,6 +70,11 @@ HEADLINE = [
     "anchor_text_topk",       # span HOF extraction + (href, term) agg
     "image_ahash_groups",     # Arrow encode→byte-decode→aHash→dedup groups
     "seed_distance_bfs",      # iterative BFS reachability (3 hops)
+    "line_dup_stats",         # CCNet line-dedup per-doc report (3 keyed shuffles)
+    "multimodal_pack_synth",  # span packing via in-array prefix fold (no window)
+    "oov_rate",               # vocab build + broadcast coverage scoring
+    "host_pagerank_top",      # weighted PageRank on the collapsed host graph
+    "rp_ann_topk",            # JL random-projection shortlist + exact rerank
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
