@@ -324,8 +324,97 @@ LIMIT 100
     )
 
 
+BUDGET_TOTAL = 10_000  # global per-round fetch budget to split across hosts
+N_BUDGET_HOSTS = 25
+N_BUDGET_PAGES = 200
+
+
+def crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportional-fair split of a global round budget across hosts by the
+    integer largest-remainder method: each host's ideal share is
+    B·demand/Σdemand; every host gets the floor, and the leftover
+    B − Σfloor units go to the largest fractional remainders (remainder
+    compared as the exact integer ``B·demand mod Σdemand`` — no floats
+    anywhere, so the allocation is bit-identical on any engine and any
+    partitioning). Output: (host, demand, alloc); Σalloc = B exactly.
+
+    This is the budget-setting step that feeds the politeness scheduler's
+    per-host cut (operators/politeness.py takes the per-host budget as
+    given): hosts with more discovered URLs earn proportionally more of
+    the round, with no host starved by rounding.
+
+    Scale shape: demand is one hash agg over distinct URLs; the two global
+    scalars (Σdemand, Σfloor) are single-row broadcast joins; the remainder
+    ranking is a window over |hosts| rows — the host dimension, ~10^7 at
+    web scale, not the 10^10 URL corpus."""
+    from pyspark.sql import Window
+
+    from spider_go_spark.queries import T
+
+    li = T(spark, sf, "lineitem")
+    urls = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_suppkey") % N_BUDGET_HOSTS).cast("string"),
+            F.lit(".example.test/p/"),
+            (F.col("l_partkey") % N_BUDGET_PAGES).cast("string"),
+        ).alias("url_norm"),
+        F.concat(
+            F.lit("h"), (F.col("l_suppkey") % N_BUDGET_HOSTS).cast("string")
+        ).alias("host"),
+    ).distinct()
+    demand = urls.groupBy("host").agg(F.count(F.lit(1)).alias("demand"))
+    total = demand.agg(F.sum("demand").alias("total"))
+    d = demand.join(F.broadcast(total)).select(
+        "host",
+        "demand",
+        F.expr(f"({BUDGET_TOTAL} * demand) div total").alias("base"),
+        F.expr(f"({BUDGET_TOTAL} * demand) % total").alias("rem"),
+    )
+    sum_base = d.agg(F.sum("base").alias("sum_base"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        d.join(F.broadcast(sum_base))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "host",
+            "demand",
+            F.expr(
+                f"base + CASE WHEN rnk <= {BUDGET_TOTAL} - sum_base THEN 1 ELSE 0 END"
+            ).alias("alloc"),
+        )
+        .orderBy("host")
+    )
+
+
+CRAWL_BUDGET_ALLOCATION_SQL = f"""
+WITH urls AS (
+  SELECT DISTINCT
+         'http://h' || (l_suppkey % {N_BUDGET_HOSTS})::VARCHAR
+           || '.example.test/p/' || (l_partkey % {N_BUDGET_PAGES})::VARCHAR AS url_norm,
+         'h' || (l_suppkey % {N_BUDGET_HOSTS})::VARCHAR AS host
+  FROM lineitem
+), demand AS (
+  SELECT host, count(*) AS demand FROM urls GROUP BY host
+), d AS (
+  SELECT host, demand,
+         ({BUDGET_TOTAL} * demand) // (SELECT sum(demand) FROM demand) AS base,
+         ({BUDGET_TOTAL} * demand) % (SELECT sum(demand) FROM demand) AS rem
+  FROM demand
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk,
+         (SELECT sum(base) FROM d) AS sum_base
+  FROM d
+)
+SELECT host, demand,
+       (base + CASE WHEN rnk <= {BUDGET_TOTAL} - sum_base THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM ranked ORDER BY host
+"""
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
+    "crawl_budget_allocation": crawl_budget_allocation,
     "frontier_pagerank_rerank": frontier_pagerank_rerank,
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
@@ -336,6 +425,7 @@ QUERIES = {
 # the single scheduling round has a full value-exact oracle.
 ORACLES: dict[str, str] = {
     "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
+    "crawl_budget_allocation": CRAWL_BUDGET_ALLOCATION_SQL,
     "url_trap_filter": URL_TRAP_FILTER_SQL,
     "frontier_pagerank_rerank": _rerank_sql(),
 }

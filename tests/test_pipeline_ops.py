@@ -433,3 +433,25 @@ def test_pagerank_weighted_matches_python_replay(spark):
         }
     got = {r["node"]: r["rank_u"] for r in pagerank_weighted_int(df, iters=iters).collect()}
     assert got == rank
+
+
+def test_crawl_budget_allocation_largest_remainder(spark):
+    from spider_go_spark.queries.crawlq import (
+        BUDGET_TOTAL,
+        crawl_budget_allocation,
+    )
+
+    rows = crawl_budget_allocation(spark, SF).collect()
+    assert sum(r.alloc for r in rows) == BUDGET_TOTAL
+    # exact largest-remainder replay in python ints
+    demand = {r.host: r.demand for r in rows}
+    total = sum(demand.values())
+    base = {h: BUDGET_TOTAL * d // total for h, d in demand.items()}
+    rem = {h: BUDGET_TOTAL * d % total for h, d in demand.items()}
+    leftover = BUDGET_TOTAL - sum(base.values())
+    order = sorted(demand, key=lambda h: (-rem[h], h))
+    want = {h: base[h] + (1 if i < leftover else 0) for i, h in enumerate(order)}
+    assert {r.host: r.alloc for r in rows} == want
+    # proportionality: every allocation within 1 of its ideal share
+    for h, d in demand.items():
+        assert abs(want[h] - BUDGET_TOTAL * d / total) < 1
