@@ -86,3 +86,89 @@ def admit_stream(candidates: DataFrame, host_budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Decayed per-host rate throttle: the online "sustained fetch rate" limiter
+# (vs the lifetime cap above). State is an exponentially-decayed admission
+# counter in integer micro-units keyed by event-time round — no wall clock,
+# so a replay (or a restart from checkpoint) reproduces decisions exactly.
+# --------------------------------------------------------------------------
+
+THROTTLE_SCALE = 1_000_000
+
+RATE_CANDIDATE_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("url_norm", StringType(), False),
+        StructField("round", LongType(), False),
+    ]
+)
+
+RATE_ADMITTED_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("url_norm", StringType(), False),
+        StructField("round", LongType(), False),
+        StructField("rate_u", LongType(), False),  # post-admit decayed rate
+    ]
+)
+
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_round", LongType(), False),
+        StructField("rate_u", LongType(), False),
+    ]
+)
+
+
+def make_rate_throttle(rate_cap_u: int, decay_ppm: int):
+    """applyInPandasWithState function for a decayed admission rate: between
+    rounds the counter decays by ``decay_ppm/SCALE`` per round step
+    (integer multiply-divide — deterministic), each admission adds one
+    SCALE unit, and a candidate is admitted iff the decayed counter is
+    below ``rate_cap_u``. A host that bursts gets throttled; one that goes
+    quiet earns its rate back — the classic token-bucket-with-leak shape,
+    in event-time rounds rather than wall clock.
+
+    The per-host fold is inherently sequential (each admission feeds the
+    next decision), so rows are processed in strict (round, url_norm) order
+    with a Python loop INSIDE the Arrow batch — hosts are the parallel
+    unit (10^7 of them at web scale), not rows within a host. Decisions
+    are batch-boundary independent as long as each host's rounds arrive in
+    order (asserted by the one-batch ≡ two-batch test)."""
+
+    def throttle(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        last_round, rate_u = state.get if state.exists else (-1, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["round", "url_norm"], ignore_index=True
+        )
+        out = []
+        for r in batch.itertuples(index=False):
+            rnd = int(r.round)
+            if last_round >= 0 and rnd > last_round:
+                for _ in range(rnd - last_round):
+                    rate_u = rate_u * decay_ppm // THROTTLE_SCALE
+            last_round = max(last_round, rnd)
+            if rate_u < rate_cap_u:
+                rate_u += THROTTLE_SCALE
+                out.append((host, r.url_norm, rnd, rate_u))
+        state.update((last_round, rate_u))
+        if out:
+            yield pd.DataFrame(out, columns=["host", "url_norm", "round", "rate_u"])
+
+    return throttle
+
+
+def throttle_stream(candidates: DataFrame, rate_cap_u: int, decay_ppm: int) -> DataFrame:
+    """Streaming decayed-rate admission: groupBy(host) + stateful decay."""
+    return candidates.groupBy("host").applyInPandasWithState(
+        make_rate_throttle(rate_cap_u, decay_ppm),
+        outputStructType=RATE_ADMITTED_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -238,3 +238,89 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     u1_first = got[("u1", "2024-01-01 00:00:00")]
     assert u1_first[1] == 3 and u1_first[2] == 11.0
     assert ("u2", "2024-01-01 00:05:00") in got
+
+
+def _replay_throttle(rows, cap_u, decay_ppm):
+    """Pure-Python fold of the decayed rate throttle, host by host."""
+    from spider_go_spark.streaming.stateful import THROTTLE_SCALE
+
+    state = {}
+    admitted = []
+    by_host = {}
+    for h, u, rnd in rows:
+        by_host.setdefault(h, []).append((rnd, u))
+    for h, items in by_host.items():
+        last_round, rate = -1, 0
+        for rnd, u in sorted(items):
+            if last_round >= 0 and rnd > last_round:
+                for _ in range(rnd - last_round):
+                    rate = rate * decay_ppm // THROTTLE_SCALE
+            last_round = max(last_round, rnd)
+            if rate < cap_u:
+                rate += THROTTLE_SCALE
+                admitted.append((h, u, rnd, rate))
+    return sorted(admitted)
+
+
+def test_stateful_rate_throttle_decay_and_restart(spark, tmp_path):
+    """Decayed per-host rate limiter: bursts are cut, quiet rounds restore
+    rate, and the decision sequence survives a query restart (checkpointed
+    state) — equal to the pure-Python replay of the full input."""
+    from spider_go_spark.streaming.stateful import (
+        RATE_CANDIDATE_SCHEMA,
+        THROTTLE_SCALE,
+        throttle_stream,
+    )
+
+    cap_u = 2 * THROTTLE_SCALE  # sustained rate: ~2 admits per round
+    decay_ppm = 500_000  # halve each round
+
+    src = str(tmp_path / "rate-cands")
+    out = str(tmp_path / "rate-admitted")
+    ckpt = str(tmp_path / "ckpt-rate")
+    os.makedirs(src)
+
+    def run():
+        q = (
+            throttle_stream(
+                spark.readStream.schema(RATE_CANDIDATE_SCHEMA).parquet(src),
+                rate_cap_u=cap_u,
+                decay_ppm=decay_ppm,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    batch1 = [("a", f"http://a/{i}", 0) for i in range(5)] + [
+        ("b", "http://b/0", 0)
+    ]
+    batch2 = [("a", f"http://a/x{i}", 1) for i in range(3)] + [
+        ("a", "http://a/late", 4),
+        ("b", "http://b/1", 4),
+    ]
+    spark.createDataFrame(batch1, RATE_CANDIDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame(batch2, RATE_CANDIDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()  # fresh query object; state restored from checkpoint
+
+    got = sorted(
+        (r["host"], r["url_norm"], r["round"], r["rate_u"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = _replay_throttle(
+        [(h, u, rnd) for h, u, rnd in batch1 + batch2], cap_u, decay_ppm
+    )
+    assert got == want
+    # burst cut: round 0 admitted exactly cap/SCALE = 2 of host a's 5
+    assert sum(1 for h, _, rnd, _ in got if h == "a" and rnd == 0) == 2
+    # quiet gap restores rate: host a admits again by round 4
+    assert any(h == "a" and rnd == 4 for h, _, rnd, _ in got)
