@@ -176,11 +176,121 @@ LIMIT {BOILERPLATE_TOPK}
 )
 
 
+def line_language_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-language detection: each 8-token line gets a language vote
+    (stopword-marker scoring with textops.lang_id's fixed tie-break order),
+    and the document reports (doc_id, majority_lang, n_lines, purity_pm)
+    where purity_pm = 1000·majority_votes div n_lines. Corpus prep drops or
+    splits low-purity documents — per-doc language ID alone can't see a
+    half-English/half-German page (the classic boilerplate-translation
+    artifact).
+
+    Scale shape: line scoring is the explode's map stage (array_contains
+    over 5×5 literal stopwords, pure codegen); the only shuffles are the
+    (doc_id, line_lang) vote count and the per-doc argmax — both keyed by
+    doc, both tiny rows. No window over the corpus: the argmax is a
+    max(struct) inside one hash agg."""
+    from spider_go_spark.queries.textops import _STOPWORDS
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
+    n_lines = F.ceil(F.size("tokens") / LINE_TOKENS).cast("int")
+    gidx = F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    line_arr = F.transform(
+        gidx, lambda g: F.slice(F.col("tokens"), g * LINE_TOKENS + 1, LINE_TOKENS)
+    )
+    lines = toks.select("doc_id", F.explode(line_arr).alias("line"))
+
+    def score(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("line"), lambda t: F.array_contains(arr, t))).cast(
+            "bigint"
+        )
+
+    s = {lg: score(words) for lg, words in _STOPWORDS.items()}
+    pred = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when(s["es"] >= s["zh"], F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    votes = lines.select("doc_id", pred.alias("line_lang")).groupBy(
+        "doc_id", "line_lang"
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    per_doc = votes.groupBy("doc_id").agg(
+        F.sum("votes").alias("n_lines"),
+        # deterministic argmax: max struct orders by (votes, lang) — the
+        # tie-break is the LARGEST lang string, mirrored in the oracle
+        F.max(F.struct(F.col("votes"), F.col("line_lang"))).alias("m"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("m.line_lang").alias("majority_lang"),
+        "n_lines",
+        F.expr("1000 * m.votes div n_lines").alias("purity_pm"),
+    ).orderBy("doc_id")
+
+
+def _line_score_sql(words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(line, t -> list_contains([{lst}], t)))::BIGINT"
+
+
+def _purity_sql() -> str:
+    from spider_go_spark.queries.textops import _STOPWORDS
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, (len(tokens) + {LINE_TOKENS - 1}) // {LINE_TOKENS}),
+            g -> tokens[g*{LINE_TOKENS}+1 : g*{LINE_TOKENS}+{LINE_TOKENS}])) AS line
+  FROM toks WHERE len(tokens) > 0
+), scored AS (
+  SELECT doc_id,
+         {_line_score_sql(_STOPWORDS["en"])} AS s_en,
+         {_line_score_sql(_STOPWORDS["fr"])} AS s_fr,
+         {_line_score_sql(_STOPWORDS["de"])} AS s_de,
+         {_line_score_sql(_STOPWORDS["es"])} AS s_es,
+         {_line_score_sql(_STOPWORDS["zh"])} AS s_zh
+  FROM lines
+), voted AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END AS line_lang
+  FROM scored
+), votes AS (
+  SELECT doc_id, line_lang, count(*) AS votes FROM voted GROUP BY doc_id, line_lang
+), ranked AS (
+  SELECT doc_id, line_lang, votes,
+         sum(votes) OVER (PARTITION BY doc_id) AS n_lines,
+         row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, line_lang DESC) AS rk
+  FROM votes
+)
+SELECT doc_id, line_lang AS majority_lang, n_lines::BIGINT AS n_lines,
+       ((1000 * votes) // n_lines)::BIGINT AS purity_pm
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "line_dup_stats": line_dup_stats,
     "boilerplate_lines_topk": boilerplate_lines_topk,
+    "line_language_purity": line_language_purity,
 }
 ORACLES = {
     "line_dup_stats": LINE_DUP_STATS_SQL,
     "boilerplate_lines_topk": BOILERPLATE_TOPK_SQL,
+    "line_language_purity": _purity_sql(),
 }

@@ -66,3 +66,26 @@ def test_boilerplate_topk_ordering(spark):
     keys = [(-r.n_docs, -r.n_occurrences, r.line_hash) for r in rows]
     assert keys == sorted(keys)
     assert all(r.n_occurrences >= r.n_docs >= 1 for r in rows)
+
+
+def test_line_language_purity_invariants(spark):
+    rows = lineops.line_language_purity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.majority_lang in {"en", "fr", "de", "es", "zh"}
+        # majority share is at least 1/5 of lines and at most all of them
+        assert 200 <= r.purity_pm <= 1000 or r.n_lines < 5
+    # corpus is tagged by the generator: purity should be high on average
+    assert sum(r.purity_pm for r in rows) / len(rows) > 500
+
+
+def test_line_language_purity_mixed_doc(spark):
+    # first 8-token line English markers, second 8-token line German markers
+    text = "the a of and to the a of der die und das ein der die und"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    (r,) = lineops.line_language_purity(spark, d).collect()
+    assert r.n_lines == 2 and r.purity_pm == 500
+    assert r.majority_lang == "en"  # 1-1 tie -> largest lang string wins (both engines)
