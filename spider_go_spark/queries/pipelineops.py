@@ -822,9 +822,96 @@ ORDER BY r.doc_id
 """
 
 
+PMI_SCALE = 1_000_000
+PMI_TOP = 20
+PMI_MIN_COUNT = 5  # ignore rare bigrams (PMI is noise below a support floor)
+
+
+def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: the top-20 adjacent token bigrams by pointwise
+    mutual information, ranked with the EXACT integer cross-ratio
+    ``pmi_ratio_u = n_ab·N·SCALE div (n_a·n_b)`` (monotone in PMI — the log
+    is order-preserving, so ranking needs no floats; a support floor of
+    ``n_ab ≥ 5`` drops the rare-pair noise PMI is notorious for).
+    Output: (bigram, n_ab, pmi_ratio_u). Tokenizer training and phrase
+    detection (word2vec-style) both start from exactly this table.
+
+    Scale shape: bigram counting is one explode (zip_with over two slices —
+    no self-join) + hash agg on the bigram string; unigram counts are a
+    second hash agg joined back TWICE by token (broadcastable — it's the
+    vocabulary); top-k is TakeOrderedAndProject. Overflow: n_ab·N·SCALE ≤
+    N²·SCALE needs N < 3·10^6 tokens per... NO — n_ab ≤ N so the product is
+    ≤ N²·10^6; at N = 10^12 corpus tokens this overflows int64, so at full
+    scale the ratio must drop SCALE or pre-divide; documented here, exact
+    at every test SF."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
+    n = F.size("tokens")
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tokens", 1, n - 1),
+                F.slice("tokens", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    total = uni.agg(F.sum("n_tok").alias("n_total"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    scored = (
+        pairs.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b"))), "w2")
+        .join(F.broadcast(total))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "n_ab",
+            F.expr(f"n_ab * n_total * {PMI_SCALE} div (n_a * n_b)").alias(
+                "pmi_ratio_u"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio_u"), F.desc("n_ab"), F.asc("bigram")
+    ).limit(PMI_TOP)
+
+
+PMI_COLLOCATIONS_SQL = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), big AS (
+  SELECT unnest(list_transform(range(1, len(tokens)),
+           i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+  FROM toks WHERE len(tokens) >= 2
+), uni AS (
+  SELECT unnest(tokens) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, count(*)::BIGINT AS n_tok FROM uni GROUP BY tok
+), pcnt AS (
+  SELECT bigram, count(*)::BIGINT AS n_ab FROM big GROUP BY bigram
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT bigram, n_ab,
+       ((n_ab * (SELECT sum(n_tok) FROM ucnt) * {PMI_SCALE})
+         // (a.n_tok * b.n_tok))::BIGINT AS pmi_ratio_u
+FROM pcnt
+JOIN ucnt a ON a.tok = string_split(bigram, ' ')[1]
+JOIN ucnt b ON b.tok = string_split(bigram, ' ')[2]
+ORDER BY pmi_ratio_u DESC, n_ab DESC, bigram ASC
+LIMIT {PMI_TOP}
+"""
+
+
 QUERIES = {
     "train_split_strata": train_split_strata,
     "oov_rate": oov_rate,
+    "pmi_collocations": pmi_collocations,
     "filter_funnel": filter_funnel,
     "chunk_documents": chunk_documents,
     "hits_top_nodes": hits_top_nodes,
@@ -843,6 +930,7 @@ QUERIES = {
 ORACLES = {
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "oov_rate": OOV_RATE_SQL,
+    "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "filter_funnel": FILTER_FUNNEL_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "hits_top_nodes": _hits_sql(),

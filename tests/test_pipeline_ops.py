@@ -455,3 +455,38 @@ def test_crawl_budget_allocation_largest_remainder(spark):
     # proportionality: every allocation within 1 of its ideal share
     for h, d in demand.items():
         assert abs(want[h] - BUDGET_TOTAL * d / total) < 1
+
+
+def test_pmi_collocations_replay(spark):
+    from spider_go_spark.queries.pipelineops import (
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+        PMI_TOP,
+        pmi_collocations,
+    )
+    import duckdb
+
+    rows = pmi_collocations(spark, SF).collect()
+    assert 0 < len(rows) <= PMI_TOP
+    # exact python replay over the raw corpus
+    texts = [
+        r[0]
+        for r in duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet'").fetchall()
+    ]
+    uni, pairs, total = {}, {}, 0
+    for t in texts:
+        toks = [x for x in t.split() if x]
+        total += len(toks)
+        for x in toks:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    scored = [
+        (f"{a} {b}", n, n * total * PMI_SCALE // (uni[a] * uni[b]))
+        for (a, b), n in pairs.items()
+        if n >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda x: (-x[2], -x[1], x[0]))
+    want = scored[:PMI_TOP]
+    got = [(r.bigram, r.n_ab, r.pmi_ratio_u) for r in rows]
+    assert got == want
