@@ -226,12 +226,11 @@ def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
+def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
     """REAL byte-level decode for PCM WAV: walk the RIFF chunk list (fmt and
     data may be separated by ancillary chunks such as LIST; chunks are
     word-aligned with a pad byte after odd sizes), validate PCM/16-bit/mono,
-    then interpret the data chunk as little-endian int16 and return
-    integer-exact sample statistics."""
+    and return (sample_rate, int64 sample array)."""
     import struct
 
     import numpy as np
@@ -261,13 +260,51 @@ def decode_wav(payload: bytes) -> dict:
         )
     if len(data_chunk) % 2:
         raise ValueError("WAV data chunk has odd byte length for 16-bit samples")
-    samples = np.frombuffer(data_chunk, dtype="<i2").astype(np.int64)
+    return int(sample_rate), np.frombuffer(data_chunk, dtype="<i2").astype(np.int64)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Integer-exact sample statistics of a PCM WAV payload (the chunk walk
+    and validation live in :func:`decode_wav_samples`)."""
+    import numpy as np
+
+    sample_rate, samples = decode_wav_samples(payload)
     return {
-        "sample_rate": int(sample_rate),
+        "sample_rate": sample_rate,
         "n_samples": int(samples.size),
         "sum_abs": int(np.abs(samples).sum()),
         "peak": int(np.abs(samples).max()) if samples.size else 0,
         "sum_sq": int((samples * samples).sum()),
+    }
+
+
+def wav_frame_profile(payload: bytes, frame: int = 16) -> dict:
+    """Frame-energy profile over REAL decoded PCM samples: cut the stream
+    into ``frame``-sample windows (trailing partial kept), measure each
+    window's integer abs-energy, and report the silence structure —
+    (n_frames, n_silent, lead_silent, total_abs), where a frame is silent
+    iff its energy is exactly 0 and lead_silent counts the all-silent
+    prefix. This is the silence-trim step of an audio training pipeline
+    (drop lead-in, reject mostly-silent clips) — pure integers, so the SQL
+    oracle reproduces it bit-for-bit."""
+    import numpy as np
+
+    _, samples = decode_wav_samples(payload)
+    n_frames = (samples.size + frame - 1) // frame
+    fe = [
+        int(np.abs(samples[g * frame : (g + 1) * frame]).sum())
+        for g in range(n_frames)
+    ]
+    lead = 0
+    for x in fe:
+        if x:
+            break
+        lead += 1
+    return {
+        "n_frames": n_frames,
+        "n_silent": sum(1 for x in fe if x == 0),
+        "lead_silent": lead,
+        "total_abs": sum(fe),
     }
 
 

@@ -548,8 +548,82 @@ ORDER BY doc_id, sample_id
 """
 
 
+WAV_TRIM_DOCS = 400
+WAV_FRAME = 16
+WAV_TRIM_DDL = (
+    "doc_id bigint, n_frames bigint, n_silent bigint, lead_silent bigint,"
+    " total_abs bigint"
+)
+
+
+def wav_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence-trim profile through the REAL audio path: each doc's PCM WAV
+    is synthesized with a frame-aligned silent lead-in ((doc%5)·16 zero
+    samples) followed by a deterministic signal, encoded to real RIFF
+    bytes, decoded byte-for-byte (functions/media.decode_wav_samples) and
+    framed into 16-sample windows (functions/media.wav_frame_profile). The
+    gate reports (n_frames, n_silent, lead_silent, total_abs) per doc —
+    the drop-lead-in / reject-mostly-silent step of an audio pipeline.
+    The oracle recomputes the frame energies from the SAME sample rule in
+    SQL, so any encode, chunk-walk, decode, or framing bug breaks parity.
+
+    Scale shape: one Arrow map stage over doc ids (the decode+frame is the
+    honest per-payload CPU); no shuffle at all."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_wav, wav_frame_profile
+
+    def gen_and_profile(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                n = 200 + d % 31
+                p = (d % 5) * WAV_FRAME
+                i = np.arange(n, dtype=np.int64)
+                sig = ((d * 131 + i * 97) % 4001) - 2000
+                samples = np.where(i < p, 0, sig)
+                stats = wav_frame_profile(
+                    encode_wav(16000, samples), frame=WAV_FRAME
+                )
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(WAV_TRIM_DOCS).repartition(8).mapInPandas(
+        gen_and_profile, T_._parse_datatype_string(WAV_TRIM_DDL)
+    )
+
+
+# per-frame energies from the same sample rule; lead_silent = number of
+# prefix frames whose cumulative energy is still zero.
+WAV_TRIM_SQL = f"""
+WITH fe AS (
+  SELECT r AS doc_id,
+         list_transform(range(0, (200 + r % 31 + {WAV_FRAME - 1}) // {WAV_FRAME}),
+            g -> list_sum(list_transform(
+                   range(g*{WAV_FRAME}, least(g*{WAV_FRAME} + {WAV_FRAME}, 200 + r % 31)),
+                   i -> CASE WHEN i < (r % 5) * {WAV_FRAME} THEN 0
+                             ELSE abs((r*131 + i*97) % 4001 - 2000) END))) AS fes
+  FROM range({WAV_TRIM_DOCS}) t(r)
+)
+SELECT doc_id,
+       len(fes)::BIGINT AS n_frames,
+       len(list_filter(fes, x -> x = 0))::BIGINT AS n_silent,
+       len(list_filter(range(1, len(fes) + 1),
+           k -> list_sum(fes[1:k]) = 0))::BIGINT AS lead_silent,
+       list_sum(fes)::BIGINT AS total_abs
+FROM fe
+"""
+
+
 QUERIES = {
     "media_features": media_features,
+    "wav_silence_trim": wav_silence_trim,
     "caption_pairs_synth": caption_pairs_synth,
     "span_stats_synth": span_stats_synth,
     "span_transitions_synth": span_transitions_synth,
@@ -562,6 +636,7 @@ QUERIES = {
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
+    "wav_silence_trim": WAV_TRIM_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
     "span_stats_synth": SPAN_STATS_SQL,
     "span_transitions_synth": SPAN_TRANSITIONS_SQL,

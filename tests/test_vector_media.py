@@ -316,3 +316,22 @@ def test_ahash_kernel_properties():
     assert ahash_bits(up) == h
     with pytest.raises(ValueError, match="divisible"):
         ahash_bits(rgb[:15])
+
+
+def test_wav_frame_profile_silence_structure():
+    import numpy as np
+
+    from spider_go_spark.functions.media import encode_wav, wav_frame_profile
+
+    # 2 silent frames, 1 loud frame, trailing partial silent frame
+    samples = np.concatenate(
+        [np.zeros(32, dtype=np.int64), np.full(16, 7, dtype=np.int64), np.zeros(5, dtype=np.int64)]
+    )
+    p = wav_frame_profile(encode_wav(8000, samples), frame=16)
+    assert p == {"n_frames": 4, "n_silent": 3, "lead_silent": 2, "total_abs": 112}
+    # all-silent clip: lead spans everything
+    q = wav_frame_profile(encode_wav(8000, np.zeros(20, dtype=np.int64)), frame=16)
+    assert q == {"n_frames": 2, "n_silent": 2, "lead_silent": 2, "total_abs": 0}
+    # empty clip
+    z = wav_frame_profile(encode_wav(8000, np.zeros(0, dtype=np.int64)), frame=16)
+    assert z == {"n_frames": 0, "n_silent": 0, "lead_silent": 0, "total_abs": 0}
