@@ -308,6 +308,69 @@ def wav_frame_profile(payload: bytes, frame: int = 16) -> dict:
     }
 
 
+def encode_video(frames: list[bytes]) -> bytes:
+    """Write the minimal deterministic video container used by the frame-
+    sampling pipeline step: magic ``SGV1`` + uint32 frame count + a uint32
+    size index + the concatenated frame payloads (each a real image
+    container, e.g. BMP). Honest scope: this is a purpose-built toy
+    CONTAINER (an MJPEG-style index of still frames) so the sampling
+    plumbing — index walk, bounds checks, per-frame real image decode — is
+    exercised over real bytes; real codecs (H.264 etc.) stay behind the
+    real_decode hook's documented NotImplementedError."""
+    import struct
+
+    out = [b"SGV1", struct.pack("<I", len(frames))]
+    out += [struct.pack("<I", len(f)) for f in frames]
+    out += frames
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes) -> list[bytes]:
+    """Walk the SGV1 index and return the raw frame payloads, bounds-checked
+    byte-for-byte (truncated index or truncated frame data raise with the
+    failing offset)."""
+    import struct
+
+    if payload[:4] != b"SGV1":
+        raise ValueError(f"not an SGV1 container (magic {payload[:4]!r})")
+    if len(payload) < 8:
+        raise ValueError("truncated SGV1 header")
+    (n,) = struct.unpack("<I", payload[4:8])
+    idx_end = 8 + 4 * n
+    if len(payload) < idx_end:
+        raise ValueError(f"truncated SGV1 index: {n} frames need {idx_end} bytes")
+    sizes = struct.unpack(f"<{n}I", payload[8:idx_end])
+    frames, pos = [], idx_end
+    for k, size in enumerate(sizes):
+        if pos + size > len(payload):
+            raise ValueError(f"truncated SGV1 frame {k} at byte {pos}")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
+def video_sample_stats(payload: bytes, every: int = 2) -> dict:
+    """Frame-sampling stage of a video training pipeline: decode the
+    container index, take every ``every``-th frame (0, k, 2k, …), decode
+    each sampled frame's pixels through the REAL BMP decoder, and return
+    integer-exact channel sums over the sampled frames —
+    (n_frames, n_sampled, sum_r, sum_g, sum_b)."""
+    frames = decode_video_frames(payload)
+    sampled = frames[::every]
+    sums = [0, 0, 0]
+    for f in sampled:
+        rgb = decode_bmp_pixels(f).astype("int64")
+        for c in range(3):
+            sums[c] += int(rgb[:, :, c].sum())
+    return {
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real codec dispatch by container magic: binary P6 PPM and
     uncompressed 24-bit BMP images, and PCM WAV audio, decode byte-for-byte

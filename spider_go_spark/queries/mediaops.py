@@ -621,9 +621,81 @@ FROM fe
 """
 
 
+VID_DOCS = 300
+VID_SAMPLE_EVERY = 2
+VID_DDL = (
+    "doc_id bigint, n_frames bigint, n_sampled bigint, sum_r bigint,"
+    " sum_g bigint, sum_b bigint"
+)
+
+
+def video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling through the REAL container+image path: each doc
+    gets an SGV1 container (functions/media.encode_video — an MJPEG-style
+    still-frame index; honest toy container, real codecs stay behind the
+    hook) of 4–8 real 24-bit BMP frames, the sampler walks the index, takes
+    every 2nd frame and decodes its pixels byte-for-byte
+    (functions/media.video_sample_stats → decode_bmp_pixels), reporting
+    integer channel sums over the sampled frames — the frame-sample +
+    feature-extract step of a video training pipeline. The oracle
+    recomputes the sums from the same pixel rule in SQL, so container
+    index, frame slicing, BMP decode, and sampling stride are all under
+    the parity gate.
+
+    Scale shape: one Arrow map stage over doc ids; no shuffle."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_bmp, encode_video, video_sample_stats
+
+    def gen_and_sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                frames = []
+                for f in range(4 + d % 5):
+                    w, h = 3 + (d + f) % 6, 2 + (d + f) % 3
+                    j = np.arange(w * h * 3, dtype=np.int64)
+                    frames.append(
+                        encode_bmp(w, h, ((d * 17 + f * 29 + j * 11) % 256).astype(np.uint8))
+                    )
+                stats = video_sample_stats(encode_video(frames), every=VID_SAMPLE_EVERY)
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(VID_DOCS).repartition(8).mapInPandas(
+        gen_and_sample, T_._parse_datatype_string(VID_DDL)
+    )
+
+
+def _vid_channel_sql(c: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 4 + r % 5, {VID_SAMPLE_EVERY}), f ->"
+        f" list_sum(list_transform(range((3 + (r+f) % 6) * (2 + (r+f) % 3)),"
+        f" p -> (r*17 + f*29 + (p*3 + {c})*11) % 256))))::BIGINT"
+    )
+
+
+VIDEO_FRAME_SAMPLE_SQL = f"""
+SELECT r AS doc_id,
+       (4 + r % 5)::BIGINT AS n_frames,
+       len(range(0, 4 + r % 5, {VID_SAMPLE_EVERY}))::BIGINT AS n_sampled,
+       {_vid_channel_sql(0)} AS sum_r,
+       {_vid_channel_sql(1)} AS sum_g,
+       {_vid_channel_sql(2)} AS sum_b
+FROM range({VID_DOCS}) t(r)
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "wav_silence_trim": wav_silence_trim,
+    "video_frame_sample": video_frame_sample,
     "caption_pairs_synth": caption_pairs_synth,
     "span_stats_synth": span_stats_synth,
     "span_transitions_synth": span_transitions_synth,
@@ -637,6 +709,7 @@ QUERIES = {
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "wav_silence_trim": WAV_TRIM_SQL,
+    "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
     "span_stats_synth": SPAN_STATS_SQL,
     "span_transitions_synth": SPAN_TRANSITIONS_SQL,

@@ -335,3 +335,40 @@ def test_wav_frame_profile_silence_structure():
     # empty clip
     z = wav_frame_profile(encode_wav(8000, np.zeros(0, dtype=np.int64)), frame=16)
     assert z == {"n_frames": 0, "n_silent": 0, "lead_silent": 0, "total_abs": 0}
+
+
+def test_video_container_roundtrip_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spider_go_spark.functions.media import (
+        decode_video_frames,
+        encode_bmp,
+        encode_video,
+        video_sample_stats,
+    )
+
+    frames = []
+    for f in range(5):
+        j = np.arange(3 * 2 * 3, dtype=np.int64)
+        frames.append(encode_bmp(3, 2, ((f * 29 + j * 11) % 256).astype(np.uint8)))
+    payload = encode_video(frames)
+    assert decode_video_frames(payload) == frames
+    # sampling stride: frames 0, 2, 4
+    stats = video_sample_stats(payload, every=2)
+    assert stats["n_frames"] == 5 and stats["n_sampled"] == 3
+    # exact channel sums from the pixel rule for sampled frames
+    want = [0, 0, 0]
+    for f in (0, 2, 4):
+        for p in range(6):
+            for c in range(3):
+                want[c] += (f * 29 + (p * 3 + c) * 11) % 256
+    assert [stats["sum_r"], stats["sum_g"], stats["sum_b"]] == want
+    with pytest.raises(ValueError, match="magic"):
+        decode_video_frames(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError, match="truncated SGV1 frame"):
+        decode_video_frames(payload[:-3])
+    with pytest.raises(ValueError, match="truncated SGV1 index"):
+        decode_video_frames(b"SGV1" + struct.pack("<I", 99) + b"\x00" * 8)
