@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "pipelineops",
     "crawlq",
     "lineops",
+    "curation",
 )
 
 

@@ -1,0 +1,259 @@
+r"""Corpus-curation operators over ``documents``: model-based quality
+filtering and DSIR-style importance weighting.
+
+Two stages every large-scale training-data pipeline runs AFTER dedup and
+heuristic cleaning, and that the reference (a crawl/workflow engine with no
+text surface, SURVEY.md §2.12) leaves to downstream consumers:
+
+- **Model-based quality filter** (GPT-3 / LLaMA / CCNet style): a trained
+  linear classifier scores each document and the pipeline keeps documents
+  above a threshold. Training happens offline; at corpus scale the model is
+  a handful of weights applied as a projection. Here the weights are fixed
+  integer literals (same convention as the inlined IVF centroids /
+  PQ codebooks in queries/vectorops.py) and every feature is an exact
+  integer ratio, so the score is bit-identical across engines.
+
+- **DSIR importance weighting** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): score each document by how
+  much more likely its hashed-unigram features are under a small *target*
+  corpus (here: the ``lang = 'en'`` slice, standing in for the curated
+  Wikipedia-like target) than under the raw source corpus. The published
+  method uses log-likelihood ratios of hashed n-gram counts; this integer
+  variant uses the per-million frequency *difference* per bucket, summed
+  over token occurrences — monotone in the same signal for unigram models,
+  with no floats anywhere (same exactness discipline as pmi_collocations'
+  cross-ratio trick in queries/pipelineops.py).
+
+Scale shape (100 TB corpus):
+- the quality filter is a pure map-side projection (tokenize + three array
+  folds per doc, whole-stage codegen) — zero shuffles;
+- DSIR builds a model of at most ``DSIR_BUCKETS`` rows (two hash aggs whose
+  output is bounded by the bucket count, map-side partials do the heavy
+  lifting), broadcasts it back to the exploded token stream, and
+  re-aggregates by doc_id — shuffles are keyed by uniform hash buckets and
+  doc ids, never by content pairs; nothing is quadratic, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions import textkernel as tk
+from spider_go_spark.queries import T
+
+# ---------------------------------------------------------------------------
+# quality_logit_filter — fixed linear classifier in integer micro-units.
+#
+# Features (all exact integer per-mille / centi ratios):
+#   stop_pm  = 1000 · n_stopwords  div n_tokens   (English-stopword density)
+#   ttr_pm   = 1000 · n_distinct   div n_tokens   (type-token ratio)
+#   cpt_cpm  =  100 · n_chars      div n_tokens   (centi-chars per token)
+# The weights are the "offline-trained model" inlined as literals; the
+# threshold is 0 (keep when logit_u >= 0).
+W_BIAS = -1_400_000
+W_STOP = 4_000       # natural prose has stopwords
+W_TTR = 900          # repetitive boilerplate has a low type-token ratio
+W_LEN = 1_200        # longer docs are better, saturating at LEN_CAP tokens
+LEN_CAP = 400
+W_CPT = -800         # penalty per centi-char distance from ideal 5.5 c/t
+CPT_IDEAL = 550
+
+
+def quality_logit_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_tokens, stop_pm, ttr_pm, cpt_cpm, logit_u, keep) — the
+    classifier-based quality gate. Pure codegen projection: tokenize once,
+    three folds over the token array, one linear combination. Empty
+    documents get all-zero features and fail the threshold (the bias is
+    negative), mirrored exactly in the oracle."""
+    from spider_go_spark.queries.textops import _STOPWORDS
+
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+    n_dist = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    # integer ratios are computed from named columns in a second projection
+    # so the expression tree stays readable; Catalyst collapses the pair
+    feat = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("_ns"),
+        n_dist.alias("_nd"),
+        n_chars.alias("_nc"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CASE WHEN n_tokens > 0 THEN 1000 * _ns div n_tokens ELSE 0 END").alias(
+            "stop_pm"
+        ),
+        F.expr("CASE WHEN n_tokens > 0 THEN 1000 * _nd div n_tokens ELSE 0 END").alias(
+            "ttr_pm"
+        ),
+        F.expr("CASE WHEN n_tokens > 0 THEN 100 * _nc div n_tokens ELSE 0 END").alias(
+            "cpt_cpm"
+        ),
+    )
+    logit = F.expr(
+        f"{W_BIAS} + {W_STOP} * stop_pm + {W_TTR} * ttr_pm"
+        f" + {W_LEN} * least(n_tokens, {LEN_CAP})"
+        f" + {W_CPT} * abs(cpt_cpm - {CPT_IDEAL})"
+    ).cast("bigint")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "stop_pm",
+        "ttr_pm",
+        "cpt_cpm",
+        logit.alias("logit_u"),
+        (logit >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_LOGIT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_tokens,
+         len(list_filter(tokens, t -> list_contains(['the','a','of','and','to'], t)))::BIGINT AS ns,
+         len(list_distinct(tokens))::BIGINT AS nd,
+         list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> length(t)::BIGINT)),
+                     (a,b) -> a+b)::BIGINT AS nc
+  FROM toks
+), ratios AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (1000 * ns) // n_tokens ELSE 0 END AS stop_pm,
+         CASE WHEN n_tokens > 0 THEN (1000 * nd) // n_tokens ELSE 0 END AS ttr_pm,
+         CASE WHEN n_tokens > 0 THEN (100 * nc) // n_tokens ELSE 0 END AS cpt_cpm
+  FROM feat
+)
+SELECT doc_id, n_tokens, stop_pm, ttr_pm, cpt_cpm,
+       ({W_BIAS} + {W_STOP} * stop_pm + {W_TTR} * ttr_pm
+        + {W_LEN} * least(n_tokens, {LEN_CAP})
+        + {W_CPT} * abs(cpt_cpm - {CPT_IDEAL}))::BIGINT AS logit_u,
+       ({W_BIAS} + {W_STOP} * stop_pm + {W_TTR} * ttr_pm
+        + {W_LEN} * least(n_tokens, {LEN_CAP})
+        + {W_CPT} * abs(cpt_cpm - {CPT_IDEAL})) >= 0 AS keep
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance — hashed-unigram importance weights, integer per-million.
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000  # per-million frequency units
+DSIR_TARGET_LANG = "en"  # the curated-target stand-in slice
+
+
+def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_tokens, dsir_weight_u) — per-document importance weight:
+    sum over token occurrences of (target per-million bucket frequency −
+    corpus per-million bucket frequency), buckets = token poly-hash mod
+    DSIR_BUCKETS. Positive = looks more like the target slice than the
+    corpus average; a resampling pass keeps documents proportionally.
+
+    Plan: one explode of the token-hash array; two bucket-keyed hash aggs
+    whose outputs are ≤ DSIR_BUCKETS rows (map-side partials shrink the
+    shuffle to buckets × partitions); totals are single-row aggregates
+    cross-joined in (broadcast, no window over the corpus); the ≤1024-row
+    model joins back to the occurrence stream via broadcast; one final
+    doc-keyed agg, then a left join from ``documents`` so zero-token
+    documents keep weight 0 (the oracle mirrors this)."""
+    d = T(spark, sf, "documents")
+    th_rows = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tk.token_hashes(F.col("text"))).alias("th"),
+    ).withColumn("bucket", F.col("th") % DSIR_BUCKETS)
+
+    corpus = th_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_s"))
+    target = (
+        th_rows.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    tot_s = corpus.agg(F.sum("n_s").alias("tot_s"))
+    tot_t = target.agg(F.sum("n_t").alias("tot_t"))
+    model = (
+        corpus.join(target, "bucket", "left")
+        .crossJoin(F.broadcast(tot_s))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            F.expr(
+                f"{DSIR_SCALE} * coalesce(n_t, 0) div tot_t"
+                f" - {DSIR_SCALE} * n_s div tot_s"
+            ).alias("delta_u"),
+        )
+    )
+    per_doc = (
+        th_rows.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("delta_u").alias("dsir_weight_u"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("dsir_weight_u", F.lit(0)).cast("bigint").alias("dsir_weight_u"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), th AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007))) AS th
+  FROM toks
+), occ AS (
+  SELECT doc_id, lang, th % {DSIR_BUCKETS} AS bucket FROM th
+), corpus AS (
+  SELECT bucket, count(*)::BIGINT AS n_s FROM occ GROUP BY bucket
+), target AS (
+  SELECT bucket, count(*)::BIGINT AS n_t FROM occ
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), model AS (
+  SELECT c.bucket,
+         ({DSIR_SCALE} * coalesce(t.n_t, 0)) // (SELECT sum(n_t) FROM target)
+         - ({DSIR_SCALE} * c.n_s) // (SELECT sum(n_s) FROM corpus) AS delta_u
+  FROM corpus c LEFT JOIN target t USING (bucket)
+), per_doc AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_tokens, sum(m.delta_u)::BIGINT AS w
+  FROM occ o JOIN model m USING (bucket)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.w, 0)::BIGINT AS dsir_weight_u
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES = {
+    "quality_logit_filter": quality_logit_filter,
+    "dsir_importance": dsir_importance,
+}
+ORACLES = {
+    "quality_logit_filter": QUALITY_LOGIT_SQL,
+    "dsir_importance": DSIR_IMPORTANCE_SQL,
+}

@@ -1,0 +1,99 @@
+"""Pure-Python replays of the corpus-curation operators
+(queries/curation.py): the model-based quality filter and DSIR importance
+weighting. Cross-engine value parity vs DuckDB is the driver gate's job;
+these pin the integer-feature semantics against an independent Python
+evaluator so a matched Spark/SQL bug can't hide."""
+
+import re
+
+from spider_go_spark.queries import curation
+from spider_go_spark.queries.textops import _STOPWORDS
+
+SF = "/root/testdata/sf0.001"
+POLY_P = 1_000_000_007
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _poly(t: str) -> int:
+    h = 0
+    for ch in t:
+        h = (h * 31 + ord(ch)) % POLY_P
+    return h
+
+
+def test_quality_logit_filter_matches_python(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    sw = set(_STOPWORDS["en"])
+    expect = {}
+    for did, text in docs.items():
+        toks = _tokens(text)
+        n = len(toks)
+        if n:
+            stop_pm = 1000 * sum(t in sw for t in toks) // n
+            ttr_pm = 1000 * len(set(toks)) // n
+            cpt_cpm = 100 * sum(len(t) for t in toks) // n
+        else:
+            stop_pm = ttr_pm = cpt_cpm = 0
+        logit = (
+            curation.W_BIAS
+            + curation.W_STOP * stop_pm
+            + curation.W_TTR * ttr_pm
+            + curation.W_LEN * min(n, curation.LEN_CAP)
+            + curation.W_CPT * abs(cpt_cpm - curation.CPT_IDEAL)
+        )
+        expect[did] = (n, stop_pm, ttr_pm, cpt_cpm, logit, logit >= 0)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["stop_pm"], r["ttr_pm"], r["cpt_cpm"],
+            r["logit_u"], r["keep"],
+        )
+        for r in curation.quality_logit_filter(spark, SF).collect()
+    }
+    assert got == expect
+    # the threshold actually separates: both classes present in testdata
+    kept = sum(v[-1] for v in expect.values())
+    assert 0 < kept < len(expect)
+
+
+def test_dsir_importance_matches_python(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    occ = []  # (doc_id, lang, bucket)
+    for r in rows:
+        for t in _tokens(r["text"]):
+            occ.append((r["doc_id"], r["lang"], _poly(t) % curation.DSIR_BUCKETS))
+    n_s: dict[int, int] = {}
+    n_t: dict[int, int] = {}
+    for _, lang, b in occ:
+        n_s[b] = n_s.get(b, 0) + 1
+        if lang == curation.DSIR_TARGET_LANG:
+            n_t[b] = n_t.get(b, 0) + 1
+    tot_s, tot_t = sum(n_s.values()), sum(n_t.values())
+    delta = {
+        b: curation.DSIR_SCALE * n_t.get(b, 0) // tot_t
+        - curation.DSIR_SCALE * n_s[b] // tot_s
+        for b in n_s
+    }
+    expect = {r["doc_id"]: [0, 0] for r in rows}
+    for did, _, b in occ:
+        expect[did][0] += 1
+        expect[did][1] += delta[b]
+
+    got = {
+        r["doc_id"]: [r["n_tokens"], r["dsir_weight_u"]]
+        for r in curation.dsir_importance(spark, SF).collect()
+    }
+    assert got == expect
+    # target-language docs must score higher on average than the rest:
+    # the weight is literally "looks like the en slice"
+    langs = {r["doc_id"]: r["lang"] for r in rows}
+    en = [w for d, (n, w) in got.items() if langs[d] == "en" and n]
+    rest = [w for d, (n, w) in got.items() if langs[d] != "en" and n]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
