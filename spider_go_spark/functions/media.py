@@ -186,6 +186,163 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): pick the neighbor (left a, up b,
+    upper-left c) closest to the linear gradient p = a + b − c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Write a REAL PNG: 8-byte signature, IHDR (8-bit truecolor RGB,
+    deflate, adaptive filtering, no interlace), one IDAT holding the
+    zlib-compressed filtered scanlines, IEND — every chunk CRC32-stamped.
+    To make roundtrips exercise the whole filter suite, row y is written
+    with filter type ``y % 5`` (None/Sub/Up/Average/Paeth in turn)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bpp, raw = 3, rgb.reshape(height, width * 3).astype(np.int64)
+    lines = []
+    for y in range(height):
+        cur = raw[y]
+        prev = raw[y - 1] if y else np.zeros_like(cur)
+        ft = y % 5
+        if ft == 0:
+            out = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            out = cur - left
+        elif ft == 2:  # Up
+            out = cur - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            out = cur - (left + prev) // 2
+        else:  # Paeth — sequential predictor, scalar loop
+            out = np.empty_like(cur)
+            for x in range(cur.size):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                out[x] = cur[x] - _paeth(a, b, c)
+        lines.append(bytes([ft]) + (out % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray":
+    """REAL byte-level PNG decode to a ``(height, width, 3)`` uint8 RGB
+    array: verify the signature, walk the chunk list validating every CRC32,
+    parse IHDR (only 8-bit truecolor, deflate, filter method 0,
+    non-interlaced — anything else fails loudly), concatenate the IDAT
+    stream, zlib-inflate, and reverse the per-scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec's reconstruction
+    equations)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r} at byte {pos}")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk {ctype!r} at byte {pos} fails CRC32")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR, IDAT or IEND")
+    width, height, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype_} comp={comp} "
+            f"filter={filt} interlace={interlace} (8-bit truecolor only)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected {height * (1 + stride)}"
+        )
+    out = np.zeros((height, stride), dtype=np.int64)
+    for y in range(height):
+        line = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ft, cur = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(a, int(prev[x]), c)) % 256
+        else:
+            raise ValueError(f"PNG scanline {y} has invalid filter type {ft}")
+        out[y] = rec
+    return out.astype(np.uint8).reshape(height, width, 3)
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG decode to the same integer-exact channel statistics as
+    :func:`decode_ppm` (byte-level parse in :func:`decode_png_pixels`)."""
+    rgb = decode_png_pixels(payload).astype("int64")
+    height, width = rgb.shape[0], rgb.shape[1]
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "sum_r": int(rgb[:, :, 0].sum()),
+        "sum_g": int(rgb[:, :, 1].sum()),
+        "sum_b": int(rgb[:, :, 2].sum()),
+    }
+
+
 def ahash_bits(rgb: "np.ndarray", grid: int = 8) -> str:
     """Average-hash (aHash) of a decoded RGB image, as a ``grid²``-char
     '0'/'1' string: integer grayscale ((r+g+b)//3), block-mean downsample to
@@ -372,20 +529,24 @@ def video_sample_stats(payload: bytes, every: int = 2) -> dict:
 
 
 def real_decode(payload: bytes, kind: str) -> dict:
-    """Real codec dispatch by container magic: binary P6 PPM and
-    uncompressed 24-bit BMP images, and PCM WAV audio, decode byte-for-byte
-    (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_wav`); other
-    containers still require an external codec backend (PIL/pyav) and
-    raise until one is installed."""
+    """Real codec dispatch by container magic: binary P6 PPM, uncompressed
+    24-bit BMP and 8-bit truecolor PNG images (deflate + all five scanline
+    filters, stdlib zlib), and PCM WAV audio, decode byte-for-byte
+    (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_png` /
+    :func:`decode_wav`); other containers still require an external codec
+    backend (PIL/pyav) and raise until one is installed."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond P6 PPM / 24-bit BMP / PCM WAV requires "
-        "a codec backend (PIL/pyav); use fake_decode for deterministic tests"
+        "real media decoding beyond P6 PPM / 24-bit BMP / PNG / PCM WAV "
+        "requires a codec backend (PIL/pyav); use fake_decode for "
+        "deterministic tests"
     )
 
 

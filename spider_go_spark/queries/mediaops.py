@@ -316,6 +316,65 @@ FROM range({BMP_DOCS}) t(r)
 
 
 # --------------------------------------------------------------------------
+# REAL PNG decode gate: 8-bit truecolor PNGs synthesized from a
+# deterministic pixel rule. The payload goes through genuine DEFLATE
+# (stdlib zlib) and the writer rotates all five scanline filter types
+# (row y uses filter y%5), so the decoder must verify chunk CRC32s,
+# inflate, and reverse Sub/Up/Average/Paeth reconstruction — any filter or
+# predictor bug breaks the channel sums vs the oracle's direct
+# recomputation of the rule. Heights run 2..8 so Average and Paeth rows
+# (y=3,4) are present in most images.
+# --------------------------------------------------------------------------
+
+PNG_DOCS = 200
+# pixel rule: doc d is w×h, w = 3 + d%6, h = 2 + d%7, raw pixel byte j
+# (row-major top-down RGB) has value (d*23 + j*13) % 256
+PNG_STATS_DDL = PPM_STATS_DDL
+
+
+def media_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_png, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 3 + d % 6, 2 + d % 7
+                j = np.arange(w * h * 3, dtype=np.int64)
+                payload = encode_png(w, h, ((d * 23 + j * 13) % 256).astype(np.uint8))
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(PNG_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(PNG_STATS_DDL)
+    )
+
+
+MEDIA_PNG_SQL = f"""
+SELECT r AS doc_id,
+       (3 + r % 6)::INTEGER AS width,
+       (2 + r % 7)::INTEGER AS height,
+       ((3 + r % 6) * (2 + r % 7))::BIGINT AS n_pixels,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 7)),
+                p -> (r*23 + (p*3 + 0)*13) % 256))::BIGINT AS sum_r,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 7)),
+                p -> (r*23 + (p*3 + 1)*13) % 256))::BIGINT AS sum_g,
+       list_sum(list_transform(range((3 + r % 6) * (2 + r % 7)),
+                p -> (r*23 + (p*3 + 2)*13) % 256))::BIGINT AS sum_b
+FROM range({PNG_DOCS}) t(r)
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL WAV decode gate: canonical RIFF/WAVE PCM-16 mono files synthesized
 # from a deterministic sample rule; the decoder walks the chunk list and
 # interprets little-endian int16 — an endianness, chunk-offset or
@@ -701,6 +760,7 @@ QUERIES = {
     "span_transitions_synth": span_transitions_synth,
     "media_ppm_decode": media_ppm_decode,
     "media_bmp_decode": media_bmp_decode,
+    "media_png_decode": media_png_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "assemble_text_synth": assemble_text_synth,
@@ -715,6 +775,7 @@ ORACLES = {
     "span_transitions_synth": SPAN_TRANSITIONS_SQL,
     "media_ppm_decode": MEDIA_PPM_SQL,
     "media_bmp_decode": MEDIA_BMP_SQL,
+    "media_png_decode": MEDIA_PNG_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "assemble_text_synth": ASSEMBLE_TEXT_SQL,
