@@ -24,7 +24,14 @@ Format notes (subset of WARC/1.0, enough for faithful replay):
   ``WARC/1.0`` or blank lines round-trips bit-exactly;
 - no wall-clock header is written (``WARC-Date`` is omitted): archives are
   byte-deterministic for a given input, the same reproducibility contract
-  as the rest of the engine (uuidv7→(round, rank) divergence, SURVEY §1.3).
+  as the rest of the engine (uuidv7→(round, rank) divergence, SURVEY §1.3);
+- gzip: ``.option("compression", "gzip")`` writes ``.warc.gz`` files using
+  the standard web-archive convention — **each record is its own gzip
+  member**, members concatenated — so tools (and a future range-reader) can
+  seek to a record boundary and inflate one record without touching the
+  rest of the file. Members are written with ``mtime=0``, keeping the
+  byte-determinism contract. The reader accepts mixed directories of
+  ``.warc`` and ``.warc.gz`` files.
 """
 
 from __future__ import annotations
@@ -130,17 +137,26 @@ class _WarcReader(DataSourceReader):
     def partitions(self):  # one task per archive file — scan parallelism
         # scales with file count, the WARC analogue of parquet splits.
         # Subdirectories (e.g. warc_docs_sink's round=N dirs) are walked,
-        # so a whole crawl archive loads as one DataFrame.
+        # so a whole crawl archive loads as one DataFrame. Plain and
+        # gzipped archives can coexist in one directory tree.
         paths = []
         for root, _dirs, files in os.walk(self.path):
             paths.extend(
-                os.path.join(root, f) for f in files if f.endswith(".warc")
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".warc") or f.endswith(".warc.gz")
             )
         return [_WarcFilePartition(p) for p in sorted(paths)]
 
     def read(self, partition: _WarcFilePartition):
         with open(partition.path, "rb") as fh:
             blob = fh.read()
+        if partition.path.endswith(".gz"):
+            import gzip
+
+            # multi-member stream (one member per record, per convention);
+            # gzip.decompress inflates every member in sequence
+            blob = gzip.decompress(blob)
         yield from _decode_records(blob, partition.path)
 
 
@@ -156,6 +172,12 @@ class _WarcWriter(DataSourceWriter):
 
         self.path = options["path"]
         self.overwrite = overwrite
+        compression = options.get("compression", "none")
+        if compression not in ("none", "gzip"):
+            raise ValueError(
+                f"unsupported WARC compression {compression!r} (none|gzip)"
+            )
+        self.gzip = compression == "gzip"
         # per-JOB token in the filenames: two append jobs into the same
         # directory can never collide (each contributes its own file set),
         # while WITHIN a job a speculative/retried task still rewrites its
@@ -167,18 +189,24 @@ class _WarcWriter(DataSourceWriter):
     def write(self, iterator) -> _WarcCommit:
         from pyspark import TaskContext
 
+        import gzip
+
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{self.job_token}-{pid:05d}.warc")
+        ext = ".warc.gz" if self.gzip else ".warc"
+        out = os.path.join(self.path, f"part-{self.job_token}-{pid:05d}{ext}")
         n = 0
         with open(out + ".inprogress", "wb") as fh:
             for row in iterator:
-                fh.write(
-                    _encode_record(
-                        row.record_id, row.warc_type, row.target_uri,
-                        row.content_type, bytes(row.payload),
-                    )
+                rec = _encode_record(
+                    row.record_id, row.warc_type, row.target_uri,
+                    row.content_type, bytes(row.payload),
                 )
+                if self.gzip:
+                    # one gzip member per record (standard .warc.gz layout);
+                    # mtime pinned to 0 so archives stay byte-deterministic
+                    rec = gzip.compress(rec, mtime=0)
+                fh.write(rec)
                 n += 1
         os.replace(out + ".inprogress", out)  # atomic per-task publish
         return _WarcCommit(out, n)
@@ -196,7 +224,7 @@ class _WarcWriter(DataSourceWriter):
         for root, _dirs, files in os.walk(self.path):
             for f in files:
                 p = os.path.join(root, f)
-                if f.endswith(".warc") and p not in keep:
+                if (f.endswith(".warc") or f.endswith(".warc.gz")) and p not in keep:
                     os.remove(p)
         return None
 
