@@ -75,6 +75,7 @@ HEADLINE = [
     "oov_rate",               # vocab build + broadcast coverage scoring
     "host_pagerank_top",      # weighted PageRank on the collapsed host graph
     "rp_ann_topk",            # JL random-projection shortlist + exact rerank
+    "dsir_importance",        # hashed-unigram model build + broadcast re-join
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
