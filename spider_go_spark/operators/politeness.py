@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spider_go_spark.functions.robots import robots_allowed_udf
+from spider_go_spark.functions.robots import make_robots_decision_udf
 from spider_go_spark.functions.urls import path_of_series  # noqa: F401 (oracle parity)
 
 DEFAULT_BUDGET = 10  # ≙ worker semaphore (messenger_worker_nats.go:103)
@@ -54,9 +54,12 @@ def apply_policy(
     host_policy: DataFrame,
     default_budget: int = DEFAULT_BUDGET,
     policy_empty: bool | None = None,
+    agent: str = "*",
 ) -> DataFrame:
     """Broadcast-join per-host policy onto the frontier and apply the
     disabled + robots filters. Missing hosts get permissive defaults.
+    ``agent`` is the crawler's product token for RFC 9309 robots
+    user-agent group selection ("*" = only the wildcard groups apply).
 
     With a non-empty policy the frontier is spread round-robin across all
     cores first: URL rows are tiny, so a bytes-based input split (128 MB)
@@ -101,7 +104,22 @@ def apply_policy(
     joined = joined.filter(~F.col("disabled"))
     path = F.regexp_replace("url_norm", r"^[a-z0-9+.-]+://[^/?#]*", "")
     joined = joined.withColumn("__path", F.when(path == "", "/").otherwise(path))
-    joined = joined.filter(robots_allowed_udf(F.col("robots_txt"), F.col("__path"))).drop("__path")
+    # ONE Arrow pass yields both the allow verdict and the group's
+    # Crawl-delay; the effective per-host delay is the stricter of the
+    # policy's delay and the robots directive (north rule: "robots.txt
+    # rules and crawl-delay budgets").
+    decision = make_robots_decision_udf(agent)
+    joined = joined.withColumn(
+        "__rd", decision(F.col("robots_txt"), F.col("__path"))
+    )
+    joined = (
+        joined.filter(F.col("__rd.allowed"))
+        .withColumn(
+            "crawl_delay_ms",
+            F.greatest(F.col("crawl_delay_ms"), F.col("__rd.delay_ms")),
+        )
+        .drop("__rd", "__path")
+    )
     return joined
 
 
@@ -182,10 +200,14 @@ def schedule_round(
     round_budget_ms: int = DEFAULT_ROUND_BUDGET_MS,
     salt_n: int = DEFAULT_SALT_N,
     policy_empty: bool | None = None,
+    agent: str = "*",
 ) -> DataFrame:
     """Full politeness stage: policy join + filters + budget cut."""
     return budget_cut(
-        apply_policy(frontier, host_policy, default_budget, policy_empty=policy_empty),
+        apply_policy(
+            frontier, host_policy, default_budget,
+            policy_empty=policy_empty, agent=agent,
+        ),
         round_budget_ms=round_budget_ms,
         salt_n=salt_n,
     )

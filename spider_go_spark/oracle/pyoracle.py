@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from spider_go_spark.functions.robots import robots_allowed_one
+from spider_go_spark.functions.robots import robots_allowed_one, robots_crawl_delay_ms
 from spider_go_spark.functions.urls import canonicalize_one, host_of_one, path_of_series
 from spider_go_spark.sources.webgraph import (
     content_hash_of_nodes,
@@ -83,6 +83,7 @@ def crawl_oracle(
     change_period: int = 0,
     round_period_s: int = 3600,
     cron_epoch: str = "2024-01-01T00:00:00",
+    user_agent: str = "*",
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
@@ -125,7 +126,9 @@ def crawl_oracle(
             if pol.get("disabled", False):
                 continue
             robots = pol.get("robots_txt")
-            if robots and not robots_allowed_one(robots, _path_of(e.url_norm)):
+            if robots and not robots_allowed_one(
+                robots, _path_of(e.url_norm), user_agent
+            ):
                 continue
             eligible.append(e)
         by_host: dict[str, list[OracleEntry]] = {}
@@ -135,7 +138,12 @@ def crawl_oracle(
         for host, entries in by_host.items():
             pol = host_policy.get(host, {})
             budget = pol.get("max_in_flight", default_budget)
-            delay = pol.get("crawl_delay_ms", 0)
+            # effective delay = stricter of policy delay and the robots
+            # group's Crawl-delay (mirrors politeness.apply_policy)
+            delay = max(
+                pol.get("crawl_delay_ms", 0) or 0,
+                robots_crawl_delay_ms(pol.get("robots_txt"), user_agent) or 0,
+            )
             if delay and delay > 0:
                 budget = min(budget, max(1, int(round_budget_ms / delay)))
             entries.sort(key=OracleEntry.order_key)

@@ -156,6 +156,11 @@ class CrawlConfig:
     # n_hosts × R × budget rows). Cold rows live in bucket ids offset by
     # frontier_buckets, so the hot scan is a physical partition prune.
     hot_tier_rounds: int = 0
+    # crawler product token for robots.txt user-agent group selection
+    # (RFC 9309): "*" applies only the wildcard groups (pre-agent behavior);
+    # a named token selects that token's groups, falling back to "*" groups
+    # when the file names no such agent.
+    user_agent: str = "*"
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -187,6 +192,10 @@ class CrawlConfig:
             # cron time mapping changes revisit semantics; appended only
             # when non-default for the same compat reason as above
             parts += (self.round_period_s, self.cron_epoch)
+        if self.user_agent != "*":
+            # agent-group selection changes which robots rules apply —
+            # semantic; appended conditionally for the same compat reason
+            parts += (self.user_agent,)
         return "-".join(str(p) for p in parts)
 
 
@@ -754,6 +763,7 @@ class CrawlEngine:
                 round_budget_ms=self.cfg.round_budget_ms,
                 salt_n=self.cfg.salt_n,
                 policy_empty=self._policy_empty,
+                agent=self.cfg.user_agent,
             )
             # global_rank returns its result persisted+materialized (it must
             # pin the sampled range boundaries); derive lazily from that cache

@@ -201,3 +201,65 @@ def test_max_depth_caps_frontier(spark, tmp_path_factory):
     assert {r["url_norm"] for r in docs_cap} == expected
     # terminated by frontier exhaustion, not by the round limit
     assert len(history) < 6
+
+
+def test_agent_groups_and_robots_crawl_delay_match_oracle(spark, tmp_path_factory):
+    """RFC 9309 end-to-end: the engine crawls as a NAMED agent; hosts carry
+    robots bodies with named-agent groups (case/version-insensitive) and a
+    group Crawl-delay that must tighten the per-round budget exactly like
+    the oracle's pure-Python scheduler."""
+    n_urls, n_hosts, rounds = 160, 4, 3
+    agent = "SpiderBot/1.0"
+    robots_named = (
+        "User-agent: spiderbot\nDisallow: /p/1\nCrawl-delay: 2\n\n"
+        "User-agent: *\nDisallow: /\n"  # wildcard would kill the host; must NOT apply
+    )
+    robots_delay_only = "User-agent: *\nCrawl-delay: 4\n"  # budget 10000//4000=2
+    policy_rows = [
+        ("hot.example.test", 0, 8, robots_named, False, None),
+        ("h1.example.test", 1000, 8, robots_delay_only, False, None),  # robots stricter
+        ("h2.example.test", 5000, 8, robots_delay_only, False, None),  # policy stricter
+    ]
+    seeds_df = make_seeds(spark, 30, n_urls, n_hosts)
+    policy_df = spark.createDataFrame(policy_rows, schemas.HOST_POLICY)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path_factory.mktemp("agent_crawl")),
+        n_urls=n_urls,
+        n_hosts=n_hosts,
+        num_shards=4,
+        default_budget=8,
+        max_rounds=rounds,
+        user_agent=agent,
+    )
+    engine = CrawlEngine(spark, cfg, policy_df)
+    engine.crawl(seeds=seeds_df, max_rounds=rounds)
+
+    seeds = [(r.url, r.priority) for r in seeds_df.collect()]
+    policy = {
+        h: {
+            "crawl_delay_ms": d, "max_in_flight": m, "robots_txt": r,
+            "disabled": x, "revisit_after_rounds": rv,
+        }
+        for h, d, m, r, x, rv in policy_rows
+    }
+    oracle = crawl_oracle(
+        seeds, policy, n_urls, n_hosts, default_budget=8, max_rounds=rounds,
+        user_agent=agent,
+    )
+    got = sorted(
+        (r["round"], r["fetch_rank"], r["url_norm"])
+        for r in engine.fetched_docs.read()
+        .select("round", "fetch_rank", "url_norm").collect()
+    )
+    expect = sorted(
+        (d["round"], d["fetch_rank"], d["url_norm"]) for d in oracle.fetched
+    )
+    assert got == expect
+    # the named-agent host must have fetched (wildcard Disallow:/ ignored) …
+    hosts = {u.split("/")[2] for _, _, u in got}
+    assert "hot.example.test" in hosts
+    # … and the robots Crawl-delay tightened budgets: ≤2 fetches/round on h1
+    from collections import Counter
+
+    per_round = Counter((r, u.split("/")[2]) for r, _, u in got)
+    assert all(c <= 2 for (rr, h), c in per_round.items() if h == "h1.example.test")
