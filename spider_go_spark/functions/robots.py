@@ -136,6 +136,24 @@ def robots_sitemaps(robots_txt: str | None) -> tuple[str, ...]:
     return tuple(out)
 
 
+def sitemap_urls_col(body) -> "F.Column":
+    """JVM-side twin of :func:`robots_sitemaps`: an ``array<string>`` Column
+    of the ``Sitemap:`` URLs in a robots body (comment-stripped,
+    case-insensitive field, space-trimmed value, file order). Pure
+    codegen'd higher-order functions — at 10^8 hosts this is a map-only
+    projection with no Python, so sitemap discovery over the whole policy
+    table costs one scan."""
+    pre = "split_part(l, '#', 1)"
+    return F.expr(
+        f"""filter(
+              transform(split(coalesce({body}, ''), '\\n'),
+                l -> CASE WHEN lower(trim(split_part({pre}, ':', 1))) = 'sitemap'
+                     THEN trim(substr({pre}, instr({pre}, ':') + 1))
+                     ELSE '' END),
+              v -> v <> '')"""
+    )
+
+
 def robots_allowed_one(robots_txt: str | None, path: str, agent: str = "*") -> bool:
     if not robots_txt:
         return True

@@ -24,7 +24,11 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from spider_go_spark.functions.robots import robots_allowed_one, robots_crawl_delay_ms
+from spider_go_spark.functions.robots import (
+    robots_allowed_one,
+    robots_crawl_delay_ms,
+    robots_sitemaps,
+)
 from spider_go_spark.functions.urls import canonicalize_one, host_of_one, path_of_series
 from spider_go_spark.sources.webgraph import (
     content_hash_of_nodes,
@@ -84,9 +88,19 @@ def crawl_oracle(
     round_period_s: int = 3600,
     cron_epoch: str = "2024-01-01T00:00:00",
     user_agent: str = "*",
+    ingest_robots_sitemaps: bool = False,
+    sitemap_seed_priority: float = 0.0,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
+    if ingest_robots_sitemaps:
+        # sitemap autodiscovery twin (round_loop._sitemap_seeds): robots
+        # Sitemap URLs join the round-0 seed list
+        seeds = list(seeds) + [
+            (u, sitemap_seed_priority)
+            for pol in host_policy.values()
+            for u in robots_sitemaps(pol.get("robots_txt"))
+        ]
     # revisit queue (≙ cron-trigger scheduled jobs): url_norm → (entry
     # carrying discovered_round = eligibility round, next_round). A URL is
     # in the frontier XOR the revisit queue.

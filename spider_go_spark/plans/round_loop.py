@@ -161,6 +161,12 @@ class CrawlConfig:
     # a named token selects that token's groups, falling back to "*" groups
     # when the file names no such agent.
     user_agent: str = "*"
+    # sitemap autodiscovery (RFC 9309 §2.3 / sitemaps.org): when enabled,
+    # every ``Sitemap:`` URL in the policy table's robots bodies is injected
+    # as a round-0 seed at sitemap_seed_priority (the mid-crawl counterpart
+    # — policies changing later — goes through add_seeds like any webhook)
+    ingest_robots_sitemaps: bool = False
+    sitemap_seed_priority: float = 0.0
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -196,6 +202,9 @@ class CrawlConfig:
             # agent-group selection changes which robots rules apply —
             # semantic; appended conditionally for the same compat reason
             parts += (self.user_agent,)
+        if self.ingest_robots_sitemaps:
+            # sitemap seeds change the round-0 frontier — semantic
+            parts += ("sitemaps", self.sitemap_seed_priority)
         return "-".join(str(p) for p in parts)
 
 
@@ -591,6 +600,10 @@ class CrawlEngine:
     def inject_seeds(self, seeds: DataFrame) -> dict:
         """≙ trigger message → new session (workflow.go:83-127): seeds become
         round-0 frontier entries; the seen set starts as the seed set."""
+        if self.cfg.ingest_robots_sitemaps:
+            sm = self._sitemap_seeds()
+            if sm is not None:
+                seeds = seeds.select("url", "priority").unionByName(sm)
         # seed discovery_rank is uniformly 0: the scheduler order falls back
         # to (priority desc, url_norm), which is deterministic without any
         # notion of "seed file position" (Spark reads are unordered)
@@ -605,6 +618,20 @@ class CrawlEngine:
         metrics = {"n_candidates": n_cand, "n_new": n_new, "n_fetched": 0}
         self._commit_state(0, metrics)
         return metrics
+
+    def _sitemap_seeds(self) -> DataFrame | None:
+        """Sitemap autodiscovery: every ``Sitemap:`` URL declared in the
+        policy table's robots bodies, as a (url, priority) seed frame.
+        Codegen'd HOF extraction (functions/robots.sitemap_urls_col) over
+        the policy table — map-only, no Python, O(hosts) rows."""
+        if self._policy_empty or "robots_txt" not in self.host_policy.columns:
+            return None
+        from spider_go_spark.functions.robots import sitemap_urls_col
+
+        return self.host_policy.select(
+            F.explode(sitemap_urls_col("robots_txt")).alias("url"),
+            F.lit(self.cfg.sitemap_seed_priority).cast("double").alias("priority"),
+        )
 
     def add_seeds(self, seeds: DataFrame) -> dict:
         """Mid-crawl external seed submission (≙ webhook trigger,

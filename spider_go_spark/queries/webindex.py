@@ -221,6 +221,94 @@ ORDER BY hostid, url
 """
 
 
+N_ROBOTS_HOSTS = 8
+
+
+def robots_sitemap_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap autodiscovery from robots.txt: per-host robots bodies
+    (synthesized from ``supplier`` — Disallow rules interleaved with
+    ``Sitemap:`` lines in mixed case/spacing, one with a trailing comment)
+    parsed back to (host, sitemap_url) with
+    :func:`spider_go_spark.functions.robots.sitemap_urls_col` — the JVM
+    higher-order-function twin of the Python kernel's
+    ``robots_sitemaps`` (RFC 9309 §2.3: Sitemap records are
+    group-independent).
+
+    Scale shape: body assembly is one hash agg per host; extraction is a
+    codegen'd map-only projection + explode. No Python, no extra
+    shuffle."""
+    from spider_go_spark.functions.robots import sitemap_urls_col
+
+    s = T(spark, sf, "supplier")
+    hostid = (F.col("s_suppkey") % N_ROBOTS_HOSTS).cast("long")
+    key = F.col("s_suppkey").cast("string")
+    line = (
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.concat(
+                F.lit("Sitemap: http://h"), hostid.cast("string"),
+                F.lit(".example.test/sm/"), key,
+                F.lit(".xml # autodiscovered"),
+            ),
+        )
+        .when(
+            F.col("s_suppkey") % 3 == 1,
+            F.concat(
+                F.lit("sitemap : http://h"), hostid.cast("string"),
+                F.lit(".example.test/alt/"), key, F.lit(".xml"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("Disallow: /s/"), key))
+    )
+    bodies = (
+        s.select(hostid.alias("hostid"), line.alias("line"))
+        .groupBy("hostid")
+        .agg(
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.array_join(F.array_sort(F.collect_list("line")), "\n"),
+            ).alias("body")
+        )
+    )
+    return (
+        bodies.select(
+            "hostid", F.explode(sitemap_urls_col("body")).alias("sitemap_url")
+        )
+        .orderBy("hostid", "sitemap_url")
+    )
+
+
+ROBOTS_SITEMAP_DISCOVERY_SQL = f"""
+WITH lines AS (
+  SELECT (s_suppkey % {N_ROBOTS_HOSTS})::BIGINT AS hostid,
+         CASE s_suppkey % 3
+           WHEN 0 THEN 'Sitemap: http://h' || (s_suppkey % {N_ROBOTS_HOSTS})::VARCHAR
+                       || '.example.test/sm/' || s_suppkey::VARCHAR
+                       || '.xml # autodiscovered'
+           WHEN 1 THEN 'sitemap : http://h' || (s_suppkey % {N_ROBOTS_HOSTS})::VARCHAR
+                       || '.example.test/alt/' || s_suppkey::VARCHAR || '.xml'
+           ELSE 'Disallow: /s/' || s_suppkey::VARCHAR
+         END AS line
+  FROM supplier
+), bodies AS (
+  SELECT hostid,
+         'User-agent: *' || chr(10) || string_agg(line, chr(10) ORDER BY line) AS body
+  FROM lines GROUP BY hostid
+), exploded AS (
+  SELECT hostid, unnest(string_split(body, chr(10))) AS l FROM bodies
+), parsed AS (
+  SELECT hostid,
+         lower(trim(split_part(split_part(l, '#', 1), ':', 1))) AS k,
+         trim(substr(split_part(l, '#', 1),
+                     strpos(split_part(l, '#', 1), ':') + 1)) AS sitemap_url
+  FROM exploded
+)
+SELECT hostid, sitemap_url FROM parsed
+WHERE k = 'sitemap' AND sitemap_url <> ''
+ORDER BY hostid, sitemap_url
+"""
+
+
 # anchor-text synthesis over interleaved spans: a text span per 5-token
 # group at offset 2g; after every 2nd group, a link span at offset 2g+1
 # whose media_ref is the target URL and whose text is the group's tokens
@@ -466,6 +554,7 @@ QUERIES = {
     "frontier_shard_skew": frontier_shard_skew,
     "url_template_mining": url_template_mining,
     "sitemap_extract": sitemap_extract,
+    "robots_sitemap_discovery": robots_sitemap_discovery,
     "anchor_text_topk": anchor_text_topk,
     "host_pagerank_top": host_pagerank_top,
 }
@@ -474,6 +563,7 @@ ORACLES = {
     "frontier_shard_skew": FRONTIER_SHARD_SKEW_SQL,
     "url_template_mining": URL_TEMPLATE_MINING_SQL,
     "sitemap_extract": SITEMAP_EXTRACT_SQL,
+    "robots_sitemap_discovery": ROBOTS_SITEMAP_DISCOVERY_SQL,
     "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,
     "host_pagerank_top": HOST_PAGERANK_TOP_SQL,
 }

@@ -263,3 +263,52 @@ def test_agent_groups_and_robots_crawl_delay_match_oracle(spark, tmp_path_factor
 
     per_round = Counter((r, u.split("/")[2]) for r, _, u in got)
     assert all(c <= 2 for (rr, h), c in per_round.items() if h == "h1.example.test")
+
+
+def test_robots_sitemap_seeds_match_oracle(spark, tmp_path_factory):
+    """Sitemap autodiscovery: robots ``Sitemap:`` URLs become round-0 seeds
+    (at the configured priority) in both the engine and the oracle; a URL
+    reachable ONLY via a sitemap must get fetched."""
+    n_urls, n_hosts, rounds = 120, 4, 2
+    sm_url = "http://h1.example.test/p/119"  # canonical form; not in the seed list
+    robots = (
+        "User-agent: *\nDisallow: /nothing\n"
+        f"Sitemap: {sm_url}\nSitemap: {sm_url}  # dup dedups away\n"
+    )
+    policy_rows = [("h1.example.test", 0, 10, robots, False, None)]
+    seeds_df = make_seeds(spark, 15, n_urls, n_hosts)
+    policy_df = spark.createDataFrame(policy_rows, schemas.HOST_POLICY)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path_factory.mktemp("sm_crawl")),
+        n_urls=n_urls,
+        n_hosts=n_hosts,
+        num_shards=4,
+        max_rounds=rounds,
+        ingest_robots_sitemaps=True,
+        sitemap_seed_priority=3.0,  # above every synthetic seed priority tie
+    )
+    engine = CrawlEngine(spark, cfg, policy_df)
+    engine.crawl(seeds=seeds_df, max_rounds=rounds)
+
+    seeds = [(r.url, r.priority) for r in seeds_df.collect()]
+    policy = {
+        h: {
+            "crawl_delay_ms": d, "max_in_flight": m, "robots_txt": r,
+            "disabled": x, "revisit_after_rounds": rv,
+        }
+        for h, d, m, r, x, rv in policy_rows
+    }
+    oracle = crawl_oracle(
+        seeds, policy, n_urls, n_hosts, max_rounds=rounds,
+        ingest_robots_sitemaps=True, sitemap_seed_priority=3.0,
+    )
+    got = sorted(
+        (r["round"], r["fetch_rank"], r["url_norm"])
+        for r in engine.fetched_docs.read()
+        .select("round", "fetch_rank", "url_norm").collect()
+    )
+    expect = sorted(
+        (d["round"], d["fetch_rank"], d["url_norm"]) for d in oracle.fetched
+    )
+    assert got == expect
+    assert sm_url in {u for _, _, u in got}
