@@ -240,6 +240,14 @@ def filter_unseen(
         )
     else:
         tagged = tagged_cached = bloom_maybe_seen(candidates, shards, num_shards).persist()
+    return exact_verify_unseen(tagged, seen_urls, tagged_cached)
+
+
+def exact_verify_unseen(tagged: DataFrame, seen_urls, tagged_cached=None) -> DataFrame:
+    """The filter-agnostic exact half of the seen probe (shared by the
+    Bloom and cuckoo arms): split on ``maybe_seen``, anti-join the
+    positives against the (shard-pruned) exact table, union back.
+    Returns persisted+materialized; unpersists ``tagged_cached``."""
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     if callable(seen_urls):

@@ -57,6 +57,7 @@ from spider_go_spark.operators.politeness import (
     frontier_order,
     schedule_round,
 )
+from spider_go_spark.operators import cuckoo
 from spider_go_spark.operators.ranking import global_rank
 from spider_go_spark.operators.seen import (
     bloom_params,
@@ -167,6 +168,12 @@ class CrawlConfig:
     # — policies changing later — goes through add_seeds like any webhook)
     ingest_robots_sitemaps: bool = False
     sitemap_seed_priority: float = 0.0
+    # approximate seen-set pre-filter: "bloom" (default; OR-mergeable
+    # bitmaps) or "cuckoo" (4-slot 16-bit-fingerprint tables — ~80× lower
+    # FP rate and O(1) per-item DELETION, so forget_urls retracts
+    # fingerprints instead of rebuilding shards). Both compose with the
+    # same exact-verify anti-join, so crawl SEMANTICS are identical.
+    seen_filter: str = "bloom"
     config_version: int = 1
     keep_snapshots: int = 1_000_000  # retention; tests keep everything
 
@@ -205,6 +212,10 @@ class CrawlConfig:
         if self.ingest_robots_sitemaps:
             # sitemap seeds change the round-0 frontier — semantic
             parts += ("sitemaps", self.sitemap_seed_priority)
+        if self.seen_filter != "bloom":
+            # the shard table schema/geometry is filter-specific: resuming
+            # a bloom checkpoint with cuckoo shards would corrupt merges
+            parts += (self.seen_filter,)
         return "-".join(str(p) for p in parts)
 
 
@@ -238,7 +249,12 @@ class CrawlEngine:
         # operators stay crawl-agnostic (the engine filters reads / stamps
         # writes)
         self.frontier = self.catalog.load("frontier", schemas.with_crawl_id(schemas.FRONTIER))
-        self.seen_shards = self.catalog.load("seen_shards", schemas.with_crawl_id(schemas.SEEN_SHARDS))
+        if config.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {config.seen_filter!r}")
+        _shard_schema = (
+            schemas.SEEN_SHARDS if config.seen_filter == "bloom" else cuckoo.CUCKOO_SHARDS
+        )
+        self.seen_shards = self.catalog.load("seen_shards", schemas.with_crawl_id(_shard_schema))
         self.seen_urls = self.catalog.load("seen_urls", schemas.with_crawl_id(schemas.SEEN_URLS))
         self.fetched_docs = self.catalog.load("fetched_docs", schemas.with_crawl_id(schemas.FETCHED_DOCS))
         self.lineage = self.catalog.load("lineage", schemas.with_crawl_id(schemas.LINEAGE))
@@ -246,6 +262,7 @@ class CrawlEngine:
         self.revisit = self.catalog.load("revisit", schemas.with_crawl_id(schemas.REVISIT))
         self.state_log = RoundStateLog(config.workdir)
         self.m_bits, self.k_hashes = bloom_params(config.expected_urls, config.num_shards)
+        self.cuckoo_buckets = cuckoo.cuckoo_params(config.expected_urls, config.num_shards)
         if host_policy is None:
             host_policy = spark.createDataFrame([], schemas.HOST_POLICY)
         self.host_policy = host_policy
@@ -503,10 +520,16 @@ class CrawlEngine:
         with _timed(phases, "seen_probe"):
             # filter_unseen returns persisted+materialized; projections below
             # read the cache, and we unpersist it at the end of the commit
-            unseen = filter_unseen(
-                candidates, shards, read_seen, self.cfg.num_shards,
-                m_bits=self.m_bits, k_hashes=self.k_hashes,
-            )
+            if self.cfg.seen_filter == "cuckoo":
+                unseen = cuckoo.filter_unseen_cuckoo(
+                    candidates, shards, read_seen, self.cfg.num_shards,
+                    n_buckets=self.cuckoo_buckets,
+                )
+            else:
+                unseen = filter_unseen(
+                    candidates, shards, read_seen, self.cfg.num_shards,
+                    m_bits=self.m_bits, k_hashes=self.k_hashes,
+                )
             new = unseen.select(*self._frontier_cols, "shard_id")
             n_new = unseen.count()
 
@@ -567,12 +590,20 @@ class CrawlEngine:
                 touched_shards,
                 f"round-{rnd:06d}",
             )
-        updates = build_shard_updates(
-            new.select("url_norm", "url_hash"), self.cfg.num_shards, self.m_bits, self.k_hashes
-        )
-        merged = merge_shards(shards, updates).withColumn(
-            "crawl_id", F.lit(self.cfg.crawl_id)
-        )
+        if self.cfg.seen_filter == "cuckoo":
+            updates = cuckoo.build_cuckoo_updates(
+                new.select("url_norm", "url_hash"), self.cfg.num_shards, self.cuckoo_buckets
+            )
+            merged = cuckoo.merge_cuckoo(shards, updates).withColumn(
+                "crawl_id", F.lit(self.cfg.crawl_id)
+            )
+        else:
+            updates = build_shard_updates(
+                new.select("url_norm", "url_hash"), self.cfg.num_shards, self.m_bits, self.k_hashes
+            )
+            merged = merge_shards(shards, updates).withColumn(
+                "crawl_id", F.lit(self.cfg.crawl_id)
+            )
         # other tenants' Bloom shards carry over untouched (the shard table
         # is tiny: num_shards rows per crawl)
         others = shards_all.filter(~self._cid)
@@ -1172,4 +1203,101 @@ class CrawlEngine:
             t.overwrite(t.read().filter(~self._cid), label)
         metrics = {"dropped_crawl": self.cfg.crawl_id}
         self._commit_state(self.state_log.last_round(self.cfg.crawl_id) or 0, metrics, op="drop")
+        return metrics
+
+    def forget_urls(self, urls: list[str]) -> dict:
+        """Takedown / robots-removal compliance: erase the given URLs from
+        this crawl's knowledge so they can be re-discovered and re-fetched
+        as if never crawled. Removes, scoped to this crawl_id: the exact
+        ``seen_urls`` rows (rewriting ONLY the victims' shard buckets), the
+        approximate-filter fingerprints (cuckoo: O(1) per-item deletes of
+        exactly the present victims; bloom: rebuild of only the affected
+        shards from the remaining exact rows — bitmaps can't un-set bits),
+        pending ``frontier``/``revisit`` entries, and the fetched
+        documents + lineage (compacting overwrite — takedowns are rare
+        admin ops). Commits an ``op="forget"`` state entry: resume
+        continues the crawl over the cleaned state; the round counter is
+        not consumed.
+
+        No reference analogue (spider-go has per-flow DeleteFlow only,
+        storage_workflow_mongodb.go:560-609); per-URL retraction is the
+        north rule's seen-set made operable under takedown obligations."""
+        from spider_go_spark.functions.urls import canonicalize_one
+
+        norms = sorted({n for n in (canonicalize_one(u) for u in urls) if n})
+        label = f"forget-{self.cfg.crawl_id}"
+        if not norms:
+            return {"forget_requested": 0, "forget_present": 0}
+        victim = self._cid & F.col("url_norm").isin(norms)
+        victims = self.spark.createDataFrame(
+            [(n,) for n in norms], "url_norm string"
+        ).withColumn("url_hash", url_hash_col("url_norm"))
+        vshards = sorted(
+            r["s"]
+            for r in victims.select(
+                F.pmod("url_hash", F.lit(self.cfg.num_shards)).cast("int").alias("s")
+            ).distinct().collect()
+        )
+        # which victims the crawl actually knows (cuckoo's delete contract:
+        # only inserted items may be deleted; also the honest metric)
+        present = victims.join(
+            self.seen_urls.read_buckets(vshards).filter(self._cid).select("url_norm"),
+            "url_norm",
+            "semi",
+        ).persist()
+        n_present = present.count()
+
+        # 1. exact seen rows: rewrite only the victims' shard buckets
+        kept = (
+            self.seen_urls.read_buckets(vshards)
+            .filter(~victim)
+            .withColumn("__bucket", F.col("shard_id"))
+            .repartition(max(len(vshards), 1), "__bucket")
+        )
+        self.seen_urls.replace_buckets(kept, vshards, label)
+
+        # 2. approximate filter
+        shards_all = self.seen_shards.read()
+        mine = shards_all.filter(self._cid).drop("crawl_id")
+        others = shards_all.filter(~self._cid)
+        if self.cfg.seen_filter == "cuckoo":
+            updated = cuckoo.delete_cuckoo(mine, present, self.cfg.num_shards)
+        else:
+            remaining = self.seen_urls.read_buckets(vshards).filter(self._cid)
+            rebuilt = build_shard_updates(
+                remaining.select("url_norm", "url_hash"),
+                self.cfg.num_shards, self.m_bits, self.k_hashes,
+            )
+            updated = mine.filter(
+                ~F.col("shard_id").isin([int(s) for s in vshards])
+            ).unionByName(rebuilt)
+        self.seen_shards.overwrite(
+            others.unionByName(updated.withColumn("crawl_id", F.lit(self.cfg.crawl_id))),
+            label,
+        )
+
+        # 3. pending frontier / revisit entries for the victims
+        for table in (self.frontier, self.revisit):
+            tagged = table.read_buckets_tagged()
+            touched = sorted(
+                r["__bucket"]
+                for r in tagged.filter(victim).select("__bucket").distinct().collect()
+            )
+            if touched:
+                keep = (
+                    table.read_buckets_tagged(touched)
+                    .filter(~victim)
+                    .repartition(max(len(touched), 1), "__bucket")
+                )
+                table.replace_buckets(keep, touched, label)
+
+        # 4. the fetched documents + lineage themselves
+        for t in (self.fetched_docs, self.lineage):
+            t.overwrite(t.read().filter(~victim), label)
+
+        present.unpersist()
+        metrics = {"forget_requested": len(norms), "forget_present": n_present}
+        self._commit_state(
+            self.state_log.last_round(self.cfg.crawl_id) or 0, metrics, op="forget"
+        )
         return metrics
