@@ -148,6 +148,17 @@ def assemble_text(
     step (the form multimodal corpora serialize to before tokenization, with
     placeholders later swapped for media embeddings). Pure HOF projection —
     sort + transform + array_join, map-only at any corpus size."""
+    return docs.select(
+        "doc_id", assembled_col(spans_col, placeholders).alias("assembled")
+    )
+
+
+def assembled_col(
+    spans_col: str = "spans", placeholders: dict[str, str] | None = None
+) -> Column:
+    """The reading-order plain-text Column used by :func:`assemble_text`
+    (exposed separately so projections can keep other columns, e.g. the
+    WET archive export keeps the target URL)."""
     ph = placeholders or {"image": "[IMG]", "video": "[VID]", "link": "[LNK]"}
     spans = _by_offset(F.col(spans_col))
 
@@ -157,8 +168,7 @@ def assemble_text(
             out = out.when(s["kind"] == F.lit(kind), F.lit(token))
         return out.otherwise(F.lit("[UNK]"))
 
-    assembled = F.array_join(F.transform(spans, render), " ")
-    return docs.select("doc_id", assembled.alias("assembled"))
+    return F.array_join(F.transform(spans, render), " ")
 
 
 def pack_spans(

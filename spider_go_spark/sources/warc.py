@@ -273,6 +273,25 @@ def fetched_docs_as_warc(docs: DataFrame) -> DataFrame:
     )
 
 
+def fetched_docs_as_wet(docs: DataFrame) -> DataFrame:
+    """Project FETCHED_DOCS rows into WET-style ``conversion`` records —
+    the text-extraction derivative large crawls publish beside their
+    response archives: ``text/plain`` payload = the document's
+    reading-order assembled text (``functions/spans.assembled_col`` —
+    text spans joined in offset order, media/link spans as typed
+    placeholder tokens). One record per doc; pure codegen projection, so
+    producing the WET layer costs one map-only pass at any corpus size."""
+    from spider_go_spark.functions.spans import assembled_col
+
+    return docs.select(
+        F.concat(F.lit("<urn:wet:"), F.col("doc_id"), F.lit(">")).alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode(assembled_col("spans"), "utf-8").alias("payload"),
+    )
+
+
 def warc_docs_sink(root: str):
     """A ``CrawlEngine(docs_sink=...)`` adapter archiving each committed
     round's fetched docs as a WARC directory (``<root>/round=N/``).

@@ -281,3 +281,46 @@ def test_gzip_rejects_unknown_compression(warc_registered, tmp_path):
         spark.createDataFrame(_rows(1), WARC_SCHEMA).write.format("warc").option(
             "path", str(tmp_path / "bad")
         ).option("compression", "zstd").mode("append").save()
+
+
+def test_wet_conversion_records(warc_registered, tmp_path):
+    """WET export: conversion records whose text/plain payload is the
+    reading-order assembled text (media/link spans → placeholder tokens),
+    roundtripped through the warc datasource."""
+    spark = warc_registered
+    from spider_go_spark import schemas
+    from spider_go_spark.functions.spans import assemble_text
+    from spider_go_spark.sources.warc import fetched_docs_as_wet
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d-0002", "http://h0.example.test/p/2", "http://h0.example.test/p/2",
+                12, "h0.example.test", 1, 2, "200",
+                [
+                    ("image", None, "img:0007", 6),
+                    ("text", "caption below", None, 7),
+                    ("text", "hello wet", None, 0),
+                ],
+                [],
+                987654321,
+            )
+        ],
+        schemas.FETCHED_DOCS,
+    )
+    out = str(tmp_path / "wet")
+    fetched_docs_as_wet(docs).write.format("warc").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("warc").option("path", out).load()
+    row = back.select(
+        "record_id", "warc_type", "target_uri", "content_type",
+        F.decode("payload", "utf-8").alias("body"),
+    ).collect()[0]
+    assert row.record_id == "<urn:wet:d-0002>"
+    assert row.warc_type == "conversion"
+    assert row.content_type.startswith("text/plain")
+    # offset order: text@0, image@6, caption@7
+    assert row.body == "hello wet [IMG] caption below"
+    # payload ≡ the assemble_text gate kernel
+    assert row.body == assemble_text(docs).collect()[0]["assembled"]
