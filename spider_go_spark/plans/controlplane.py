@@ -359,7 +359,104 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "update_action",
     ),
     ("POST", re.compile(r"^/trigger$"), "webhook_trigger"),
+    ("GET", re.compile(r"^/swagger/doc\.json$"), "swagger_doc"),
 ]
+
+
+def _openapi_spec() -> dict:
+    """The machine-readable API document (≙ the generated swagger served at
+    /swagger/*, cmd/workflow/main.go:3-16 + docs/docs.go — ours is OpenAPI
+    3.0 built from the live route table, so it cannot drift from it)."""
+    mapper = {"type": "object", "additionalProperties": {
+        "type": "object",
+        "properties": {"mode": {"type": "string", "enum": ["fixed", "key", "expression"]},
+                       "value": {"type": "string"}}}}
+    action = {"type": "object", "required": ["key", "action_id"], "properties": {
+        "key": {"type": "string"}, "action_id": {"type": "string"},
+        "config": {"type": "object"}, "mapper": mapper, "meta": {"type": "object"}}}
+    peer = {"type": "object", "properties": {
+        "parent_key": {"type": "string"}, "meta_output": {"type": "string"},
+        "child_key": {"type": "string"}}}
+    flow = {"type": "object", "properties": {
+        "id": {"type": "string"}, "tenant_id": {"type": "string"},
+        "name": {"type": "string"},
+        "trigger_type": {"type": "string", "enum": sorted(_VALID_TRIGGER)},
+        "meta": {"type": "object"},
+        "status": {"type": "string", "enum": sorted(_VALID_STATUS)},
+        "version": {"type": "integer"}}}
+    tid = {"name": "tenant_id", "in": "path", "required": True,
+           "schema": {"type": "string"}}
+    fid = {"name": "flow_id", "in": "path", "required": True,
+           "schema": {"type": "string"}}
+    key = {"name": "key", "in": "path", "required": True,
+           "schema": {"type": "string"}}
+
+    def body(schema):
+        return {"required": True,
+                "content": {"application/json": {"schema": schema}}}
+
+    def resp(schema, code="200"):
+        return {code: {"description": "",
+                       "content": {"application/json": {"schema": schema}}}}
+
+    create_payload = {"type": "object", "required": ["name"], "properties": {
+        "name": {"type": "string"},
+        "trigger_type": {"type": "string", "enum": sorted(_VALID_TRIGGER)},
+        "meta": {"type": "object"},
+        "actions": {"type": "array", "items": action},
+        "peers": {"type": "array", "items": peer}}}
+    return {
+        "openapi": "3.0.3",
+        "info": {"title": "Spider Workflow API", "version": "1.0"},
+        "paths": {
+            "/healthz": {"get": {"responses": {"200": {"description": "ok"}}}},
+            "/tenants/{tenant_id}/flows": {
+                "get": {"parameters": [
+                    tid,
+                    {"name": "page", "in": "query", "schema": {"type": "integer", "default": 1}},
+                    {"name": "page_size", "in": "query", "schema": {"type": "integer", "default": 20}}],
+                    "responses": resp({"type": "object", "properties": {
+                        "flows": {"type": "array", "items": flow},
+                        "total": {"type": "integer"}, "page": {"type": "integer"},
+                        "page_size": {"type": "integer"}}})},
+                "post": {"parameters": [tid], "requestBody": body(create_payload),
+                         "responses": resp({"type": "object", "properties": {
+                             "flow_id": {"type": "string"},
+                             "flow_name": {"type": "string"}}})}},
+            "/tenants/{tenant_id}/flows/{flow_id}": {
+                "get": {"parameters": [tid, fid],
+                        "responses": resp({"type": "object", "properties": {
+                            "flow_id": {"type": "string"}, "flow_name": {"type": "string"},
+                            "tenant_id": {"type": "string"},
+                            "actions": {"type": "array", "items": action},
+                            "peers": {"type": "array", "items": peer}}})},
+                "put": {"parameters": [tid, fid],
+                        "requestBody": body({"type": "object", "required": ["name"],
+                                             "properties": flow["properties"]}),
+                        "responses": resp(flow)},
+                "delete": {"parameters": [tid, fid],
+                           "responses": {"204": {"description": "deleted"}}}},
+            "/tenants/{tenant_id}/workflows/{flow_id}/actions/{key}/disable": {
+                "post": {"parameters": [tid, fid, key],
+                         "responses": resp({"type": "object"})}},
+            "/tenants/{tenant_id}/workflows/{flow_id}/actions/{key}": {
+                "put": {"parameters": [tid, fid, key],
+                        "requestBody": body({"type": "object", "properties": {
+                            "config": {"type": "object"}, "mapper": mapper,
+                            "meta": {"type": "object"}}}),
+                        "responses": resp(action)}},
+            "/trigger": {
+                "post": {"requestBody": body({"type": "object",
+                                              "required": ["workflow_id"],
+                                              "properties": {
+                                                  "workflow_id": {"type": "string"},
+                                                  "key": {"type": "string"},
+                                                  "value": {}}}),
+                         "responses": resp({"type": "object", "properties": {
+                             "task_id": {"type": "string"},
+                             "meta_output": {"type": "string"}}})}},
+        },
+    }
 
 
 class ControlPlane:
@@ -383,6 +480,9 @@ class ControlPlane:
     # -- handlers (named by _ROUTES) ----------------------------------------
     def healthz(self, req, m):
         return 200, {}
+
+    def swagger_doc(self, req, m):
+        return 200, _openapi_spec()
 
     def create_flow(self, req, m):
         tenant_id = m.group(1)

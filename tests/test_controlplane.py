@@ -325,3 +325,30 @@ def test_webhook_trigger_feeds_streaming_interpreter(plane, spark, tmp_path):
     rows = read_flow_sink(spark, str(tmp_path / "out"), "a2").collect()
     # payloads ride as the reference's JSON-string Values
     assert sorted(r.value for r in rows) == ['"first"', '{"n": 2}']
+
+
+def test_swagger_doc_matches_live_routes(plane):
+    """/swagger/doc.json serves the OpenAPI document (≙ the generated
+    swagger at /swagger/*, main.go:55) and every documented path+verb is
+    actually routable — the spec is built from the same table, so this
+    guards the one place they could drift (path template vs regex)."""
+    import re as _re
+
+    from spider_go_spark.plans.controlplane import _ROUTES
+
+    cp, port = plane
+    status, spec = _call(port, "GET", "/swagger/doc.json")
+    assert status == 200
+    assert spec["info"]["title"] == "Spider Workflow API"  # main.go:3
+    for path, verbs in spec["paths"].items():
+        concrete = _re.sub(r"\{[^}]+\}", "x1", path)
+        for verb in verbs:
+            assert any(
+                v == verb.upper() and pat.match(concrete)
+                for v, pat, _ in _ROUTES
+            ), f"{verb.upper()} {path} documented but not routable"
+    # and the doc covers the whole route table (webhook + swagger included)
+    documented = {
+        (verb.upper(), path) for path, verbs in spec["paths"].items() for verb in verbs
+    }
+    assert len(documented) == len(_ROUTES) - 1  # /swagger/doc.json itself undocumented
