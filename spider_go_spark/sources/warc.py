@@ -292,6 +292,47 @@ def fetched_docs_as_wet(docs: DataFrame) -> DataFrame:
     )
 
 
+def fetched_docs_as_wat(docs: DataFrame) -> DataFrame:
+    """Project FETCHED_DOCS rows into WAT-style ``metadata`` records — the
+    third member of the archive triple large crawls publish (response WARC
+    + WAT metadata + WET text). The ``application/json`` payload carries
+    the per-capture envelope a link-graph or index builder consumes
+    WITHOUT touching the response bytes: target URL/host/status, the
+    outgoing link list, and span-structure counts (text/image/video/link
+    runs and total text length), all computed by higher-order functions
+    over the span stream. Pure codegen projection — the WAT layer costs
+    one map-only pass at any corpus size."""
+
+    def _count(kind: str):
+        return F.size(F.filter("spans", lambda s: s["kind"] == F.lit(kind)))
+
+    meta = F.struct(
+        F.col("url").alias("target_uri"),
+        F.col("host").alias("host"),
+        F.col("status").alias("status"),
+        F.col("round").alias("round"),
+        F.col("out_links").alias("links"),
+        F.struct(
+            _count("text").alias("text"),
+            _count("image").alias("image"),
+            _count("video").alias("video"),
+            _count("link").alias("link"),
+        ).alias("span_counts"),
+        F.aggregate(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            F.lit(0),
+            lambda acc, s: acc + F.length(s["text"]),
+        ).alias("text_len"),
+    )
+    return docs.select(
+        F.concat(F.lit("<urn:wat:"), F.col("doc_id"), F.lit(">")).alias("record_id"),
+        F.lit("metadata").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit("application/json; charset=utf-8").alias("content_type"),
+        F.encode(F.to_json(meta), "utf-8").alias("payload"),
+    )
+
+
 def warc_docs_sink(root: str):
     """A ``CrawlEngine(docs_sink=...)`` adapter archiving each committed
     round's fetched docs as a WARC directory (``<root>/round=N/``).

@@ -324,3 +324,60 @@ def test_wet_conversion_records(warc_registered, tmp_path):
     assert row.body == "hello wet [IMG] caption below"
     # payload ≡ the assemble_text gate kernel
     assert row.body == assemble_text(docs).collect()[0]["assembled"]
+
+
+def test_wat_metadata_records(warc_registered, tmp_path):
+    """WAT export: metadata records whose application/json payload carries
+    the link list and span-structure envelope — verified field-by-field
+    against an independent Python recomputation over the same rows."""
+    import json
+
+    spark = warc_registered
+    from spider_go_spark import schemas
+    from spider_go_spark.sources.warc import fetched_docs_as_wat
+
+    spans = [
+        ("text", "hello wat", None, 0),
+        ("image", None, "img:0001", 1),
+        ("text", "caption", None, 2),
+        ("link", None, "http://h1.example.test/x", 3),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (
+                "d-0001", "http://h0.example.test/p/1", "http://h0.example.test/p/1",
+                11, "h0.example.test", 2, 7, "200",
+                spans,
+                ["http://h1.example.test/x", "http://h0.example.test/p/2"],
+                42,
+            )
+        ],
+        schemas.FETCHED_DOCS,
+    )
+    out = str(tmp_path / "wat")
+    fetched_docs_as_wat(docs).write.format("warc").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("warc").option("path", out).load().collect()
+    assert len(back) == 1
+    row = back[0]
+    assert row.record_id == "<urn:wat:d-0001>"
+    assert row.warc_type == "metadata"
+    assert row.content_type.startswith("application/json")
+
+    got = json.loads(bytes(row.payload).decode("utf-8"))
+    # independent recomputation of the envelope from the fixture itself
+    assert got == {
+        "target_uri": "http://h0.example.test/p/1",
+        "host": "h0.example.test",
+        "status": "200",
+        "round": 2,
+        "links": ["http://h1.example.test/x", "http://h0.example.test/p/2"],
+        "span_counts": {
+            "text": sum(1 for s in spans if s[0] == "text"),
+            "image": sum(1 for s in spans if s[0] == "image"),
+            "video": sum(1 for s in spans if s[0] == "video"),
+            "link": sum(1 for s in spans if s[0] == "link"),
+        },
+        "text_len": sum(len(s[1]) for s in spans if s[0] == "text"),
+    }
