@@ -249,11 +249,137 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# gopher_rules_filter — the published rule-based gate (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", appendix A1.1 MassiveWeb filters),
+# as named per-rule flags so a pipeline can report WHICH rule rejected a
+# document (the filter-funnel input). All ratios are exact integer
+# per-mille, so engine and oracle agree bit-for-bit.
+#
+# Published thresholds, with one documented divergence: the stopword rule
+# requires ≥2 distinct stopwords of Gopher's 8-word set; the synthetic
+# corpus vocabulary contains only one of them ("the"), so the gate uses
+# GOPHER_MIN_STOP_KINDS = 1 to exercise both branches. The constants are
+# module-level and shared with the oracle — flip them for a real corpus.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN_PM = 3_000   # mean word length ≥ 3 chars (per-mille)
+GOPHER_MWL_MAX_PM = 10_000  # ... ≤ 10 chars
+GOPHER_MIN_ALPHA_PM = 800   # ≥80% of words contain an alphabetic char
+GOPHER_MAX_SYMBOL_PM = 100  # ≤0.1 symbols (#, ...) per word
+GOPHER_MIN_STOP_KINDS = 1   # published: 2 (see divergence note above)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_words, mwl_pm, alpha_pm, stop_kinds, symbol_pm,
+    r_words, r_mwl, r_alpha, r_stop, r_symbol, keep) — the Gopher rule
+    gate with per-rule flags. Pure codegen projection (tokenize + four
+    folds per doc), zero shuffles — map-only at any corpus size; the
+    filter-funnel op (queries/pipelineops.py) consumes flags like these."""
+    d = T(spark, sf, "documents")
+    toks = tk.tokens(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    stop_kinds = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("bigint")
+    # symbol occurrences: '#' anywhere plus '...' runs (each counted once)
+    n_symbol = (
+        F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#")))
+        + (
+            F.length(F.col("text"))
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("bigint")
+    feat = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("_nc"),
+        n_alpha.alias("_na"),
+        stop_kinds.alias("stop_kinds"),
+        n_symbol.alias("_sy"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("CASE WHEN n_words > 0 THEN 1000 * _nc div n_words ELSE 0 END").alias(
+            "mwl_pm"
+        ),
+        F.expr("CASE WHEN n_words > 0 THEN 1000 * _na div n_words ELSE 0 END").alias(
+            "alpha_pm"
+        ),
+        "stop_kinds",
+        F.expr("CASE WHEN n_words > 0 THEN 1000 * _sy div n_words ELSE 0 END").alias(
+            "symbol_pm"
+        ),
+    )
+    rules = feat.select(
+        "*",
+        F.expr(
+            f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}"
+        ).alias("r_words"),
+        F.expr(
+            f"mwl_pm >= {GOPHER_MWL_MIN_PM} AND mwl_pm <= {GOPHER_MWL_MAX_PM}"
+        ).alias("r_mwl"),
+        F.expr(f"alpha_pm >= {GOPHER_MIN_ALPHA_PM}").alias("r_alpha"),
+        F.expr(f"stop_kinds >= {GOPHER_MIN_STOP_KINDS}").alias("r_stop"),
+        F.expr(f"symbol_pm <= {GOPHER_MAX_SYMBOL_PM}").alias("r_symbol"),
+    )
+    return rules.select(
+        "*",
+        F.expr("r_words AND r_mwl AND r_alpha AND r_stop AND r_symbol").alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_RULES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS tokens,
+         text
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(tokens)::BIGINT AS n_words,
+         list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> length(t)::BIGINT)),
+                     (a,b) -> a+b)::BIGINT AS nc,
+         len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))::BIGINT AS na,
+         len(list_intersect(list_distinct(tokens),
+             {GOPHER_STOPWORDS!r}))::BIGINT AS stop_kinds,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS sy
+  FROM toks
+), ratios AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN (1000 * nc) // n_words ELSE 0 END AS mwl_pm,
+         CASE WHEN n_words > 0 THEN (1000 * na) // n_words ELSE 0 END AS alpha_pm,
+         stop_kinds,
+         CASE WHEN n_words > 0 THEN (1000 * sy) // n_words ELSE 0 END AS symbol_pm
+  FROM feat
+), rules AS (
+  SELECT *,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_words,
+         (mwl_pm >= {GOPHER_MWL_MIN_PM} AND mwl_pm <= {GOPHER_MWL_MAX_PM}) AS r_mwl,
+         (alpha_pm >= {GOPHER_MIN_ALPHA_PM}) AS r_alpha,
+         (stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS r_stop,
+         (symbol_pm <= {GOPHER_MAX_SYMBOL_PM}) AS r_symbol
+  FROM ratios
+)
+SELECT doc_id, n_words, mwl_pm, alpha_pm, stop_kinds, symbol_pm,
+       r_words, r_mwl, r_alpha, r_stop, r_symbol,
+       (r_words AND r_mwl AND r_alpha AND r_stop AND r_symbol) AS keep
+FROM rules
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "quality_logit_filter": quality_logit_filter,
     "dsir_importance": dsir_importance,
+    "gopher_rules_filter": gopher_rules_filter,
 }
 ORACLES = {
     "quality_logit_filter": QUALITY_LOGIT_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
+    "gopher_rules_filter": GOPHER_RULES_SQL,
 }

@@ -97,3 +97,51 @@ def test_dsir_importance_matches_python(spark):
     rest = [w for d, (n, w) in got.items() if langs[d] != "en" and n]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_gopher_rules_filter_matches_python(spark):
+    """Per-rule flags ≡ an exact Python replay of the published rules over
+    the raw corpus, and the gate splits the corpus (both classes present —
+    the point of flag-level output is attributing rejections)."""
+    import re
+
+    import duckdb
+
+    from spider_go_spark.queries.curation import (
+        GOPHER_MAX_SYMBOL_PM, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_PM,
+        GOPHER_MIN_STOP_KINDS, GOPHER_MIN_WORDS, GOPHER_MWL_MAX_PM,
+        GOPHER_MWL_MIN_PM, GOPHER_STOPWORDS, gopher_rules_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules_filter(spark, sf).collect()}
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    assert len(got) == len(docs)
+    kept = 0
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        n = len(toks)
+        nc = sum(len(t) for t in toks)
+        na = sum(1 for t in toks if re.search("[a-z]", t))
+        stop_kinds = len(set(toks) & set(GOPHER_STOPWORDS))
+        sy = text.count("#") + text.count("...")
+        mwl = 1000 * nc // n if n else 0
+        alpha = 1000 * na // n if n else 0
+        sym = 1000 * sy // n if n else 0
+        want = {
+            "doc_id": doc_id, "n_words": n, "mwl_pm": mwl, "alpha_pm": alpha,
+            "stop_kinds": stop_kinds, "symbol_pm": sym,
+            "r_words": GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+            "r_mwl": GOPHER_MWL_MIN_PM <= mwl <= GOPHER_MWL_MAX_PM,
+            "r_alpha": alpha >= GOPHER_MIN_ALPHA_PM,
+            "r_stop": stop_kinds >= GOPHER_MIN_STOP_KINDS,
+            "r_symbol": sym <= GOPHER_MAX_SYMBOL_PM,
+        }
+        want["keep"] = all(want[k] for k in
+                           ("r_words", "r_mwl", "r_alpha", "r_stop", "r_symbol"))
+        assert got[doc_id] == want, doc_id
+        kept += want["keep"]
+    assert 0 < kept < len(docs)
