@@ -327,6 +327,97 @@ rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
     return "".join(parts)
 
 
+def trustrank_int(edges: DataFrame, trusted: DataFrame, iters: int = 5) -> DataFrame:
+    """(node, trust_u) — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank whose teleport mass lands ONLY on a trusted seed
+    set, so score flows outward from vetted pages along links and spam
+    neighborhoods — reachable mostly from other spam — earn ~none. The
+    classic crawl-side spam-demotion signal, paired with plain PageRank
+    (high rank + low trust = the spam farm fingerprint).
+
+    ``trusted`` is a one-column ``node`` DataFrame. Init: SCALE micro-units
+    per trusted node, 0 elsewhere; per iteration
+    ``trust = [node∈trusted]·(1-d)·SCALE + d·Σ in-contrib`` with the same
+    overflow-safe split multiplication and int64 fixed-point contract as
+    :func:`pagerank_int` (bit-exact vs the unrolled-CTE oracle). Note the
+    teleport term is SCALE·TELEPORT_U-scaled per seed, not divided across
+    the seed set — both engines share the convention, and per-seed scaling
+    keeps every intermediate integral.
+
+    Scale shape: identical to pagerank_int — equi-join + groupBy shuffles
+    only, per-iteration eager localCheckpoint truncates lineage; the seed
+    flag is a broadcast-sized left join (seed lists are small)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(trusted.select("node").distinct().withColumn("t", F.lit(1)), "node", "left")
+        .select("node", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "node", F.expr(f"t * {SCALE}").cast("long").alias("trust_u")
+    )
+    for _ in range(iters):
+        contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.expr("trust_u div outdeg").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, "node", "left")
+            .withColumn("s0", F.coalesce(F.col("s"), F.lit(0).cast("long")))
+            .select(
+                "node",
+                F.expr(
+                    f"t * {TELEPORT_U} + (s0 div {SCALE}) * {DAMPING_PPM}"
+                    f" + ((s0 % {SCALE}) * {DAMPING_PPM}) div {SCALE}"
+                )
+                .cast("long")
+                .alias("trust_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # re-attach the seed flag for downstream spam-fingerprint joins
+    return ranks
+
+
+def trustrank_oracle_sql(edges_cte: str, trusted_sql: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`trustrank_int` (same unrolled-CTE shape as
+    :func:`pagerank_oracle_sql`). ``edges_cte`` must define
+    ``edges(src, dst)``; ``trusted_sql`` is a SELECT yielding one ``node``
+    column. Ends in ``trust{iters}(node, trust_u)``."""
+    parts = [
+        edges_cte,
+        f"""
+, nodes AS MATERIALIZED (
+  SELECT an.node, CASE WHEN tr.node IS NULL THEN 0 ELSE 1 END AS t
+  FROM (SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges) an
+  LEFT JOIN (SELECT DISTINCT node FROM ({trusted_sql})) tr ON an.node = tr.node),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
+trust0 AS (SELECT node, (t * {SCALE})::BIGINT AS trust_u FROM nodes)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", trust{i + 1} AS (
+  SELECT n.node,
+         (n.t * {TELEPORT_U} + (coalesce(a.s, 0) // {SCALE}) * {DAMPING_PPM}
+          + ((coalesce(a.s, 0) % {SCALE}) * {DAMPING_PPM}) // {SCALE})::BIGINT AS trust_u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.trust_u // e.outdeg)::BIGINT AS s
+    FROM e JOIN trust{i} r ON e.src = r.node GROUP BY e.dst
+  ) a ON n.node = a.node
+)
+"""
+        )
+    return "".join(parts)
+
+
 def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """(node, dist) — breadth-first hop distance from the seed set over
     ``edges(src, dst)``, up to ``max_hops`` synchronous expansions: the

@@ -477,6 +477,64 @@ ORDER BY rank_u DESC, node LIMIT {HOST_PR_TOPK}
 )
 
 
+TRUSTED_HOSTS = ["d0", "d1", "d2"]  # the vetted seed-list stand-in
+TRUSTRANK_ITERS = 3
+
+
+def host_trustrank_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph TrustRank (Gyöngyi et al. 2004): teleport mass lands only
+    on the vetted seed hosts, so trust flows outward along links — hosts
+    unreachable from the seed list score ~0 even if heavily interlinked.
+    Paired with host_pagerank_top this is the crawl-side spam fingerprint
+    (high rank + low trust); as a standalone signal it is the whitelist-
+    biased fetch-priority crawlers use for new/unknown hosts.
+
+    Scale shape: identical to host PageRank — the iteration runs on the
+    collapsed host graph (~10^4× smaller than the URL graph); the seed
+    flag is a broadcast left join. Bit-exact int64 fixed point vs the
+    unrolled-CTE oracle (operators/graph.trustrank_oracle_sql)."""
+    from spider_go_spark.functions.spans import link_anchor_texts
+    from spider_go_spark.operators.graph import trustrank_int
+
+    links = link_anchor_texts(_synth_link_docs(spark, sf))
+    edges = links.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % N_SRC_HOSTS).cast("string")).alias(
+            "src"
+        ),
+        F.regexp_extract("href", r"^[a-z0-9+.-]+://([^/:?#]*)", 1).alias("dst"),
+    ).distinct()
+    trusted = spark.createDataFrame([(h,) for h in TRUSTED_HOSTS], "node string")
+    ranks = trustrank_int(edges, trusted, TRUSTRANK_ITERS)
+    return ranks.orderBy(F.col("trust_u").desc(), "node").limit(HOST_PR_TOPK)
+
+
+from spider_go_spark.operators.graph import trustrank_oracle_sql  # noqa: E402
+
+_HOST_EDGES_UNW_CTE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id,
+         unnest(range(0, (len(tokens) + {ANCHOR_GROUP_TOKENS} - 1) // {ANCHOR_GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+), edges AS (
+  SELECT DISTINCT 'd' || (doc_id % {N_SRC_HOSTS})::VARCHAR AS src,
+         't' || ((doc_id * 7 + g) % {N_ANCHOR_TARGETS})::VARCHAR || '.example.test' AS dst
+  FROM gs WHERE g % {ANCHOR_LINK_EVERY} = 0
+)"""
+
+_TRUSTED_SQL = " UNION ALL ".join(f"SELECT '{h}' AS node" for h in TRUSTED_HOSTS)
+
+HOST_TRUSTRANK_TOP_SQL = (
+    trustrank_oracle_sql(_HOST_EDGES_UNW_CTE, _TRUSTED_SQL, TRUSTRANK_ITERS)
+    + f"""
+SELECT node, trust_u FROM trust{TRUSTRANK_ITERS}
+ORDER BY trust_u DESC, node LIMIT {HOST_PR_TOPK}
+"""
+)
+
+
 N_AUDIT_SHARDS = 64
 
 
@@ -557,6 +615,7 @@ QUERIES = {
     "robots_sitemap_discovery": robots_sitemap_discovery,
     "anchor_text_topk": anchor_text_topk,
     "host_pagerank_top": host_pagerank_top,
+    "host_trustrank_top": host_trustrank_top,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -566,4 +625,5 @@ ORACLES = {
     "robots_sitemap_discovery": ROBOTS_SITEMAP_DISCOVERY_SQL,
     "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,
     "host_pagerank_top": HOST_PAGERANK_TOP_SQL,
+    "host_trustrank_top": HOST_TRUSTRANK_TOP_SQL,
 }

@@ -116,3 +116,37 @@ def test_frontier_shard_skew_totals(spark):
     for r in rows:
         assert r.n_hosts <= r.n_urls
         assert r.pm_of_total == 1000 * r.n_urls // total
+
+
+def test_trustrank_flows_only_from_seeds(spark):
+    """TrustRank invariants on a handcrafted graph: teleport mass lands
+    only on seeds, trust reaches only seed-reachable nodes, and the
+    engine matches an exact integer Python replay of the fixed-point
+    contract."""
+    from spider_go_spark.operators.graph import (
+        DAMPING_PPM, SCALE, TELEPORT_U, trustrank_int,
+    )
+
+    # seed s -> a -> b ; spam farm x <-> y interlinked but unreachable
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    trusted = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.trust_u for r in trustrank_int(edges, trusted, 3).collect()}
+
+    # exact python replay (same split-multiplication damping)
+    def damp(s0):
+        return (s0 // SCALE) * DAMPING_PPM + ((s0 % SCALE) * DAMPING_PPM) // SCALE
+
+    nodes = {"s", "a", "b", "x", "y"}
+    out = {"s": ["a"], "a": ["b"], "x": ["y"], "y": ["x"]}
+    t = {n: SCALE if n == "s" else 0 for n in nodes}
+    for _ in range(3):
+        s0 = {n: 0 for n in nodes}
+        for src, dsts in out.items():
+            for d in dsts:
+                s0[d] += t[src] // len(dsts)
+        t = {n: (TELEPORT_U if n == "s" else 0) + damp(s0[n]) for n in nodes}
+    assert got == t
+    assert got["x"] == 0 and got["y"] == 0  # spam farm earns nothing
+    assert got["s"] >= TELEPORT_U and got["a"] > 0 and got["b"] > 0
