@@ -535,6 +535,157 @@ ORDER BY trust_u DESC, node LIMIT {HOST_PR_TOPK}
 )
 
 
+# --------------------------------------------------------------------------
+# retrieval over the fetched corpus: inverted-index dictionary, positional
+# phrase match, boolean posting-list retrieval
+# --------------------------------------------------------------------------
+
+INDEX_TOP_TERMS = 50
+PHRASE = ("table", "part")  # the two-term phrase the gate scans for
+BOOL_MUST = "join"
+BOOL_MUST_NOT = "hash"
+BOOL_LIMIT = 100
+
+
+def inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The inverted-index *dictionary*: per term, document frequency,
+    total term frequency, the maximum per-document tf and the first
+    posting (min doc_id) — the stats a query planner reads before touching
+    posting lists (term selectivity ordering, tf ceiling for score
+    bounds). Top INDEX_TOP_TERMS by df.
+
+    Scale shape: one explode of the token stream, one (doc, term) hash agg
+    (map-side partials collapse within-doc repeats), one term-keyed agg —
+    both shuffles keyed by near-uniform term/doc hashes; top-k is
+    TakeOrderedAndProject. This IS the distributed index build: persisting
+    the (term, doc_id, tf) intermediate as a SURT-style sorted table would
+    be the posting store."""
+    from spider_go_spark.functions import textkernel as tk
+
+    d = T(spark, sf, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tk.tokens(F.col("text"))).alias("term")
+    )
+    postings = occ.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.max("tf").alias("tf_max"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(INDEX_TOP_TERMS)
+    )
+
+
+INVERTED_INDEX_STATS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+       max(tf)::BIGINT AS tf_max, min(doc_id) AS first_doc
+FROM postings GROUP BY term
+ORDER BY df DESC, term LIMIT {INDEX_TOP_TERMS}
+"""
+
+
+def phrase_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase match: per document, the number of adjacent
+    ``"{PHRASE[0]} {PHRASE[1]}"`` occurrences in the token stream — the
+    positional-index query shape (terms must co-occur at consecutive
+    positions, not merely in the same doc).
+
+    Spark-first: positions live inside the per-doc token array, so the
+    adjacency test is one higher-order fold over 1-based ``element_at``
+    pairs — a pure codegen projection, NO shuffle and no posting self-join
+    at any corpus size (the oracle recomputes the same count from raw
+    text). Docs with fewer than two tokens short-circuit to zero (guards
+    Spark's descending ``sequence(1, 0)``)."""
+    from spider_go_spark.functions import textkernel as tk
+
+    a, b = PHRASE
+    d = T(spark, sf, "documents")
+    hits = F.expr(
+        f"""CASE WHEN size(_toks) >= 2 THEN size(filter(
+              sequence(1, size(_toks) - 1),
+              i -> element_at(_toks, i) = '{a}'
+                   AND element_at(_toks, i + 1) = '{b}'))
+            ELSE 0 END"""
+    ).cast("bigint")
+    return (
+        d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+PHRASE_MATCH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 2 THEN len(list_filter(range(1, len(tokens)),
+           i -> tokens[i] = '{PHRASE[0]}' AND tokens[i + 1] = '{PHRASE[1]}'))
+         ELSE 0 END::BIGINT AS n_hits
+  FROM toks
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
+def boolean_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean retrieval ``{BOOL_MUST} AND NOT {BOOL_MUST_NOT}``: documents
+    whose postings contain the MUST term and not the MUST-NOT term, with
+    the MUST term's tf. The posting-list shape: per-term postings are
+    pre-filtered BEFORE any join, so the semi/anti joins run over two
+    term-sized lists (each ≪ corpus), keyed by doc_id — never a corpus
+    self-join. At index scale both sides come straight off the term's
+    bucket of a sorted posting store."""
+    from spider_go_spark.functions import textkernel as tk
+
+    d = T(spark, sf, "documents")
+    occ = d.select("doc_id", F.explode(tk.tokens(F.col("text"))).alias("term"))
+    must = (
+        occ.filter(F.col("term") == BOOL_MUST)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    must_not = occ.filter(F.col("term") == BOOL_MUST_NOT).select("doc_id").distinct()
+    return (
+        must.join(must_not, "doc_id", "left_anti")
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(BOOL_LIMIT)
+    )
+
+
+BOOLEAN_RETRIEVAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), must AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM occ WHERE term = '{BOOL_MUST}' GROUP BY doc_id
+), must_not AS (
+  SELECT DISTINCT doc_id FROM occ WHERE term = '{BOOL_MUST_NOT}'
+)
+SELECT m.doc_id, m.tf FROM must m
+WHERE m.doc_id NOT IN (SELECT doc_id FROM must_not)
+ORDER BY m.tf DESC, m.doc_id LIMIT {BOOL_LIMIT}
+"""
+
+
 N_AUDIT_SHARDS = 64
 
 
@@ -616,6 +767,9 @@ QUERIES = {
     "anchor_text_topk": anchor_text_topk,
     "host_pagerank_top": host_pagerank_top,
     "host_trustrank_top": host_trustrank_top,
+    "inverted_index_stats": inverted_index_stats,
+    "phrase_match": phrase_match,
+    "boolean_retrieval": boolean_retrieval,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -626,4 +780,7 @@ ORACLES = {
     "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,
     "host_pagerank_top": HOST_PAGERANK_TOP_SQL,
     "host_trustrank_top": HOST_TRUSTRANK_TOP_SQL,
+    "inverted_index_stats": INVERTED_INDEX_STATS_SQL,
+    "phrase_match": PHRASE_MATCH_SQL,
+    "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,
 }
