@@ -552,7 +552,11 @@ def inverted_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     total term frequency, the maximum per-document tf and the first
     posting (min doc_id) — the stats a query planner reads before touching
     posting lists (term selectivity ordering, tf ceiling for score
-    bounds). Top INDEX_TOP_TERMS by df.
+    bounds). Top INDEX_TOP_TERMS by df. Complements
+    ``pipelineops.inverted_index_topterms``, which materializes posting-
+    list HEADS over distinct (doc, term) presence; this op aggregates the
+    tf-weighted dictionary a scorer needs (tf_total / tf_max bounds) and
+    never materializes postings at all.
 
     Scale shape: one explode of the token stream, one (doc, term) hash agg
     (map-side partials collapse within-doc repeats), one term-keyed agg —
