@@ -272,12 +272,28 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_rules_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate entry: :func:`gopher_flags` over the ``documents`` table."""
+    return gopher_flags(T(spark, sf, "documents")).orderBy("doc_id")
+
+
+def gopher_flags(
+    d: DataFrame,
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    mwl_min_pm: int = GOPHER_MWL_MIN_PM,
+    mwl_max_pm: int = GOPHER_MWL_MAX_PM,
+    min_alpha_pm: int = GOPHER_MIN_ALPHA_PM,
+    max_symbol_pm: int = GOPHER_MAX_SYMBOL_PM,
+    min_stop_kinds: int = GOPHER_MIN_STOP_KINDS,
+) -> DataFrame:
     """(doc_id, n_words, mwl_pm, alpha_pm, stop_kinds, symbol_pm,
     r_words, r_mwl, r_alpha, r_stop, r_symbol, keep) — the Gopher rule
-    gate with per-rule flags. Pure codegen projection (tokenize + four
-    folds per doc), zero shuffles — map-only at any corpus size; the
-    filter-funnel op (queries/pipelineops.py) consumes flags like these."""
-    d = T(spark, sf, "documents")
+    gate with per-rule flags over any (doc_id, text) DataFrame. Pure
+    codegen projection (tokenize + four folds per doc), zero shuffles —
+    map-only at any corpus size; the filter-funnel op
+    (queries/pipelineops.py) and the corpus-build pipeline
+    (plans/corpus_build.py) consume flags like these."""
     toks = tk.tokens(F.lower(F.col("text")))
     sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     n_words = F.size(toks).cast("bigint")
@@ -317,19 +333,19 @@ def gopher_rules_filter(spark: SparkSession, sf: str) -> DataFrame:
     rules = feat.select(
         "*",
         F.expr(
-            f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}"
+            f"n_words >= {min_words} AND n_words <= {max_words}"
         ).alias("r_words"),
         F.expr(
-            f"mwl_pm >= {GOPHER_MWL_MIN_PM} AND mwl_pm <= {GOPHER_MWL_MAX_PM}"
+            f"mwl_pm >= {mwl_min_pm} AND mwl_pm <= {mwl_max_pm}"
         ).alias("r_mwl"),
-        F.expr(f"alpha_pm >= {GOPHER_MIN_ALPHA_PM}").alias("r_alpha"),
-        F.expr(f"stop_kinds >= {GOPHER_MIN_STOP_KINDS}").alias("r_stop"),
-        F.expr(f"symbol_pm <= {GOPHER_MAX_SYMBOL_PM}").alias("r_symbol"),
+        F.expr(f"alpha_pm >= {min_alpha_pm}").alias("r_alpha"),
+        F.expr(f"stop_kinds >= {min_stop_kinds}").alias("r_stop"),
+        F.expr(f"symbol_pm <= {max_symbol_pm}").alias("r_symbol"),
     )
     return rules.select(
         "*",
         F.expr("r_words AND r_mwl AND r_alpha AND r_stop AND r_symbol").alias("keep"),
-    ).orderBy("doc_id")
+    )  # no sort here: the DF-level helper stays a pure projection
 
 
 GOPHER_RULES_SQL = rf"""

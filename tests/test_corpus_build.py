@@ -1,0 +1,104 @@
+"""End-to-end corpus build (plans/corpus_build.py): crawl → WARC/WAT/WET
+archive triple → assembled text → Gopher gate → exact dedup → packed
+training samples, with the funnel manifest cross-checked against direct
+recomputation from the engine's own tables."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.plans.corpus_build import build_corpus
+from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+from spider_go_spark.sources.webgraph import make_seeds
+
+GOPHER_TUNE = {"min_words": 3, "min_stop_kinds": 0, "min_alpha_pm": 500}
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = CrawlConfig(
+        workdir=str(root / "crawl"), n_urls=150, n_hosts=5, num_shards=4,
+        max_rounds=3,
+    )
+    res = build_corpus(
+        spark, cfg, make_seeds(spark, 20, 150, 5), str(root / "out"),
+        pack_budget=16, gopher_overrides=GOPHER_TUNE,
+    )
+    return spark, cfg, res, str(root / "out")
+
+
+def test_manifest_funnel_consistency(built):
+    spark, cfg, res, out = built
+    m = res.manifest
+    # funnel is monotone and the stage counts reconcile
+    assert m["n_fetched"] == m["n_gated"] >= m["n_kept"] >= m["n_unique"] > 0
+    assert m["n_samples"] > 0
+    # each reject count is bounded by the number of gated-out docs... no:
+    # rules overlap; but every reject count is ≤ n_gated - n_kept is false
+    # too (a doc can fail several rules). Correct invariant: any single
+    # rule's reject count ≤ n_gated, and if all rules pass everywhere then
+    # kept == gated.
+    assert all(0 <= v <= m["n_gated"] for v in m["rejects_by_rule"].values())
+    if all(v == 0 for v in m["rejects_by_rule"].values()):
+        assert m["n_kept"] == m["n_gated"]
+    # manifest on disk equals the returned one (written last, atomically)
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == m
+
+
+def test_manifest_matches_direct_recomputation(built):
+    spark, cfg, res, out = built
+    from spider_go_spark.functions.spans import assembled_col
+    from spider_go_spark.queries.curation import gopher_flags
+
+    eng = CrawlEngine(spark, cfg)
+    docs = eng.fetched_docs.read().filter(F.col("crawl_id") == cfg.crawl_id)
+    assert docs.count() == res.manifest["n_fetched"]
+
+    flags = gopher_flags(
+        docs.select("doc_id", assembled_col("spans").alias("text")), **GOPHER_TUNE
+    )
+    kept_ids = {r.doc_id for r in flags.filter("keep").select("doc_id").collect()}
+    assert len(kept_ids) == res.manifest["n_kept"]
+
+    uniq = (
+        docs.filter(F.col("doc_id").isin(list(kept_ids)))
+        .select("doc_id", "content_hash")
+        .groupBy("content_hash")
+        .count()
+    )
+    assert uniq.count() == res.manifest["n_unique"]
+
+
+def test_archive_triple_complete(built):
+    spark, cfg, res, out = built
+    from spider_go_spark.sources.warc import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    n = res.manifest["n_fetched"]
+    for layer, wtype in (("warc", "response"), ("wat", "metadata"), ("wet", "conversion")):
+        df = spark.read.format("warc").option("path", f"{out}/archive/{layer}").load()
+        assert df.count() == n, layer
+        assert df.select("warc_type").distinct().collect()[0][0] == wtype
+
+
+def test_packed_corpus_respects_budget(built):
+    spark, cfg, res, out = built
+    packed = spark.read.parquet(res.corpus_path)
+    assert packed.count() == res.manifest["n_samples"]
+    # only deduped survivors are packed, and every (doc, sample) has tokens
+    assert packed.select(F.count_distinct("doc_id")).collect()[0][0] == (
+        res.manifest["n_unique"]
+    )
+    assert packed.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_rebuild_is_idempotent(built):
+    spark, cfg, res, out = built
+    res2 = build_corpus(
+        spark, cfg, None, out, pack_budget=16, gopher_overrides=GOPHER_TUNE
+    )
+    assert res2.manifest == res.manifest
