@@ -76,6 +76,9 @@ HEADLINE = [
     "host_pagerank_top",      # weighted PageRank on the collapsed host graph
     "rp_ann_topk",            # JL random-projection shortlist + exact rerank
     "dsir_importance",        # hashed-unigram model build + broadcast re-join
+    "gopher_rules_filter",    # published rule gate (pure per-mille projection)
+    "phrase_match",           # positional phrase query (map-only HOF fold)
+    "host_trustrank_top",     # seed-scoped trust propagation (spam demotion)
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
