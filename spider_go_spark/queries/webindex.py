@@ -690,6 +690,117 @@ ORDER BY m.tf DESC, m.doc_id LIMIT {BOOL_LIMIT}
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the scoring layer over the posting lists above.
+# All math is int64 fixed point: the Robertson idf log2((N - df + 0.5)/
+# (df + 0.5) + 1) = log2((2N+2)/(2df+1)) runs through the exact integer
+# binary-log kernel (functions/intmath.log2_q20, Q20 fixed point — a float
+# ln() would not hash-match cross-engine), and the tf saturation uses
+# milli-unit integer division with k1 = 1.2, b = 0.75. log2 vs ln scales
+# every score by the same 1/ln(2), so the ranking is exactly classic BM25's.
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "scan", "window")
+BM25_K1 = 1200  # k1 = 1.2 in milli-units
+BM25_B = 750  # b = 0.75 in milli-units
+BM25_TOP_K = 25
+
+
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k: rank documents for the {BM25_TERMS} query.
+
+    Posting-list shape end to end: the token stream is filtered to the
+    query terms BEFORE any aggregation (term-sized postings, never a
+    corpus-wide (doc, term) matrix); doc lengths are a map-side size()
+    projection; corpus stats (N, total length) are a single-row agg
+    broadcast back; idf is computed on |query| rows; the final score join
+    runs over |postings| rows keyed by doc_id and the top-k is
+    TakeOrderedAndProject. At index scale, postings come straight off each
+    term's bucket of a sorted posting store and everything after the
+    per-term scan is proportional to hits, not corpus.
+    """
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.intmath import log2_q20
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    occ = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    postings = occ.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(corpus)).select(
+        "term", log2_q20("2 * n_docs + 2", "2 * df + 1").alias("idf_q20")
+    )
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "s_q20",
+            F.expr(
+                f"(idf_q20 * ((1000 * tf * (1000 + {BM25_K1})) div"
+                f" (1000 * tf + {BM25_K1} * (1000 - {BM25_B}"
+                f"   + ({BM25_B} * ((dl * n_docs * 1000) div total_dl)) div 1000))))"
+                f" div 1000"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_q20").alias("score_q20"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_q20"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    lg = log2_q20_duckdb_ctes(
+        "2 * n_docs + 2", "2 * df + 1", "(SELECT term, df, n_docs FROM dft, corpus)", "term"
+    )
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks
+), corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl
+), occ AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM occ WHERE term IN ({terms}) GROUP BY term, doc_id
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term
+), {lg}, scored AS (
+  SELECT p.doc_id,
+         (lg.log2_q20 * ((1000 * p.tf * (1000 + {BM25_K1})) //
+           (1000 * p.tf + {BM25_K1} * (1000 - {BM25_B}
+             + ({BM25_B} * ((d.dl * c.n_docs * 1000) // c.total_dl)) // 1000)))) // 1000
+           AS s_q20
+  FROM postings p JOIN dl d USING (doc_id) JOIN lg USING (term), corpus c
+)
+SELECT doc_id, sum(s_q20)::BIGINT AS score_q20, count(*)::BIGINT AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score_q20 DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
 N_AUDIT_SHARDS = 64
 
 
@@ -774,6 +885,7 @@ QUERIES = {
     "inverted_index_stats": inverted_index_stats,
     "phrase_match": phrase_match,
     "boolean_retrieval": boolean_retrieval,
+    "bm25_topk": bm25_topk,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -787,4 +899,5 @@ ORACLES = {
     "inverted_index_stats": INVERTED_INDEX_STATS_SQL,
     "phrase_match": PHRASE_MATCH_SQL,
     "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
 }
