@@ -343,6 +343,22 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def resize_nearest(rgb: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+    """Nearest-neighbor resize of a decoded (h, w, 3) image to (th, tw, 3):
+    ``out[y, x] = src[(y*h)//th, (x*w)//tw]`` — the standard floor mapping,
+    all-integer so resized pixels are bit-reproducible in SQL twins. Works
+    both down and up (upsample repeats source pixels). Vectorized index
+    gather, no per-pixel Python."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    if tw < 1 or th < 1:
+        raise ValueError(f"target dims must be >= 1, got {tw}x{th}")
+    sy = (np.arange(th, dtype=np.int64) * h) // th
+    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+    return rgb[sy][:, sx]
+
+
 def ahash_bits(rgb: "np.ndarray", grid: int = 8) -> str:
     """Average-hash (aHash) of a decoded RGB image, as a ``grid²``-char
     '0'/'1' string: integer grayscale ((r+g+b)//3), block-mean downsample to

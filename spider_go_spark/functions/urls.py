@@ -197,3 +197,91 @@ def bloom_hashes(url_norms: pd.Series | np.ndarray, m_bits: int, k: int) -> np.n
     h2 = pd.util.hash_array(vals, hash_key="sgs-bloom-hash-2") | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Registrable domain (eTLD+1) against an embedded public-suffix rule subset.
+# Politeness and spam analytics group by the REGISTRABLE domain, not the
+# host: a link farm spreads over thousands of subdomains of one registered
+# name, and per-host budgets alone would hand it the whole crawl round.
+# Rule semantics follow the Public Suffix List algorithm (publicsuffix.org,
+# public knowledge): among matching rules the longest wins, exception
+# rules (leading '!') prevail over wildcards, '*' matches exactly one
+# label, and an unmatched host falls back to the implicit '*' rule. The
+# registrable domain is the public suffix plus one label; a host that IS a
+# public suffix has none (NULL).
+#
+# The subset below keeps the shapes (plain, nested, wildcard, exception,
+# private-domain entries like github.io) without shipping the full list;
+# swap in the real PSL file at deploy time.
+# --------------------------------------------------------------------------
+
+PSL_RULES = (
+    "com", "org", "net", "io", "co", "test", "fake",
+    "co.uk", "org.uk", "com.au",
+    "github.io", "blogspot.com",  # private-domain entries
+    "example.test", "blog.fake",  # synthetic-corpus eTLDs (same shape)
+    "*.ck", "!www.ck",
+)
+
+
+def _psl_order(rules: tuple[str, ...]) -> list[tuple[str, bool, int]]:
+    """Rules as (pattern, is_exception, suffix_label_count), cascade-ordered:
+    exceptions first, then longest (most labels) first — the PSL prevailing-
+    rule order expressed as a first-match cascade."""
+    parsed = []
+    for r in rules:
+        exc = r.startswith("!")
+        body = r[1:] if exc else r
+        labels = body.count(".") + 1
+        # the public suffix is the rule itself, minus one label for exceptions
+        parsed.append((body, exc, labels - 1 if exc else labels))
+    parsed.sort(key=lambda t: (not t[1], -t[0].count(".")))
+    return parsed
+
+
+def _rule_regex(body: str) -> str:
+    return body.replace(".", "[.]").replace("*", "[^.]+")
+
+
+def registrable_domain_sql(host_expr: str, rules: tuple[str, ...] = PSL_RULES) -> str:
+    """Registrable-domain CASE expression in the Spark-SQL ∩ DuckDB dialect
+    (regexp_extract + nullif only), generated from the same rule table as
+    the Python twin — both engines and the oracle share one artifact."""
+    branches = []
+    for body, _exc, k in _psl_order(rules):
+        match = f"regexp_extract({host_expr}, '(^|[.]){_rule_regex(body)}$', 0) <> ''"
+        reg = f"nullif(regexp_extract({host_expr}, '([^.]+(?:[.][^.]+){{{k}}})$', 1), '')"
+        branches.append(f"WHEN {match} THEN {reg}")
+    default = f"nullif(regexp_extract({host_expr}, '([^.]+[.][^.]+)$', 1), '')"
+    return "CASE " + " ".join(branches) + f" ELSE {default} END"
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Catalyst projection of the PSL algorithm (codegen, no Python)."""
+    name = host if isinstance(host, str) else None
+    if name is None:
+        raise TypeError("registrable_domain takes a column NAME (it compiles "
+                        "to a SQL expression); pass a string")
+    return F.expr(registrable_domain_sql(name))
+
+
+def registrable_domain_one(host: str, rules: tuple[str, ...] = PSL_RULES) -> str | None:
+    """Pure-Python PSL twin (direct algorithm, not the cascade) for tests."""
+    labels = host.split(".")
+    best: tuple[bool, int, int] | None = None  # (is_exception, n_labels, k)
+    for r in rules:
+        exc = r.startswith("!")
+        body = r[1:] if exc else r
+        rl = body.split(".")
+        if len(rl) > len(labels):
+            continue
+        tail = labels[len(labels) - len(rl):]
+        if all(a == "*" or a == b for a, b in zip(rl, tail)):
+            cand = (exc, len(rl), len(rl) - 1 if exc else len(rl))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    k = best[2] if best is not None else 1
+    if len(labels) <= k:
+        return None
+    return ".".join(labels[len(labels) - k - 1:])

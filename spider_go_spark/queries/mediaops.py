@@ -520,6 +520,97 @@ FROM bits GROUP BY ahash ORDER BY ahash
 """
 
 
+# --------------------------------------------------------------------------
+# Image resize gate: variable-size PNGs (through the REAL codec: DEFLATE +
+# rotated scanline filters) decoded and nearest-neighbor downsampled to a
+# fixed thumbnail grid (functions/media.resize_nearest) — the
+# normalize-before-embedding step of an image pipeline. The position-
+# weighted checksum pins WHERE each resized pixel landed, not just the
+# channel multisets; the oracle recomputes the floor source-index mapping
+# ((y*h)//TH, (x*w)//TW) directly from the pixel rule.
+# --------------------------------------------------------------------------
+
+RESIZE_DOCS = 200
+RESIZE_TW, RESIZE_TH = 3, 2
+# source rule: doc d is w×h, w = 4 + d%7, h = 3 + d%5, raw byte j
+# (row-major top-down RGB) has value (d*29 + j*7) % 256
+RESIZE_STATS_DDL = (
+    "doc_id bigint, src_w int, src_h int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, chk bigint"
+)
+
+
+def image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import (
+        decode_png_pixels,
+        encode_png,
+        resize_nearest,
+    )
+
+    tw, th = RESIZE_TW, RESIZE_TH
+    # chk weight: (target_cell_index + 1) * (channel + 1)
+    wts = (
+        (np.arange(th * tw, dtype=np.int64)[:, None] + 1)
+        * (np.arange(3, dtype=np.int64)[None, :] + 1)
+    ).reshape(th, tw, 3)
+
+    def gen_resize(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 4 + d % 7, 3 + d % 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                payload = encode_png(w, h, ((d * 29 + j * 7) % 256).astype(np.uint8))
+                small = resize_nearest(
+                    decode_png_pixels(payload).astype(np.int64), tw, th
+                )
+                rows.append({
+                    "doc_id": d, "src_w": w, "src_h": h,
+                    "sum_r": int(small[:, :, 0].sum()),
+                    "sum_g": int(small[:, :, 1].sum()),
+                    "sum_b": int(small[:, :, 2].sum()),
+                    "chk": int((small * wts).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(RESIZE_DOCS).repartition(8).mapInPandas(
+        gen_resize, T_._parse_datatype_string(RESIZE_STATS_DDL)
+    )
+
+
+def _resize_px(c: int) -> str:
+    """Oracle expression: resized channel-c value at target cell t of doc r."""
+    sy = f"((t // {RESIZE_TW}) * (3 + r % 5)) // {RESIZE_TH}"
+    sx = f"((t % {RESIZE_TW}) * (4 + r % 7)) // {RESIZE_TW}"
+    j = f"((({sy}) * (4 + r % 7) + ({sx})) * 3 + {c})"
+    return f"(r*29 + ({j})*7) % 256"
+
+
+IMAGE_RESIZE_SQL = f"""
+SELECT r AS doc_id,
+       (4 + r % 7)::INTEGER AS src_w,
+       (3 + r % 5)::INTEGER AS src_h,
+       list_sum(list_transform(range({RESIZE_TW * RESIZE_TH}),
+                t -> {_resize_px(0)}))::BIGINT AS sum_r,
+       list_sum(list_transform(range({RESIZE_TW * RESIZE_TH}),
+                t -> {_resize_px(1)}))::BIGINT AS sum_g,
+       list_sum(list_transform(range({RESIZE_TW * RESIZE_TH}),
+                t -> {_resize_px(2)}))::BIGINT AS sum_b,
+       list_sum(list_transform(range({RESIZE_TW * RESIZE_TH}),
+                t -> (t + 1) * (({_resize_px(0)}) + 2*({_resize_px(1)})
+                                + 3*({_resize_px(2)}))))::BIGINT AS chk
+FROM range({RESIZE_DOCS}) s(r)
+"""
+
+
 def assemble_text_synth(spark: SparkSession, sf: str) -> DataFrame:
     """Reading-order text assembly through the REAL span renderer
     (functions/spans.assemble_text): text spans joined in offset order with
@@ -763,6 +854,7 @@ QUERIES = {
     "media_png_decode": media_png_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
+    "image_resize_stats": image_resize_stats,
     "assemble_text_synth": assemble_text_synth,
     "multimodal_pack_synth": multimodal_pack_synth,
 }
@@ -778,6 +870,7 @@ ORACLES = {
     "media_png_decode": MEDIA_PNG_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
+    "image_resize_stats": IMAGE_RESIZE_SQL,
     "assemble_text_synth": ASSEMBLE_TEXT_SQL,
     "multimodal_pack_synth": MULTIMODAL_PACK_SQL,
 }

@@ -690,6 +690,78 @@ ORDER BY m.tf DESC, m.doc_id LIMIT {BOOL_LIMIT}
 """
 
 
+N_FARM_SUBS = 8  # distinct registrable domains on the subdomain-farm side
+FARM_HOST_FLAG = 4  # >= this many distinct hosts under one domain => farm
+
+
+def domain_farm_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness/spam audit: hosts collapse to
+    their PUBLIC-SUFFIX-LIST registrable domain (functions/urls.
+    registrable_domain — longest-rule-wins incl. wildcard/exception
+    semantics), then per domain: distinct-host and URL counts plus a
+    subdomain-farm flag. Per-host budgets alone hand a link farm the whole
+    round (one registered name, thousands of subdomains); this is the
+    grouping politeness must ALSO cap on, and the farm flag is the spam
+    signal. Two synthetic shapes: subdomain farms (sN.hK.example.test —
+    many hosts per domain) and a blogspot-like private suffix
+    (bK.blog.fake — each subdomain its own registrable domain).
+
+    Scale shape: the PSL cascade is a codegen'd regexp projection (no
+    Python, no dictionary join); then one hash agg keyed by domain —
+    key count ≈ registered domains ≪ hosts ≪ URLs."""
+    from spider_go_spark.functions.urls import registrable_domain
+
+    li = T(spark, sf, "lineitem")
+    host = F.when(
+        F.col("l_linenumber") % 2 == 1,
+        F.concat(
+            F.lit("s"), F.col("l_linenumber").cast("string"),
+            F.lit(".h"), (F.col("l_suppkey") % N_FARM_SUBS).cast("string"),
+            F.lit(".example.test"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("b"), (F.col("l_partkey") % 50).cast("string"),
+            F.lit(".blog.fake"),
+        )
+    )
+    return (
+        li.select(host.alias("host"))
+        .withColumn("domain", registrable_domain("host"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .withColumn("is_farm", F.col("n_hosts") >= F.lit(FARM_HOST_FLAG))
+        .orderBy(F.desc("n_urls"), "domain")
+        .limit(40)
+    )
+
+
+def _domain_farm_sql() -> str:
+    from spider_go_spark.functions.urls import registrable_domain_sql
+
+    return f"""
+WITH hosts AS (
+  SELECT CASE WHEN l_linenumber % 2 = 1
+              THEN 's' || l_linenumber::VARCHAR || '.h'
+                   || (l_suppkey % {N_FARM_SUBS})::VARCHAR || '.example.test'
+              ELSE 'b' || (l_partkey % 50)::VARCHAR || '.blog.fake' END AS host
+  FROM lineitem
+), dom AS (
+  SELECT host, {registrable_domain_sql('host')} AS domain FROM hosts
+)
+SELECT domain, count(DISTINCT host)::BIGINT AS n_hosts, count(*)::BIGINT AS n_urls,
+       (count(DISTINCT host) >= {FARM_HOST_FLAG}) AS is_farm
+FROM dom GROUP BY domain
+ORDER BY n_urls DESC, domain LIMIT 40
+"""
+
+
+DOMAIN_FARM_AUDIT_SQL = _domain_farm_sql()
+
+
 # --------------------------------------------------------------------------
 # BM25 ranked retrieval — the scoring layer over the posting lists above.
 # All math is int64 fixed point: the Robertson idf log2((N - df + 0.5)/
@@ -886,6 +958,7 @@ QUERIES = {
     "phrase_match": phrase_match,
     "boolean_retrieval": boolean_retrieval,
     "bm25_topk": bm25_topk,
+    "domain_farm_audit": domain_farm_audit,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -900,4 +973,5 @@ ORACLES = {
     "phrase_match": PHRASE_MATCH_SQL,
     "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "domain_farm_audit": DOMAIN_FARM_AUDIT_SQL,
 }

@@ -69,3 +69,60 @@ def test_bloom_hashes_stable_and_in_range():
     assert h1.shape == (2, 5)
     assert (h1 >= 0).all() and (h1 < 1024).all()
     assert (h1[0] != h1[1]).any()
+
+
+PSL_CASES = {
+    # plain nested suffix beats shorter ('example.test' over 'test')
+    "s3.h7.example.test": "h7.example.test",
+    "h7.example.test": "h7.example.test",
+    "example.test": None,  # a public suffix itself has no registrable domain
+    "foo.test": "foo.test",
+    # private-domain entries (github.io shape)
+    "a.x.github.io": "x.github.io",
+    "github.io": None,
+    # wildcard *.ck: every <label>.ck is a suffix
+    "a.foo.bar.ck": "foo.bar.ck",
+    "bar.ck": None,
+    # exception !www.ck prevails over the wildcard
+    "www.ck": "www.ck",
+    "sub.www.ck": "www.ck",
+    # implicit '*' fallback for unknown TLDs
+    "b.a.unknowntld": "a.unknowntld",
+    "single": None,
+}
+
+
+def test_registrable_domain_python_twin():
+    from spider_go_spark.functions.urls import registrable_domain_one
+
+    for host, want in PSL_CASES.items():
+        assert registrable_domain_one(host) == want, host
+
+
+def test_registrable_domain_spark_matches_twin(spark):
+    from pyspark.sql import Row
+
+    from spider_go_spark.functions.urls import registrable_domain
+
+    df = spark.createDataFrame([Row(host=h) for h in PSL_CASES])
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select("host", registrable_domain("host").alias("rd")).collect()
+    }
+    for host, want in PSL_CASES.items():
+        assert got[host] == want, host
+
+
+def test_registrable_domain_duckdb_matches_twin():
+    import duckdb
+
+    from spider_go_spark.functions.urls import registrable_domain_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hh(host VARCHAR)")
+    for h in PSL_CASES:
+        con.execute("INSERT INTO hh VALUES (?)", [h])
+    got = dict(con.execute(
+        f"SELECT host, {registrable_domain_sql('host')} FROM hh").fetchall())
+    for host, want in PSL_CASES.items():
+        assert got[host] == want, host

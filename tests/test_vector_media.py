@@ -550,3 +550,26 @@ def test_png_errors():
     )
     with pytest.raises(ValueError, match="scanline data"):
         decode_png_pixels(short)
+
+
+def test_resize_nearest_kernel():
+    from spider_go_spark.functions.media import resize_nearest
+
+    src = np.arange(4 * 6 * 3, dtype=np.int64).reshape(4, 6, 3)
+    # identity: same dims returns the same pixels
+    assert (resize_nearest(src, 6, 4) == src).all()
+    # downsample 6x4 -> 3x2: out[y,x] = src[(y*4)//2, (x*6)//3] = src[2y, 2x]
+    small = resize_nearest(src, 3, 2)
+    assert small.shape == (2, 3, 3)
+    for y in range(2):
+        for x in range(3):
+            assert (small[y, x] == src[2 * y, 2 * x]).all()
+    # upsample 1x1 -> 3x2 repeats the single source pixel
+    one = np.array([[[7, 8, 9]]], dtype=np.int64)
+    up = resize_nearest(one, 3, 2)
+    assert up.shape == (2, 3, 3) and (up == one[0, 0]).all()
+    # non-multiple downsample uses the floor mapping
+    odd = resize_nearest(src, 4, 3)  # sx = (x*6)//4 -> 0,1,3,4 ; sy = (y*4)//3 -> 0,1,2
+    assert (odd[2, 2] == src[2, 3]).all()
+    with pytest.raises(ValueError):
+        resize_nearest(src, 0, 2)
