@@ -477,3 +477,51 @@ dist0 AS MATERIALIZED (SELECT DISTINCT node::BIGINT AS node, 0 AS dist FROM ({se
 """
         )
     return "".join(parts)
+
+
+def resolve_pointer_chains(edges: DataFrame, max_hops: int) -> DataFrame:
+    """Resolve successor chains (redirect hops, alias links, moved-to
+    pointers) to their terminal node by POINTER DOUBLING: ``edges(src,
+    dst)`` with at most one ``dst`` per ``src`` is a successor forest, and
+    each self-join round doubles the resolved depth, so chains up to
+    ``max_hops`` need only ⌈log2(max_hops)⌉ equi-join shuffles — the
+    scale-correct shape (a naive walk is ``max_hops`` sequential joins; a
+    crawl's redirect graph at 10^10 URLs cannot afford 30 of them, but 5
+    doubling rounds reach depth 32).
+
+    Returns ``(src, final, hops)`` for every node with an outgoing edge.
+    Rows whose successor has no further edge keep their mapping through
+    the left join (terminals contribute 0 extra hops). A redirect CYCLE
+    never terminates semantically; bounded rounds mean the op still
+    returns (with hops capped at 2^rounds), mirroring the hop caps real
+    fetchers apply. Lineage is truncated per round with eager
+    localCheckpoints like every iterative op in this module.
+
+    Reference parity: spider-go re-queries its dep edges one hop per
+    message round-trip (/root/reference/pkg/spider/workflow.go:129,247);
+    this collapses hop-at-a-time resolution into log-round joins.
+    """
+    import math
+
+    cur = edges.select(
+        F.col("src"),
+        F.col("dst").alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        b = cur.select(
+            F.col("src").alias("b_src"),
+            F.col("nxt").alias("b_nxt"),
+            F.col("hops").alias("b_hops"),
+        )
+        cur = (
+            cur.join(b, cur["nxt"] == b["b_src"], "left")
+            .select(
+                "src",
+                F.coalesce("b_nxt", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("b_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.withColumnRenamed("nxt", "final")

@@ -412,6 +412,59 @@ FROM ranked ORDER BY host
 """
 
 
+REDIR_NODES = 4096  # 512 chains of 8 slots; chain c uses 1 + c%8 of them
+
+
+def redirect_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution through the REAL pointer-doubling operator
+    (operators/graph.resolve_pointer_chains): every URL with a redirect is
+    mapped to its terminal target and hop count in ⌈log2(max_hops)⌉
+    equi-join rounds instead of hop-at-a-time walking — the canonical-URL
+    step a crawler runs before dedup (3xx chains alias many URLs to one
+    target; seen-set membership must key on the TERMINAL).
+
+    Chains are synthesized deterministically: chain c owns ids
+    [8c, 8c+7] and redirects through its first 1 + c%8 slots, so hop
+    counts 1..7 and straight-to-terminal cases all occur. The oracle
+    resolves the same chains with a recursive CTE — an independent
+    hop-at-a-time route to the same fixpoint.
+
+    Scale shape: 3 doubling self-joins (left, equi on the successor key),
+    each lineage-truncated; output rows = redirecting URLs only."""
+    from spider_go_spark.operators.graph import resolve_pointer_chains
+
+    ids = spark.range(REDIR_NODES).select(F.col("id").cast("long").alias("i"))
+    url = lambda c: F.concat(F.lit("http://redir.example.test/u/"), c.cast("string"))
+    edges = ids.filter(
+        (F.col("i") % 8) < (1 + (F.col("i") / 8).cast("long") % 8) - 1
+    ).select(url(F.col("i")).alias("src"), url(F.col("i") + 1).alias("dst"))
+    out = resolve_pointer_chains(edges, max_hops=8)
+    return out.select(
+        F.col("src").alias("src_url"),
+        F.col("final").alias("final_url"),
+        "hops",
+    ).orderBy("src_url")
+
+
+REDIRECT_RESOLUTION_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT r AS src, r + 1 AS dst
+  FROM range({REDIR_NODES}) t(r)
+  WHERE (r % 8) < (1 + ((r // 8) % 8)) - 1
+), walk AS (
+  SELECT src, dst AS cur, 1::BIGINT AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.cur = e.src
+)
+SELECT 'http://redir.example.test/u/' || src::VARCHAR AS src_url,
+       'http://redir.example.test/u/' || cur::VARCHAR AS final_url,
+       hops
+FROM walk
+WHERE cur NOT IN (SELECT src FROM edges)
+ORDER BY src_url
+"""
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_budget_allocation": crawl_budget_allocation,
@@ -419,6 +472,7 @@ QUERIES = {
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
     "url_trap_filter": url_trap_filter,
+    "redirect_resolution": redirect_resolution,
 }
 
 # The iterative crawl queries are non-SQL-expressible (rows-only checks);
@@ -428,4 +482,5 @@ ORACLES: dict[str, str] = {
     "crawl_budget_allocation": CRAWL_BUDGET_ALLOCATION_SQL,
     "url_trap_filter": URL_TRAP_FILTER_SQL,
     "frontier_pagerank_rerank": _rerank_sql(),
+    "redirect_resolution": REDIRECT_RESOLUTION_SQL,
 }

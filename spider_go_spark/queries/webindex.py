@@ -690,6 +690,161 @@ ORDER BY m.tf DESC, m.doc_id LIMIT {BOOL_LIMIT}
 """
 
 
+N_LOC_HOSTS = 6  # registrable domains on the example.test side
+
+
+def link_locality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-locality audit: classify every link edge as intra-host,
+    intra-domain (same eTLD+1, different subdomain) or cross-domain using
+    the PSL kernel, and profile each source host's mix — the nepotistic-
+    link spam signal (a host whose "inlink wealth" is manufactured inside
+    its own registrable domain earns no authority; rankers like TrustRank
+    discount intra-domain edges, and this op is the audit that says by how
+    much per host). Four deterministic target shapes per lineitem row:
+    self-link, sibling-subdomain, sibling-domain, off-site.
+
+    Scale shape: the PSL classification is a codegen'd regexp projection
+    on both endpoints (no dictionary join), then one hash agg keyed by
+    source host — output rows = hosts, not edges."""
+    from spider_go_spark.functions.urls import registrable_domain
+
+    li = T(spark, sf, "lineitem")
+    k = (F.col("l_suppkey") % N_LOC_HOSTS).cast("string")
+    k2 = ((F.col("l_suppkey") + 1) % N_LOC_HOSTS).cast("string")
+    src = F.concat(
+        F.lit("s"), (F.col("l_linenumber") % 3).cast("string"),
+        F.lit(".h"), k, F.lit(".example.test"),
+    )
+    dst = (
+        F.when(F.col("l_partkey") % 4 == 0, src)
+        .when(F.col("l_partkey") % 4 == 1,
+              F.concat(F.lit("w.h"), k, F.lit(".example.test")))
+        .when(F.col("l_partkey") % 4 == 2,
+              F.concat(F.lit("s1.h"), k2, F.lit(".example.test")))
+        .otherwise(
+            F.concat(F.lit("b"), (F.col("l_partkey") % 20).cast("string"),
+                     F.lit(".blog.fake")))
+    )
+    edges = (
+        li.select(src.alias("src_host"), dst.alias("dst_host"))
+        .withColumn("src_dom", registrable_domain("src_host"))
+        .withColumn("dst_dom", registrable_domain("dst_host"))
+    )
+    same_host = (F.col("src_host") == F.col("dst_host")).cast("long")
+    same_dom = (F.col("src_dom") == F.col("dst_dom")).cast("long")
+    return (
+        edges.groupBy("src_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(same_host).alias("n_intra_host"),
+            F.sum(same_dom * (1 - same_host)).alias("n_intra_domain"),
+            F.sum(1 - same_dom).alias("n_cross_domain"),
+        )
+        .withColumn("pm_cross", F.expr("1000 * n_cross_domain div n_links"))
+        .orderBy("src_host")
+    )
+
+
+def _link_locality_sql() -> str:
+    from spider_go_spark.functions.urls import registrable_domain_sql
+
+    return f"""
+WITH edges AS (
+  SELECT 's' || (l_linenumber % 3)::VARCHAR || '.h' || (l_suppkey % {N_LOC_HOSTS})::VARCHAR
+           || '.example.test' AS src_host,
+         CASE l_partkey % 4
+           WHEN 0 THEN 's' || (l_linenumber % 3)::VARCHAR || '.h'
+                       || (l_suppkey % {N_LOC_HOSTS})::VARCHAR || '.example.test'
+           WHEN 1 THEN 'w.h' || (l_suppkey % {N_LOC_HOSTS})::VARCHAR || '.example.test'
+           WHEN 2 THEN 's1.h' || ((l_suppkey + 1) % {N_LOC_HOSTS})::VARCHAR || '.example.test'
+           ELSE 'b' || (l_partkey % 20)::VARCHAR || '.blog.fake' END AS dst_host
+  FROM lineitem
+), cls AS (
+  SELECT src_host,
+         (src_host = dst_host)::BIGINT AS same_host,
+         ({registrable_domain_sql('src_host')} = {registrable_domain_sql('dst_host')})::BIGINT
+           AS same_dom
+  FROM edges
+)
+SELECT src_host, count(*)::BIGINT AS n_links,
+       sum(same_host)::BIGINT AS n_intra_host,
+       sum(same_dom * (1 - same_host))::BIGINT AS n_intra_domain,
+       sum(1 - same_dom)::BIGINT AS n_cross_domain,
+       ((1000 * sum(1 - same_dom)) // count(*))::BIGINT AS pm_cross
+FROM cls GROUP BY src_host ORDER BY src_host
+"""
+
+
+LINK_LOCALITY_AUDIT_SQL = _link_locality_sql()
+
+
+POSTING_MIN_DF = 50
+POSTING_TOP = 50
+
+
+def posting_compression_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Posting-list compression planning: per frequent term, the exact
+    byte cost of its delta-encoded posting list under LEB128 varints —
+    gap = doc_id − previous doc_id (first entry stores doc_id + 1), varint
+    bytes = ⌈bit_length(gap)/7⌉ — plus the maximum gap. This is how an
+    index sizes itself before materializing: Σ index_bytes over the
+    dictionary is the posting-store footprint, and high-df terms compress
+    toward 1 byte/posting (dense ids ⇒ small gaps), which this makes
+    visible term by term.
+
+    Scale shape: one distinct on (term, doc_id); the lag window runs
+    per-term — the posting sort IS the index build, so the shuffle it
+    costs is the one the real artifact needs anyway; bit_length is
+    length(bin(x)) on both engines; top-N is TakeOrderedAndProject."""
+    from spider_go_spark.functions import textkernel as tk
+
+    d = T(spark, sf, "documents")
+    postings = (
+        d.select("doc_id", F.explode(tk.tokens(F.col("text"))).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "gap",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1),
+    )
+    vbytes = F.expr("(length(bin(gap)) + 6) div 7")
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(vbytes).alias("index_bytes"),
+            F.max("gap").alias("max_gap"),
+        )
+        .filter(F.col("df") >= POSTING_MIN_DF)
+        .orderBy(F.desc("index_bytes"), "term")
+        .limit(POSTING_TOP)
+    )
+
+
+POSTING_COMPRESSION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), postings AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+), gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM postings
+)
+SELECT term, count(*)::BIGINT AS df,
+       sum((length(bin(gap)) + 6) // 7)::BIGINT AS index_bytes,
+       max(gap)::BIGINT AS max_gap
+FROM gaps GROUP BY term
+HAVING count(*) >= {POSTING_MIN_DF}
+ORDER BY index_bytes DESC, term LIMIT {POSTING_TOP}
+"""
+
+
 N_FARM_SUBS = 8  # distinct registrable domains on the subdomain-farm side
 FARM_HOST_FLAG = 4  # >= this many distinct hosts under one domain => farm
 
@@ -959,6 +1114,8 @@ QUERIES = {
     "boolean_retrieval": boolean_retrieval,
     "bm25_topk": bm25_topk,
     "domain_farm_audit": domain_farm_audit,
+    "link_locality_audit": link_locality_audit,
+    "posting_compression_stats": posting_compression_stats,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -974,4 +1131,6 @@ ORACLES = {
     "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "domain_farm_audit": DOMAIN_FARM_AUDIT_SQL,
+    "link_locality_audit": LINK_LOCALITY_AUDIT_SQL,
+    "posting_compression_stats": POSTING_COMPRESSION_SQL,
 }

@@ -150,3 +150,33 @@ def test_trustrank_flows_only_from_seeds(spark):
     assert got == t
     assert got["x"] == 0 and got["y"] == 0  # spam farm earns nothing
     assert got["s"] >= TELEPORT_U and got["a"] > 0 and got["b"] > 0
+
+
+def test_resolve_pointer_chains_doubling(spark):
+    from pyspark.sql import Row
+
+    from spider_go_spark.operators.graph import resolve_pointer_chains
+
+    # one 5-hop chain (needs 3 doubling rounds), one 1-hop, one isolated pair
+    edges = [(f"c{i}", f"c{i+1}") for i in range(5)] + [("x", "y"), ("p", "q")]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["src"]: (r["final"], r["hops"])
+           for r in resolve_pointer_chains(df, max_hops=8).collect()}
+    assert len(got) == len(edges)  # every redirecting node, nothing else
+    for i in range(5):
+        assert got[f"c{i}"] == ("c5", 5 - i)
+    assert got["x"] == ("y", 1) and got["p"] == ("q", 1)
+
+
+def test_resolve_pointer_chains_cycle_bounded(spark):
+    from pyspark.sql import Row
+
+    from spider_go_spark.operators.graph import resolve_pointer_chains
+
+    # a 3-cycle never terminates semantically; bounded rounds still return,
+    # with hops capped at 2^rounds (max_hops=4 -> 2 rounds -> 4 hops)
+    df = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c"), Row(src="c", dst="a")]
+    )
+    rows = resolve_pointer_chains(df, max_hops=4).collect()
+    assert len(rows) == 3 and all(r["hops"] == 4 for r in rows)
