@@ -1028,6 +1028,249 @@ ORDER BY score_q20 DESC, doc_id LIMIT {BM25_TOP_K}
 BM25_TOPK_SQL = _bm25_sql()
 
 
+N_RECIP_HOSTS = 20
+
+
+def host_link_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph reciprocity: the share of each host's distinct outlink
+    edges that are RECIPROCATED (the target links back) — the link-exchange
+    spam signal (organic authority links are overwhelmingly one-way;
+    pairwise mutual linking at scale is traded, and rankers discount it).
+
+    Scale shape: edges dedup to distinct (src, dst) host pairs — the
+    collapsed host graph, ~10^4× smaller than URL edges — then ONE
+    self-equi-join on the reversed key (left semi) and a src-keyed agg.
+    No corpus-size shuffle anywhere."""
+    li = T(spark, sf, "lineitem")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".example.test"))
+    # directed pairs: k -> (k + step), steps {1, 10, 5} mod 20 — only 10 is
+    # its own inverse, so step-10 edges are mutual and the rest one-way
+    step = (
+        F.when(F.col("l_partkey") % 3 == 0, 1)
+        .when(F.col("l_partkey") % 3 == 1, 10)
+        .otherwise(5)
+    )
+    edges = (
+        li.select(
+            h(F.col("l_suppkey") % N_RECIP_HOSTS).alias("src"),
+            h((F.col("l_suppkey") + step) % N_RECIP_HOSTS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    back = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.join(back, ["src", "dst"], "left_semi")
+    stats = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    mstats = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (
+        stats.join(mstats, "src", "left")
+        .fillna(0, ["n_mutual"])
+        .select(
+            F.col("src").alias("host"),
+            "n_out",
+            "n_mutual",
+            F.expr("1000 * n_mutual div n_out").alias("pm_mutual"),
+        )
+        .orderBy("host")
+    )
+
+
+HOST_LINK_RECIPROCITY_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT
+    'h' || (l_suppkey % {N_RECIP_HOSTS})::VARCHAR || '.example.test' AS src,
+    'h' || ((l_suppkey + CASE l_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 5 END)
+            % {N_RECIP_HOSTS})::VARCHAR || '.example.test' AS dst
+  FROM lineitem
+  WHERE (l_suppkey % {N_RECIP_HOSTS})
+        <> ((l_suppkey + CASE l_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 5 END)
+            % {N_RECIP_HOSTS})
+), mutual AS (
+  SELECT e.src, e.dst FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges b WHERE b.src = e.dst AND b.dst = e.src)
+), stats AS (
+  SELECT src, count(*)::BIGINT AS n_out FROM edges GROUP BY src
+), mstats AS (
+  SELECT src, count(*)::BIGINT AS n_mutual FROM mutual GROUP BY src
+)
+SELECT s.src AS host, s.n_out,
+       coalesce(m.n_mutual, 0)::BIGINT AS n_mutual,
+       ((1000 * coalesce(m.n_mutual, 0)) // s.n_out)::BIGINT AS pm_mutual
+FROM stats s LEFT JOIN mstats m ON s.src = m.src
+ORDER BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# Proximity ranking: the positional-index query between exact phrase match
+# (distance == 1, in order) and bag-of-words AND (any distance).
+# --------------------------------------------------------------------------
+
+PROX_TERMS = ("merge", "sort")
+PROX_TOP_K = 25
+
+
+def proximity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity retrieval: docs containing BOTH query terms, ranked by the
+    minimum token distance between any occurrence pair (then by combined
+    tf) — how positional indexes rank "near" matches that aren't exact
+    phrases. Positions live inside the per-doc token array, so the
+    pairwise distance scan is a pure HOF projection (positions_a ×
+    positions_b per doc — occurrence counts, not corpus size), with NO
+    posting self-join and no shuffle before the final top-k.
+    """
+    from spider_go_spark.functions import textkernel as tk
+
+    a, b = PROX_TERMS
+    d = T(spark, sf, "documents")
+
+    def positions(term: str) -> str:
+        return (f"filter(sequence(1, size(_toks)), i -> element_at(_toks, i)"
+                f" = '{term}')")
+
+    scored = (
+        d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
+        .withColumn("pa", F.expr(positions(a)))
+        .withColumn("pb", F.expr(positions(b)))
+        .filter((F.size("pa") > 0) & (F.size("pb") > 0))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_min(flatten(transform(pa, i ->"
+                " transform(pb, j -> abs(i - j)))))"
+            ).cast("long").alias("min_dist"),
+            (F.size("pa") + F.size("pb")).cast("long").alias("tf_both"),
+        )
+    )
+    return scored.orderBy("min_dist", F.desc("tf_both"), "doc_id").limit(PROX_TOP_K)
+
+
+PROXIMITY_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tokens) + 1), i -> tokens[i] = '{PROX_TERMS[0]}') AS pa,
+         list_filter(range(1, len(tokens) + 1), i -> tokens[i] = '{PROX_TERMS[1]}') AS pb
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         list_min(flatten(list_transform(pa, i ->
+           list_transform(pb, j -> abs(i - j)))))::BIGINT AS min_dist,
+         (len(pa) + len(pb))::BIGINT AS tf_both
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, min_dist, tf_both FROM scored
+ORDER BY min_dist, tf_both DESC, doc_id LIMIT {PROX_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Dirichlet query-likelihood retrieval: the language-model ranking family
+# beside BM25, exact through the same integer log kernel. Score(d) =
+# Σ_t∈q∩d log2(1 + tf·T/(μ·ctf)) − |q|·log2((dl+μ)/μ)  (T = corpus tokens,
+# ctf = collection tf, μ = Dirichlet pseudo-count) — the standard
+# decomposition of Π p(t|d) under Dirichlet smoothing, every log argument
+# a ratio of int64s ≥ 1, so scores are bit-exact cross-engine in Q20.
+# --------------------------------------------------------------------------
+
+LM_TERMS = ("group", "filter", "stream")
+LM_MU = 2000
+LM_TOP_K = 25
+
+
+def lm_dirichlet_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-likelihood top-k under Dirichlet smoothing — same posting-list
+    shape as bm25_topk (terms filtered before any agg, corpus stats one
+    broadcast row, idf-like collection stats on |query| rows), different
+    scoring family: smoothing mixes in collection frequency, so document
+    LENGTH is penalized through the exact −|q|·log2((dl+μ)/μ) term rather
+    than BM25's tf saturation. Only docs matching ≥ 1 query term are
+    scored (the per-doc length penalty is constant across a doc's terms,
+    added once)."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.intmath import log2_q20
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    corpus = dl.agg(F.sum("dl").alias("total_t"))
+    occ = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*LM_TERMS)
+    )
+    postings = occ.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    matched = (
+        postings.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "gain_q20",
+            log2_q20(f"{LM_MU} * ctf + tf * total_t", f"{LM_MU} * ctf"),
+        )
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.sum("gain_q20").alias("gain_q20"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .join(dl, "doc_id")
+        .withColumn(
+            "score_q20",
+            F.col("gain_q20")
+            - F.lit(len(LM_TERMS)) * log2_q20(f"dl + {LM_MU}", f"{LM_MU}"),
+        )
+        .select("doc_id", "score_q20", "n_terms")
+        .orderBy(F.desc("score_q20"), "doc_id")
+        .limit(LM_TOP_K)
+    )
+
+
+def _lm_dirichlet_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    terms = ", ".join(f"'{t}'" for t in LM_TERMS)
+    gain = log2_q20_duckdb_ctes(
+        f"{LM_MU} * ctf + tf * total_t", f"{LM_MU} * ctf",
+        "(SELECT p.term, p.doc_id, p.tf, c.ctf, x.total_t"
+        " FROM postings p JOIN ctf c USING (term), corpus x)",
+        "term, doc_id",
+    )
+    # second kernel instance for the per-doc length penalty
+    pen = log2_q20_duckdb_ctes(
+        f"dl + {LM_MU}", f"{LM_MU}", "dl", "doc_id"
+    ).replace("lg0", "pn0").replace("lg1", "pn1").replace("lgi", "pni").replace("lg ", "pn ")
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks
+), corpus AS (
+  SELECT sum(dl)::BIGINT AS total_t FROM dl
+), occ AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM occ WHERE term IN ({terms}) GROUP BY term, doc_id
+), ctf AS (
+  SELECT term, sum(tf)::BIGINT AS ctf FROM postings GROUP BY term
+), {gain}, {pen}, gains AS (
+  SELECT doc_id, sum(log2_q20)::BIGINT AS gain_q20, count(*)::BIGINT AS n_terms
+  FROM lg GROUP BY doc_id
+)
+SELECT g.doc_id,
+       (g.gain_q20 - {len(LM_TERMS)} * pn.log2_q20)::BIGINT AS score_q20,
+       g.n_terms
+FROM gains g JOIN pn ON g.doc_id = pn.doc_id
+ORDER BY score_q20 DESC, g.doc_id LIMIT {LM_TOP_K}
+"""
+
+
+LM_DIRICHLET_SQL = _lm_dirichlet_sql()
+
+
 N_AUDIT_SHARDS = 64
 
 
@@ -1116,6 +1359,9 @@ QUERIES = {
     "domain_farm_audit": domain_farm_audit,
     "link_locality_audit": link_locality_audit,
     "posting_compression_stats": posting_compression_stats,
+    "proximity_topk": proximity_topk,
+    "lm_dirichlet_topk": lm_dirichlet_topk,
+    "host_link_reciprocity": host_link_reciprocity,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -1133,4 +1379,7 @@ ORACLES = {
     "domain_farm_audit": DOMAIN_FARM_AUDIT_SQL,
     "link_locality_audit": LINK_LOCALITY_AUDIT_SQL,
     "posting_compression_stats": POSTING_COMPRESSION_SQL,
+    "proximity_topk": PROXIMITY_TOPK_SQL,
+    "lm_dirichlet_topk": LM_DIRICHLET_SQL,
+    "host_link_reciprocity": HOST_LINK_RECIPROCITY_SQL,
 }
