@@ -611,6 +611,79 @@ FROM range({RESIZE_DOCS}) s(r)
 """
 
 
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup: the audio twin of image aHash — REAL RIFF/PCM
+# decode → per-frame |sample| energies → bit = frame energy > integer mean
+# → hash-groupBy. Re-encodes of the same source collapse to one
+# fingerprint with no pairwise comparison; all-integer arithmetic so the
+# oracle recomputes the fingerprint from the sample rule in SQL.
+# --------------------------------------------------------------------------
+
+AFP_DOCS = 240
+AFP_PATTERNS = 24
+AFP_SAMPLES = 64
+AFP_FRAME = 8  # 8 frames of 8 samples -> 8-bit fingerprint string
+# sample rule: pattern p = doc % AFP_PATTERNS; sample i of pattern p has
+# value ((p*131 + i*37) % 4001) - 2000
+def audio_fingerprint_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import decode_wav_samples, encode_wav
+
+    def gen_fp(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        i = np.arange(AFP_SAMPLES, dtype=np.int64)
+        src = lambda p: ((p * 131 + i * 37) % 4001) - 2000
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                payload = encode_wav(8000, src(d % AFP_PATTERNS).astype(np.int16))
+                _, samples = decode_wav_samples(payload)
+                e = np.abs(samples.astype(np.int64)).reshape(-1, AFP_FRAME).sum(axis=1)
+                mean = int(e.sum()) // len(e)
+                fp = "".join("1" if int(v) > mean else "0" for v in e.tolist())
+                rows.append({"doc_id": d, "fingerprint": fp})
+            yield pd.DataFrame(rows)
+
+    hashed = (
+        spark.range(AFP_DOCS)
+        .repartition(8)
+        .mapInPandas(gen_fp, "doc_id bigint, fingerprint string")
+    )
+    return (
+        hashed.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+AUDIO_FP_SQL = f"""
+WITH e AS (
+  SELECT p, f,
+         list_sum(list_transform(range({AFP_FRAME}),
+           j -> abs(((p*131 + (f*{AFP_FRAME} + j)*37) % 4001) - 2000))) AS energy
+  FROM range({AFP_PATTERNS}) t(p),
+       range({AFP_SAMPLES // AFP_FRAME}) s(f)
+), means AS (
+  SELECT p, sum(energy) // {AFP_SAMPLES // AFP_FRAME} AS mean FROM e GROUP BY p
+), bits AS (
+  SELECT e.p,
+         string_agg(CASE WHEN energy > mean THEN '1' ELSE '0' END, '' ORDER BY f)
+           AS fingerprint
+  FROM e JOIN means ON e.p = means.p GROUP BY e.p
+)
+SELECT fingerprint, sum({AFP_DOCS // AFP_PATTERNS})::BIGINT AS n_docs,
+       min(p)::BIGINT AS first_doc
+FROM bits GROUP BY fingerprint ORDER BY fingerprint
+"""
+
+
 def assemble_text_synth(spark: SparkSession, sf: str) -> DataFrame:
     """Reading-order text assembly through the REAL span renderer
     (functions/spans.assemble_text): text spans joined in offset order with
@@ -855,6 +928,7 @@ QUERIES = {
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_resize_stats": image_resize_stats,
+    "audio_fingerprint_groups": audio_fingerprint_groups,
     "assemble_text_synth": assemble_text_synth,
     "multimodal_pack_synth": multimodal_pack_synth,
 }
@@ -871,6 +945,7 @@ ORACLES = {
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,
+    "audio_fingerprint_groups": AUDIO_FP_SQL,
     "assemble_text_synth": ASSEMBLE_TEXT_SQL,
     "multimodal_pack_synth": MULTIMODAL_PACK_SQL,
 }

@@ -1166,6 +1166,65 @@ ORDER BY min_dist, tf_both DESC, doc_id LIMIT {PROX_TOP_K}
 """
 
 
+KWIC_TERM = "stream"
+KWIC_CTX = 3  # tokens of context on each side
+KWIC_LIMIT = 100
+
+
+def kwic_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """KWIC (keyword-in-context) snippet extraction: for every document
+    containing the query term, the ±{KWIC_CTX}-token window around its
+    FIRST occurrence — the serving-side op a search result page runs after
+    ranking. Window bounds clamp at document edges.
+
+    Scale shape: first-position lookup (array_position) and the window
+    slice are pure HOF projections over the per-doc token array — map-only
+    at any corpus size; at serving scale this runs over the ranked top-k
+    only, never the corpus. Top-N here is just a bounded gate output."""
+    from spider_go_spark.functions import textkernel as tk
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
+    pos = F.array_position("_toks", KWIC_TERM).cast("long")
+    out = (
+        toks.withColumn("pos", pos)
+        .filter(F.col("pos") > 0)
+        .withColumn("lo", F.greatest(F.lit(1), F.col("pos") - KWIC_CTX))
+        .withColumn(
+            "hi", F.least(F.size("_toks").cast("long"), F.col("pos") + KWIC_CTX)
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("lo").cast("int"),
+                    (F.col("hi") - F.col("lo") + 1).cast("int"),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+    return out.orderBy("doc_id").limit(KWIC_LIMIT)
+
+
+KWIC_SNIPPETS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), hits AS (
+  SELECT doc_id, tokens, list_position(tokens, '{KWIC_TERM}')::BIGINT AS pos
+  FROM toks WHERE coalesce(list_position(tokens, '{KWIC_TERM}'), 0) > 0
+)
+SELECT doc_id, pos,
+       array_to_string(
+         tokens[greatest(1, pos - {KWIC_CTX}) : least(len(tokens), pos + {KWIC_CTX})],
+         ' ') AS snippet
+FROM hits ORDER BY doc_id LIMIT {KWIC_LIMIT}
+"""
+
+
 # --------------------------------------------------------------------------
 # Dirichlet query-likelihood retrieval: the language-model ranking family
 # beside BM25, exact through the same integer log kernel. Score(d) =
@@ -1362,6 +1421,7 @@ QUERIES = {
     "proximity_topk": proximity_topk,
     "lm_dirichlet_topk": lm_dirichlet_topk,
     "host_link_reciprocity": host_link_reciprocity,
+    "kwic_snippets": kwic_snippets,
 }
 ORACLES = {
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
@@ -1382,4 +1442,5 @@ ORACLES = {
     "proximity_topk": PROXIMITY_TOPK_SQL,
     "lm_dirichlet_topk": LM_DIRICHLET_SQL,
     "host_link_reciprocity": HOST_LINK_RECIPROCITY_SQL,
+    "kwic_snippets": KWIC_SNIPPETS_SQL,
 }
