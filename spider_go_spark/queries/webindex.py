@@ -617,7 +617,12 @@ def phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     from spider_go_spark.functions import textkernel as tk
 
     a, b = PHRASE
-    d = T(spark, sf, "documents")
+    # one small parquet file = one input partition: spread the CPU-heavy
+    # HOF fold across cores before paying it (tiny-row/heavy-CPU stages
+    # under-parallelize on bytes-based splits — README scale note)
+    d = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     hits = F.expr(
         f"""CASE WHEN size(_toks) >= 2 THEN size(filter(
               sequence(1, size(_toks) - 1),
@@ -625,9 +630,18 @@ def phrase_match(spark: SparkSession, sf: str) -> DataFrame:
                    AND element_at(_toks, i + 1) = '{b}'))
             ELSE 0 END"""
     ).cast("bigint")
+    # the trivial groupBy on the unique doc_id is an AGGREGATION BARRIER:
+    # without it Catalyst pushes filter(n_hits > 0) — with the whole HOF
+    # fold inlined — below the repartition onto the single-partition scan,
+    # serializing the CPU-heavy predicate onto one core (measured 3.7s vs
+    # 0.4s at sf0.1). Predicates cannot push below an aggregate, so the
+    # fold runs once, post-exchange, on all cores; the extra shuffle is
+    # (doc_id, n_hits) pairs only.
     return (
         d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
         .select("doc_id", hits.alias("n_hits"))
+        .groupBy("doc_id")
+        .agg(F.max("n_hits").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
@@ -1122,25 +1136,39 @@ def proximity_topk(spark: SparkSession, sf: str) -> DataFrame:
     from spider_go_spark.functions import textkernel as tk
 
     a, b = PROX_TERMS
-    d = T(spark, sf, "documents")
+    d = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
     def positions(term: str) -> str:
         return (f"filter(sequence(1, size(_toks)), i -> element_at(_toks, i)"
                 f" = '{term}')")
 
+    # min_dist is NULL when either term is absent; the match filter runs
+    # AFTER a trivial unique-key agg — the same aggregation barrier as
+    # phrase_match (predicate pushdown would serialize the heavy position
+    # scan onto the single-partition parquet scan).
     scored = (
         d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
         .withColumn("pa", F.expr(positions(a)))
         .withColumn("pb", F.expr(positions(b)))
-        .filter((F.size("pa") > 0) & (F.size("pb") > 0))
         .select(
             "doc_id",
             F.expr(
                 "array_min(flatten(transform(pa, i ->"
                 " transform(pb, j -> abs(i - j)))))"
             ).cast("long").alias("min_dist"),
-            (F.size("pa") + F.size("pb")).cast("long").alias("tf_both"),
+            F.when(
+                (F.size("pa") > 0) & (F.size("pb") > 0),
+                (F.size("pa") + F.size("pb")).cast("long"),
+            ).alias("tf_both"),
         )
+        .groupBy("doc_id")
+        .agg(
+            F.max("min_dist").alias("min_dist"),
+            F.max("tf_both").alias("tf_both"),
+        )
+        .filter(F.col("tf_both").isNotNull())
     )
     return scored.orderBy("min_dist", F.desc("tf_both"), "doc_id").limit(PROX_TOP_K)
 
@@ -1183,7 +1211,9 @@ def kwic_snippets(spark: SparkSession, sf: str) -> DataFrame:
     only, never the corpus. Top-N here is just a bounded gate output."""
     from spider_go_spark.functions import textkernel as tk
 
-    d = T(spark, sf, "documents")
+    d = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select("doc_id", tk.tokens(F.col("text")).alias("_toks"))
     pos = F.array_position("_toks", KWIC_TERM).cast("long")
     out = (
