@@ -61,3 +61,24 @@ def test_spark_fold_is_pure_codegen(spark):
     df = spark.createDataFrame([(4, 3)], "p long, q long")
     plan = df.select(log2_q20("p", "q").alias("v"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reference_fuzz_accuracy_and_monotonicity():
+    """Property fuzz (hypothesis): accuracy bound over the full supported
+    domain, plus weak monotonicity in p (a ranking kernel must never
+    invert a strict ratio ordering by more than the documented error)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 1 << 30), st.integers(0, 1 << 16), st.integers(0, 25))
+    def run(q, dp, shift):
+        p = min((q + dp) << shift, 1 << 46)
+        p = max(p, q)
+        got = int_log2_q20(p, q)
+        assert abs(got / 2**20 - math.log2(p / q)) < 2**-14
+        if p + 1 <= 1 << 46:
+            # monotone within tolerance: log2((p+1)/q) >= log2(p/q) - eps
+            assert int_log2_q20(p + 1, q) >= got - 2
+
+    run()

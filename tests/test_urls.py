@@ -126,3 +126,43 @@ def test_registrable_domain_duckdb_matches_twin():
         f"SELECT host, {registrable_domain_sql('host')} FROM hh").fetchall())
     for host, want in PSL_CASES.items():
         assert got[host] == want, host
+
+
+def test_registrable_domain_fuzz_tri_engine(spark):
+    """300 random hosts over the rule alphabet (labels that do and don't
+    collide with every rule shape) — the CASE cascade and the recursive
+    twin must agree everywhere, including hosts that ARE suffixes, deep
+    subdomain towers, and single labels."""
+    import random
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from spider_go_spark.functions.urls import (
+        registrable_domain,
+        registrable_domain_one,
+        registrable_domain_sql,
+    )
+
+    rng = random.Random(23)
+    labels = ["a", "b", "www", "h7", "blog", "example", "github", "co", "ck",
+              "uk", "io", "com", "test", "fake", "x9", "deep"]
+    hosts = list({
+        ".".join(rng.choice(labels) for _ in range(rng.randint(1, 5)))
+        for _ in range(300)
+    })
+    want = {h: registrable_domain_one(h) for h in hosts}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hh(host VARCHAR)")
+    for h in hosts:
+        con.execute("INSERT INTO hh VALUES (?)", [h])
+    got_d = dict(con.execute(
+        f"SELECT host, {registrable_domain_sql('host')} FROM hh").fetchall())
+
+    df = spark.createDataFrame([Row(host=h) for h in hosts])
+    got_s = {r["host"]: r["rd"]
+             for r in df.select("host", registrable_domain("host").alias("rd")).collect()}
+
+    for h in hosts:
+        assert want[h] == got_d[h] == got_s[h], (h, want[h], got_d[h], got_s[h])
