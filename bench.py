@@ -79,6 +79,10 @@ HEADLINE = [
     "gopher_rules_filter",    # published rule gate (pure per-mille projection)
     "phrase_match",           # positional phrase query (map-only HOF fold)
     "host_trustrank_top",     # seed-scoped trust propagation (spam demotion)
+    "bm25_topk",              # integer-log BM25 over pre-filtered postings
+    "lm_dirichlet_topk",      # query-likelihood ranking (2nd scoring family)
+    "domain_farm_audit",      # PSL eTLD+1 cascade + domain-keyed agg
+    "redirect_resolution",    # pointer-doubling chain resolve (log-round joins)
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
