@@ -465,6 +465,110 @@ ORDER BY src_url
 """
 
 
+N_DIFF_HOSTS = 12
+N_DIFF_PAGES = 400
+
+
+def recrawl_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl diff: two captures of the same sites compared URL-by-URL —
+    per host, how many pages were ADDED, GONE, CHANGED (content hash
+    moved) or UNCHANGED between rounds, with a change-rate per-mille. This
+    is the corpus-level audit that tunes adaptive revisit (a host at
+    900 pm change rate deserves short intervals; one at 0 pm wastes
+    budget), the static twin of the engine's per-URL change detection
+    (plans/round_loop adaptive revisit).
+
+    Synthesis: capture A = pages 0..349 per host, capture B = pages
+    50..399 (50 gone, 50 added), with every 7th page's content version
+    bumped in B. The operator is generic: one full-outer join on the URL
+    key, a classify projection, one host-keyed agg.
+
+    Scale shape: the join is URL-keyed (uniform hash); both sides prune
+    to the compared rounds via partition filters on a real capture table;
+    output rows = hosts."""
+    from spider_go_spark.queries import T
+
+    li = T(spark, sf, "lineitem")
+    host = (F.col("l_suppkey") % N_DIFF_HOSTS).cast("long")
+    page = (F.col("l_partkey") % N_DIFF_PAGES).cast("long")
+    base = li.select(host.alias("h"), page.alias("p")).distinct()
+    url = F.concat(
+        F.lit("http://d"), F.col("h").cast("string"),
+        F.lit(".example.test/p/"), F.col("p").cast("string"),
+    )
+    cap_a = base.filter(F.col("p") < 350).select(
+        "h", url.alias("url"), (F.col("p") * 31 % 1000).alias("content_v")
+    )
+    cap_b = base.filter(F.col("p") >= 50).select(
+        "h",
+        url.alias("url"),
+        (F.col("p") * 31 % 1000
+         + F.when(F.col("p") % 7 == 0, 1).otherwise(0)).alias("content_v"),
+    )
+    j = cap_a.alias("a").join(
+        cap_b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer"
+    )
+    cls = j.select(
+        F.coalesce(F.col("a.h"), F.col("b.h")).alias("h"),
+        F.when(F.col("a.url").isNull(), "added")
+        .when(F.col("b.url").isNull(), "gone")
+        .when(F.col("a.content_v") != F.col("b.content_v"), "changed")
+        .otherwise("unchanged")
+        .alias("cls"),
+    )
+    agg = cls.groupBy("h").agg(
+        F.sum(F.when(F.col("cls") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("cls") == "gone", 1).otherwise(0)).alias("n_gone"),
+        F.sum(F.when(F.col("cls") == "changed", 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(F.col("cls") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+    )
+    return agg.select(
+        F.concat(F.lit("d"), F.col("h").cast("string"), F.lit(".example.test"))
+        .alias("host"),
+        "n_added", "n_gone", "n_changed", "n_unchanged",
+        F.expr(
+            "1000 * (n_added + n_gone + n_changed)"
+            " div (n_added + n_gone + n_changed + n_unchanged)"
+        ).alias("pm_changed"),
+    ).orderBy("host")
+
+
+RECRAWL_DIFF_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT (l_suppkey % {N_DIFF_HOSTS})::BIGINT AS h,
+                  (l_partkey % {N_DIFF_PAGES})::BIGINT AS p
+  FROM lineitem
+), cap_a AS (
+  SELECT h, 'http://d' || h::VARCHAR || '.example.test/p/' || p::VARCHAR AS url,
+         (p * 31 % 1000) AS content_v
+  FROM base WHERE p < 350
+), cap_b AS (
+  SELECT h, 'http://d' || h::VARCHAR || '.example.test/p/' || p::VARCHAR AS url,
+         (p * 31 % 1000 + CASE WHEN p % 7 = 0 THEN 1 ELSE 0 END) AS content_v
+  FROM base WHERE p >= 50
+), cls AS (
+  SELECT coalesce(a.h, b.h) AS h,
+         CASE WHEN a.url IS NULL THEN 'added'
+              WHEN b.url IS NULL THEN 'gone'
+              WHEN a.content_v <> b.content_v THEN 'changed'
+              ELSE 'unchanged' END AS cls
+  FROM cap_a a FULL OUTER JOIN cap_b b ON a.url = b.url
+), agg AS (
+  SELECT h,
+         sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+         sum(CASE WHEN cls = 'gone' THEN 1 ELSE 0 END)::BIGINT AS n_gone,
+         sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+  FROM cls GROUP BY h
+)
+SELECT 'd' || h::VARCHAR || '.example.test' AS host,
+       n_added, n_gone, n_changed, n_unchanged,
+       ((1000 * (n_added + n_gone + n_changed))
+        // (n_added + n_gone + n_changed + n_unchanged))::BIGINT AS pm_changed
+FROM agg ORDER BY host
+"""
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_budget_allocation": crawl_budget_allocation,
@@ -473,6 +577,7 @@ QUERIES = {
     "schedule_one_round": schedule_one_round,
     "url_trap_filter": url_trap_filter,
     "redirect_resolution": redirect_resolution,
+    "recrawl_diff_audit": recrawl_diff_audit,
 }
 
 # The iterative crawl queries are non-SQL-expressible (rows-only checks);
@@ -483,4 +588,5 @@ ORACLES: dict[str, str] = {
     "url_trap_filter": URL_TRAP_FILTER_SQL,
     "frontier_pagerank_rerank": _rerank_sql(),
     "redirect_resolution": REDIRECT_RESOLUTION_SQL,
+    "recrawl_diff_audit": RECRAWL_DIFF_SQL,
 }
