@@ -208,6 +208,124 @@ rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
     return "".join(parts)
 
 
+def opic_int(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """(node, cash_u, hist_u) after ``iters`` synchronous batch rounds of
+    OPIC — On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    WWW 2003), the classic *online* frontier prioritizer: unlike PageRank
+    it needs no convergence loop over the whole graph, so a crawler can
+    read a page's importance estimate (history + cash) at any time while
+    the crawl is still running. The reference's scheduler has no ranking
+    at all (FIFO — SURVEY.md §2.12); this is the signal a 10^10-URL crawl
+    would actually maintain incrementally between rounds.
+
+    Contract (integer-exact, so the DuckDB oracle is bit-identical):
+    every node starts with cash = SCALE micro-units and history = 0. Each
+    round, simultaneously for all nodes:
+
+    - history += cash (the node is "fetched", banking its cash),
+    - each out-neighbor receives ``cash div outdeg``,
+    - the truncation remainders plus the full cash of dangling nodes form
+      the *virtual-page pot* (OPIC's strong-connectivity device), which is
+      redistributed uniformly: every node also receives ``pot div N``.
+
+    Total mass only ever shrinks by truncation (≤ N per round), so all
+    values stay bounded by N·SCALE + iters·N·SCALE — int64-safe up to
+    ~10^11 nodes. Integer sums are associative/commutative: identical on
+    any partitioning, any engine.
+
+    Scale shape per round: one equi-join + groupBy shuffle for the
+    contributions, one scalar aggregate for the pot (broadcast back), and
+    an eager localCheckpoint to truncate lineage.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=True)
+
+    state = nodes.select(
+        "node",
+        F.lit(SCALE).cast("long").alias("cash_u"),
+        F.lit(0).cast("long").alias("hist_u"),
+    )
+    for _ in range(iters):
+        # pot = total cash minus what the out-links carry away: per linked
+        # node outdeg·(cash div outdeg) leaves, a dangling node sends 0.
+        pot_df = (
+            state.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+            .agg(
+                (
+                    F.sum("cash_u")
+                    - F.sum(
+                        F.when(F.col("outdeg").isNull(), F.lit(0).cast("long")).otherwise(
+                            F.expr("outdeg * (cash_u div outdeg)")
+                        )
+                    )
+                ).alias("pot")
+            )
+        )
+        recv = (
+            e.join(state.withColumnRenamed("node", "src").select("src", "cash_u"), "src")
+            .select(F.col("dst").alias("node"), F.expr("cash_u div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("r"))
+        )
+        state = (
+            state.join(recv, "node", "left")
+            .crossJoin(F.broadcast(pot_df))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (F.coalesce(F.col("r"), F.lit(0).cast("long")) + F.expr("pot div n"))
+                .cast("long")
+                .alias("cash_u"),
+                (F.col("hist_u") + F.col("cash_u")).cast("long").alias("hist_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def opic_oracle_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`opic_int`: unrolled fixed-iteration CTE chain
+    (one pot + recv + state triple per round). ``edges_cte`` must define
+    ``edges(src, dst)``; ends in ``state{iters}(node, cash_u, hist_u)``."""
+    parts = [
+        edges_cte,
+        f"""
+, nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+n_nodes AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, outdeg.outdeg
+                   FROM edges JOIN outdeg USING (src)),
+state0 AS (SELECT node, {SCALE}::BIGINT AS cash_u, 0::BIGINT AS hist_u FROM nodes)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", pot{i} AS (
+  SELECT (sum(s.cash_u) - sum(CASE WHEN o.outdeg IS NULL THEN 0
+                                   ELSE o.outdeg * (s.cash_u // o.outdeg) END))::BIGINT AS pot
+  FROM state{i} s LEFT JOIN outdeg o ON s.node = o.src
+), recv{i} AS (
+  SELECT e.dst AS node, sum(s.cash_u // e.outdeg)::BIGINT AS r
+  FROM e JOIN state{i} s ON e.src = s.node GROUP BY e.dst
+), state{i + 1} AS (
+  SELECT s.node,
+         (coalesce(r.r, 0) + (SELECT pot FROM pot{i}) // (SELECT n FROM n_nodes))::BIGINT AS cash_u,
+         (s.hist_u + s.cash_u)::BIGINT AS hist_u
+  FROM state{i} s LEFT JOIN recv{i} r ON s.node = r.node
+)
+"""
+        )
+    return "".join(parts)
+
+
 def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
     """DuckDB twin of :func:`hits_int`: unrolled CTE chain with scalar-
     subquery max-norms. ``edges_cte`` must define ``edges(src, dst)``;

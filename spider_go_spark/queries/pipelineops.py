@@ -22,6 +22,8 @@ from spider_go_spark.operators.graph import (
     bfs_oracle_sql,
     label_prop_oracle_sql,
     label_propagation_min,
+    opic_int,
+    opic_oracle_sql,
     pagerank_int,
     pagerank_oracle_sql,
 )
@@ -204,6 +206,47 @@ PAGERANK_TOP20_SQL = (
     + f"""
 SELECT node, rank_u FROM rank{PAGERANK_ITERS}
 ORDER BY rank_u DESC, node LIMIT 20
+"""
+)
+
+
+OPIC_ITERS = 4
+
+
+def opic_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 nodes by 4-round batch OPIC (online page importance —
+    operators/graph.opic_int) over the DIRECTED supplier→part graph from
+    lineitem. Directed on purpose: every part node is dangling, so the
+    virtual-page pot path (OPIC's strong-connectivity device) carries real
+    mass here, not just division remainders. Importance = hist_u + cash_u
+    (the estimator a crawler reads mid-crawl). Bit-exact vs the SQL oracle:
+    all arithmetic is int64 fixed-point."""
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + PART_NODE_OFFSET).cast("long").alias("dst"),
+    )
+    state = opic_int(edges, OPIC_ITERS)
+    return (
+        state.select(
+            "node", "cash_u", "hist_u", (F.col("hist_u") + F.col("cash_u")).alias("imp_u")
+        )
+        .orderBy(F.col("imp_u").desc(), "node")
+        .limit(20)
+    )
+
+
+_OPIC_EDGES_CTE = f"""
+WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT l_suppkey::BIGINT AS src, (l_partkey + {PART_NODE_OFFSET})::BIGINT AS dst FROM pairs
+)"""
+
+OPIC_TOP20_SQL = (
+    opic_oracle_sql(_OPIC_EDGES_CTE, OPIC_ITERS)
+    + f"""
+SELECT node, cash_u, hist_u, (hist_u + cash_u)::BIGINT AS imp_u FROM state{OPIC_ITERS}
+ORDER BY imp_u DESC, node LIMIT 20
 """
 )
 
@@ -920,6 +963,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "pagerank_top20": pagerank_top20,
+    "opic_top20": opic_top20,
     "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
@@ -939,6 +983,7 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pagerank_top20": PAGERANK_TOP20_SQL,
+    "opic_top20": OPIC_TOP20_SQL,
     "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,

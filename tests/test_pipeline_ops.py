@@ -179,6 +179,67 @@ def test_pagerank_partitioning_invariant(spark, star_edges):
 
 
 # --------------------------------------------------------------------------
+# OPIC (online page importance)
+# --------------------------------------------------------------------------
+
+
+def _opic_py(pairs: list[tuple[int, int]], iters: int) -> dict[int, tuple[int, int]]:
+    """Pure-Python twin of operators/graph.opic_int's integer contract."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    out: dict[int, list[int]] = {}
+    for u, v in pairs:
+        out.setdefault(u, []).append(v)
+    cash = {n: SCALE for n in nodes}
+    hist = {n: 0 for n in nodes}
+    for _ in range(iters):
+        pot = sum(cash.values()) - sum(
+            len(out[u]) * (cash[u] // len(out[u])) for u in out
+        )
+        recv = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            share = cash[u] // len(vs)
+            for v in vs:
+                recv[v] += share
+        per_node = pot // len(nodes)
+        for n in nodes:
+            hist[n] += cash[n]
+            cash[n] = recv[n] + per_node
+    return {n: (cash[n], hist[n]) for n in nodes}
+
+
+def test_opic_matches_python_twin(spark):
+    from spider_go_spark.operators.graph import opic_int
+
+    # hub + chain + TWO dangling sinks (20, 21): the virtual-page pot path
+    # carries real dangling mass, not just division remainders
+    pairs = [(i, 0) for i in range(1, 8)] + [(0, 1), (1, 2), (2, 3), (3, 20), (2, 21)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    got = {r["node"]: (r["cash_u"], r["hist_u"]) for r in opic_int(edges, iters=4).collect()}
+    assert got == _opic_py(pairs, 4)
+
+    # partitioning invariance (pure integer arithmetic)
+    got2 = {
+        r["node"]: (r["cash_u"], r["hist_u"])
+        for r in opic_int(edges.repartition(5), iters=4).collect()
+    }
+    assert got2 == got
+
+
+def test_opic_mass_conserved_up_to_truncation(spark, star_edges):
+    from spider_go_spark.operators.graph import opic_int
+
+    rows = opic_int(star_edges, iters=5).collect()
+    n = len(rows)
+    total_cash = sum(r["cash_u"] for r in rows)
+    # cash mass only shrinks by truncation: ≤ N lost per round to the
+    # pot division remainder (shares' remainders re-enter via the pot)
+    assert n * SCALE - 5 * n <= total_cash <= n * SCALE
+    # the hub banks the most importance
+    imp = {r["node"]: r["cash_u"] + r["hist_u"] for r in rows}
+    assert max(imp, key=imp.get) == 0
+
+
+# --------------------------------------------------------------------------
 # canonical-doc retention + inverted index (gate queries; invariants here,
 # value-exact parity in tools/parity_check.py / the driver)
 # --------------------------------------------------------------------------
