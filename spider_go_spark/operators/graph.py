@@ -419,25 +419,31 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5) -> str:
     loop is unrolled — exactly as many joins/groupBys as the Spark plan).
     ``edges_cte`` must define ``edges(src, dst)``; returns a query ending in
     ``rank{iters}(node, rank_u)`` ready for a final SELECT."""
-    parts = [
-        edges_cte,
-        f"""
+    prelude = f"""
 , nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
 outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-e AS MATERIALIZED (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src)),
-rank0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)
-""",
-    ]
+e AS MATERIALIZED (SELECT edges.src, edges.dst, outdeg.outdeg FROM edges JOIN outdeg USING (src))
+"""
+    return edges_cte + prelude + pagerank_iters_sql(iters)
+
+
+def pagerank_iters_sql(iters: int = 5, prefix: str = "rank") -> str:
+    """The PageRank iteration CTEs alone (``{prefix}0..{prefix}{iters}``),
+    expecting ``nodes(node, …)`` and ``e(src, dst, outdeg)`` CTEs upstream
+    — the composition hook for oracles that run PageRank *and* another
+    chain (e.g. TrustRank for spam mass) over one shared edge set; same
+    contract as :func:`pagerank_oracle_sql`."""
+    parts = [f"\n, {prefix}0 AS (SELECT node, {SCALE}::BIGINT AS rank_u FROM nodes)\n"]
     for i in range(iters):
         parts.append(
-            f""", rank{i + 1} AS (
+            f""", {prefix}{i + 1} AS (
   SELECT n.node,
          ({TELEPORT_U} + (coalesce(a.s, 0) // {SCALE}) * {DAMPING_PPM}
           + ((coalesce(a.s, 0) % {SCALE}) * {DAMPING_PPM}) // {SCALE})::BIGINT AS rank_u
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r.rank_u // e.outdeg)::BIGINT AS s
-    FROM e JOIN rank{i} r ON e.src = r.node GROUP BY e.dst
+    FROM e JOIN {prefix}{i} r ON e.src = r.node GROUP BY e.dst
   ) a ON n.node = a.node
 )
 """

@@ -535,6 +535,69 @@ ORDER BY trust_u DESC, node LIMIT {HOST_PR_TOPK}
 )
 
 
+SPAM_MASS_TOPK = 25
+SPAM_MASS_MIN_RANK = 160_000  # above the 150k teleport floor: earns rank from links
+
+
+def host_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Link Spam
+    Detection Based on Mass Estimation", VLDB 2006): the fraction of a
+    host's PageRank NOT accounted for by trust flowing from the vetted
+    seed list — ``mass_pm = (rank − min(trust, rank)) · 1000 div rank``
+    per-mille. High rank + high mass is the link-farm fingerprint: the
+    host earns its rank from pages the seed set cannot reach. This is the
+    demotion signal a crawl scheduler applies on top of raw host rank.
+
+    Both kernels run over ONE shared host edge set (the same collapsed
+    graph host_trustrank_top uses), so the scale shape is two independent
+    fixed-point iterations on the ~10^4×-collapsed graph plus one final
+    equi-join. Integer per-mille keeps the product rank_u·1000 int64-safe
+    to ~9·10^9 hosts. Bit-exact vs the composed unrolled-CTE oracle
+    (trustrank chain + pagerank_iters_sql over the same nodes/e CTEs)."""
+    from spider_go_spark.functions.spans import link_anchor_texts
+    from spider_go_spark.operators.graph import pagerank_int, trustrank_int
+
+    links = link_anchor_texts(_synth_link_docs(spark, sf))
+    edges = links.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % N_SRC_HOSTS).cast("string")).alias(
+            "src"
+        ),
+        F.regexp_extract("href", r"^[a-z0-9+.-]+://([^/:?#]*)", 1).alias("dst"),
+    ).distinct()
+    trusted = spark.createDataFrame([(h,) for h in TRUSTED_HOSTS], "node string")
+    pr = pagerank_int(edges, TRUSTRANK_ITERS)
+    tr = trustrank_int(edges, trusted, TRUSTRANK_ITERS)
+    return (
+        pr.join(tr, "node")
+        .filter(F.col("rank_u") >= SPAM_MASS_MIN_RANK)
+        .select(
+            "node",
+            "rank_u",
+            "trust_u",
+            F.expr("((rank_u - least(trust_u, rank_u)) * 1000) div rank_u").alias(
+                "mass_pm"
+            ),
+        )
+        .orderBy(F.col("mass_pm").desc(), F.col("rank_u").desc(), "node")
+        .limit(SPAM_MASS_TOPK)
+    )
+
+
+from spider_go_spark.operators.graph import pagerank_iters_sql  # noqa: E402
+
+HOST_SPAM_MASS_SQL = (
+    trustrank_oracle_sql(_HOST_EDGES_UNW_CTE, _TRUSTED_SQL, TRUSTRANK_ITERS)
+    + pagerank_iters_sql(TRUSTRANK_ITERS)
+    + f"""
+SELECT r.node, r.rank_u, t.trust_u,
+       ((r.rank_u - least(t.trust_u, r.rank_u)) * 1000) // r.rank_u AS mass_pm
+FROM rank{TRUSTRANK_ITERS} r JOIN trust{TRUSTRANK_ITERS} t ON r.node = t.node
+WHERE r.rank_u >= {SPAM_MASS_MIN_RANK}
+ORDER BY mass_pm DESC, r.rank_u DESC, r.node LIMIT {SPAM_MASS_TOPK}
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # retrieval over the fetched corpus: inverted-index dictionary, positional
 # phrase match, boolean posting-list retrieval
@@ -1441,6 +1504,7 @@ QUERIES = {
     "anchor_text_topk": anchor_text_topk,
     "host_pagerank_top": host_pagerank_top,
     "host_trustrank_top": host_trustrank_top,
+    "host_spam_mass": host_spam_mass,
     "inverted_index_stats": inverted_index_stats,
     "phrase_match": phrase_match,
     "boolean_retrieval": boolean_retrieval,
@@ -1462,6 +1526,7 @@ ORACLES = {
     "anchor_text_topk": ANCHOR_TEXT_TOPK_SQL,
     "host_pagerank_top": HOST_PAGERANK_TOP_SQL,
     "host_trustrank_top": HOST_TRUSTRANK_TOP_SQL,
+    "host_spam_mass": HOST_SPAM_MASS_SQL,
     "inverted_index_stats": INVERTED_INDEX_STATS_SQL,
     "phrase_match": PHRASE_MATCH_SQL,
     "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,

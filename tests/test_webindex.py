@@ -152,6 +152,34 @@ def test_trustrank_flows_only_from_seeds(spark):
     assert got["s"] >= TELEPORT_U and got["a"] > 0 and got["b"] > 0
 
 
+def test_spam_mass_fingerprint(spark):
+    """Relative spam mass on the same handcrafted graph: the interlinked
+    farm {x, y} is unreachable from the seed, so its mass_pm is 1000
+    (pure spam rank); the seed-reachable chain carries low mass."""
+    from spider_go_spark.operators.graph import pagerank_int, trustrank_int
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    trusted = spark.createDataFrame([("s",)], "node string")
+    pr = pagerank_int(edges, 3)
+    tr = trustrank_int(edges, trusted, 3)
+    mass = {
+        r["node"]: r["mass_pm"]
+        for r in pr.join(tr, "node")
+        .select(
+            "node",
+            F.expr("((rank_u - least(trust_u, rank_u)) * 1000) div rank_u").alias(
+                "mass_pm"
+            ),
+        )
+        .collect()
+    }
+    assert mass["x"] == 1000 and mass["y"] == 1000  # farm: all rank untrusted
+    assert all(0 <= v <= 1000 for v in mass.values())
+    assert mass["a"] < 1000 and mass["b"] < 1000  # trust reaches the chain
+
+
 def test_resolve_pointer_chains_doubling(spark):
     from pyspark.sql import Row
 
