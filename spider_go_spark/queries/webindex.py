@@ -389,6 +389,86 @@ def anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+FOCUS_TOPIC = ("spark", "scan", "window")  # shares the BM25 query terms
+FOCUS_REL_MIN_PM = 300  # a link counts as on-topic at ≥ 0.3 Jaccard
+
+
+def focused_crawl_relevance(spark: SparkSession, sf: str) -> DataFrame:
+    """Focused-crawl target scoring (Shark-Search family, Hersovici et
+    al. 1998): rank un-fetched link targets by how well their ANCHOR
+    TEXT matches the crawl topic — the signal a focused crawler uses to
+    decide which frontier URLs are worth budget before ever fetching
+    them. Relevance is integer Jaccard per-mille between the link's
+    distinct anchor tokens and the topic term set; per target we report
+    the best link's relevance, the total in-links, and how many clear
+    the on-topic threshold (multiply-free: the threshold test is on the
+    already-integer per-mille score).
+
+    Scale shape: anchor extraction is the map-only span HOF; the Jaccard
+    is a pure projection (array_intersect/union on a 3-term literal);
+    the only shuffle is the per-target hash agg — bounded by distinct
+    targets, not corpus size."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.spans import link_anchor_texts
+
+    anchors = link_anchor_texts(_synth_link_docs(spark, sf))
+    topic = F.array(*[F.lit(t) for t in FOCUS_TOPIC])
+    rel = anchors.select(
+        "href",
+        (
+            1000
+            * F.size(F.array_intersect(F.array_distinct(tk.tokens(F.col("anchor"))), topic))
+        )
+        .cast("long")
+        .alias("inter_k"),
+        F.size(F.array_union(F.array_distinct(tk.tokens(F.col("anchor"))), topic))
+        .cast("long")
+        .alias("union_n"),
+    ).select("href", F.expr("inter_k div union_n").alias("rel_pm"))
+    return (
+        rel.groupBy("href")
+        .agg(
+            F.max("rel_pm").alias("best_pm"),
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum(F.when(F.col("rel_pm") >= FOCUS_REL_MIN_PM, 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_topic"),
+        )
+        .orderBy(F.desc("best_pm"), "href")
+    )
+
+
+def _focused_sql() -> str:
+    topic = ", ".join(f"'{t}'" for t in FOCUS_TOPIC)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), gs AS (
+  SELECT doc_id, tokens,
+         unnest(range(0, (len(tokens) + {ANCHOR_GROUP_TOKENS} - 1) // {ANCHOR_GROUP_TOKENS})) AS g
+  FROM toks WHERE len(tokens) > 0
+), links AS (
+  SELECT 'http://t' || ((doc_id * 7 + g) % {N_ANCHOR_TARGETS})::VARCHAR
+           || '.example.test/' AS href,
+         list_distinct(tokens[{ANCHOR_GROUP_TOKENS}*g + 1 : {ANCHOR_GROUP_TOKENS}*(g+1)]) AS at
+  FROM gs WHERE g % {ANCHOR_LINK_EVERY} = 0
+), rel AS (
+  SELECT href,
+         ((1000 * len(list_intersect(at, [{topic}])))
+           // len(list_distinct(at || [{topic}])))::BIGINT AS rel_pm
+  FROM links
+)
+SELECT href, max(rel_pm)::BIGINT AS best_pm, count(*)::BIGINT AS n_links,
+       sum(CASE WHEN rel_pm >= {FOCUS_REL_MIN_PM} THEN 1 ELSE 0 END)::BIGINT AS n_on_topic
+FROM rel GROUP BY href
+ORDER BY best_pm DESC, href
+"""
+
+
+FOCUSED_CRAWL_RELEVANCE_SQL = _focused_sql()
+
+
 ANCHOR_TEXT_TOPK_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
@@ -1105,6 +1185,133 @@ ORDER BY score_q20 DESC, doc_id LIMIT {BM25_TOP_K}
 BM25_TOPK_SQL = _bm25_sql()
 
 
+# --------------------------------------------------------------------------
+# Static index pruning (Carmel et al., SIGIR 2001): for each frequent term,
+# keep only the postings whose BM25 impact is within ε of the term's top
+# impact — the lossy index-size/quality dial large search deployments tune
+# (impact-ordered posting lists store exactly these per-term score tops).
+# --------------------------------------------------------------------------
+
+PRUNE_TOP_TERMS = 40
+PRUNE_EPS_PM = 500  # keep postings scoring ≥ 0.5 × the term's top impact
+
+
+def index_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-term static-pruning report over the ``PRUNE_TOP_TERMS`` most
+    frequent terms: posting count (df), postings kept at the ε threshold,
+    the pruned fraction in per-mille, and the term's top impact score.
+
+    Scale shape: term selection and df are one hash agg over the token
+    stream; scoring reuses the BM25 int64 kernel on postings of the
+    selected terms only (a broadcast semi-join — 40 rows); the keep test
+    is the multiply-compare ``s·1000 ≥ top·ε`` so no division truncation
+    can disagree across engines. Everything after the term cut is
+    proportional to the selected postings, not the corpus."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.intmath import log2_q20
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    occ = toks.select("doc_id", F.explode("toks").alias("term"))
+    top_terms = (
+        occ.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(PRUNE_TOP_TERMS)
+    )
+    idf = top_terms.crossJoin(F.broadcast(corpus)).select(
+        "term", "df", log2_q20("2 * n_docs + 2", "2 * df + 1").alias("idf_q20")
+    )
+    postings = (
+        occ.join(F.broadcast(top_terms.select("term")), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "s_q20",
+            F.expr(
+                f"(idf_q20 * ((1000 * tf * (1000 + {BM25_K1})) div"
+                f" (1000 * tf + {BM25_K1} * (1000 - {BM25_B}"
+                f"   + ({BM25_B} * ((dl * n_docs * 1000) div total_dl)) div 1000))))"
+                f" div 1000"
+            ),
+        )
+    )
+    tops = scored.groupBy("term").agg(F.max("s_q20").alias("top_s_q20"))
+    return (
+        scored.join(F.broadcast(tops), "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum(
+                F.when(
+                    F.expr(f"s_q20 * 1000 >= top_s_q20 * {PRUNE_EPS_PM}"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("kept"),
+            F.max("top_s_q20").alias("top_s_q20"),
+        )
+        .withColumn("pruned_pm", F.expr("((df - kept) * 1000) div df"))
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+def _index_prune_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    lg = log2_q20_duckdb_ctes(
+        "2 * n_docs + 2", "2 * df + 1", "(SELECT term, df, n_docs FROM topt, corpus)", "term"
+    )
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks
+), corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl
+), occ AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+), topt AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM occ GROUP BY term ORDER BY df DESC, term LIMIT {PRUNE_TOP_TERMS}
+), postings AS (
+  SELECT o.term, o.doc_id, count(*)::BIGINT AS tf
+  FROM occ o JOIN topt USING (term) GROUP BY o.term, o.doc_id
+), {lg}, scored AS (
+  SELECT p.term,
+         (l.log2_q20 * ((1000 * p.tf * (1000 + {BM25_K1})) //
+           (1000 * p.tf + {BM25_K1} * (1000 - {BM25_B}
+             + ({BM25_B} * ((d.dl * c.n_docs * 1000) // c.total_dl)) // 1000)))) // 1000
+           AS s_q20
+  FROM postings p JOIN dl d USING (doc_id) JOIN lg l USING (term), corpus c
+), tops AS (
+  SELECT term, max(s_q20) AS top_s_q20 FROM scored GROUP BY term
+)
+SELECT s.term, count(*)::BIGINT AS df,
+       sum(CASE WHEN s.s_q20 * 1000 >= t.top_s_q20 * {PRUNE_EPS_PM}
+                THEN 1 ELSE 0 END)::BIGINT AS kept,
+       max(t.top_s_q20) AS top_s_q20,
+       (((count(*) - sum(CASE WHEN s.s_q20 * 1000 >= t.top_s_q20 * {PRUNE_EPS_PM}
+                              THEN 1 ELSE 0 END)) * 1000) // count(*))::BIGINT AS pruned_pm
+FROM scored s JOIN tops t USING (term) GROUP BY s.term
+ORDER BY df DESC, term
+"""
+
+
+INDEX_PRUNE_STATS_SQL = _index_prune_sql()
+
+
 N_RECIP_HOSTS = 20
 
 
@@ -1509,6 +1716,8 @@ QUERIES = {
     "phrase_match": phrase_match,
     "boolean_retrieval": boolean_retrieval,
     "bm25_topk": bm25_topk,
+    "index_prune_stats": index_prune_stats,
+    "focused_crawl_relevance": focused_crawl_relevance,
     "domain_farm_audit": domain_farm_audit,
     "link_locality_audit": link_locality_audit,
     "posting_compression_stats": posting_compression_stats,
@@ -1531,6 +1740,8 @@ ORACLES = {
     "phrase_match": PHRASE_MATCH_SQL,
     "boolean_retrieval": BOOLEAN_RETRIEVAL_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "index_prune_stats": INDEX_PRUNE_STATS_SQL,
+    "focused_crawl_relevance": FOCUSED_CRAWL_RELEVANCE_SQL,
     "domain_farm_audit": DOMAIN_FARM_AUDIT_SQL,
     "link_locality_audit": LINK_LOCALITY_AUDIT_SQL,
     "posting_compression_stats": POSTING_COMPRESSION_SQL,
