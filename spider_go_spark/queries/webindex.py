@@ -467,8 +467,6 @@ ORDER BY best_pm DESC, href
 
 
 FOCUSED_CRAWL_RELEVANCE_SQL = _focused_sql()
-
-
 ANCHOR_TEXT_TOPK_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
@@ -676,6 +674,65 @@ WHERE r.rank_u >= {SPAM_MASS_MIN_RANK}
 ORDER BY mass_pm DESC, r.rank_u DESC, r.node LIMIT {SPAM_MASS_TOPK}
 """
 )
+
+
+COCITE_MAX_OUTDEG = 64  # hub cap: a source linking to everything says nothing
+COCITE_TOPK = 30
+
+
+def host_cocitation(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-citation host similarity (Small 1973, applied to the web by
+    Dean & Henzinger's related-pages work): two hosts are related when
+    many SOURCES link to both — the crawl-side "users who fetched A also
+    need B" signal for seed expansion and related-host discovery.
+
+    Scale shape: the pair generation is a self-equi-join on the source
+    key, which is quadratic in per-source out-degree — so sources above
+    ``COCITE_MAX_OUTDEG`` are dropped first (the standard hub cap: a page
+    linking to everything carries no discrimination, and the cap bounds
+    the join fan-out at outdeg²/2 per source). After the cap the plan is
+    one equi-join + one hash agg on the pair key; the canonical a < b
+    ordering halves the pair space and makes the count engine-invariant."""
+    from spider_go_spark.functions.spans import link_anchor_texts
+
+    links = link_anchor_texts(_synth_link_docs(spark, sf))
+    edges = links.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % N_SRC_HOSTS).cast("string")).alias(
+            "src"
+        ),
+        F.regexp_extract("href", r"^[a-z0-9+.-]+://([^/:?#]*)", 1).alias("dst"),
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    capped = edges.join(
+        outdeg.filter(F.col("outdeg") <= COCITE_MAX_OUTDEG).select("src"), "src"
+    )
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .select(F.col("a.dst").alias("host_a"), F.col("b.dst").alias("host_b"))
+    )
+    return (
+        pairs.groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cociting"))
+        .orderBy(F.desc("n_cociting"), "host_a", "host_b")
+        .limit(COCITE_TOPK)
+    )
+
+
+HOST_COCITATION_SQL = rf"""
+{_HOST_EDGES_UNW_CTE}
+, outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+capped AS (
+  SELECT e.src, e.dst FROM edges e JOIN outdeg o USING (src)
+  WHERE o.outdeg <= {COCITE_MAX_OUTDEG}
+)
+SELECT a.dst AS host_a, b.dst AS host_b, count(*)::BIGINT AS n_cociting
+FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst
+ORDER BY n_cociting DESC, host_a, host_b LIMIT {COCITE_TOPK}
+"""
+
 
 
 # --------------------------------------------------------------------------
@@ -1718,6 +1775,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "index_prune_stats": index_prune_stats,
     "focused_crawl_relevance": focused_crawl_relevance,
+    "host_cocitation": host_cocitation,
     "domain_farm_audit": domain_farm_audit,
     "link_locality_audit": link_locality_audit,
     "posting_compression_stats": posting_compression_stats,
@@ -1742,6 +1800,7 @@ ORACLES = {
     "bm25_topk": BM25_TOPK_SQL,
     "index_prune_stats": INDEX_PRUNE_STATS_SQL,
     "focused_crawl_relevance": FOCUSED_CRAWL_RELEVANCE_SQL,
+    "host_cocitation": HOST_COCITATION_SQL,
     "domain_farm_audit": DOMAIN_FARM_AUDIT_SQL,
     "link_locality_audit": LINK_LOCALITY_AUDIT_SQL,
     "posting_compression_stats": POSTING_COMPRESSION_SQL,
