@@ -469,23 +469,11 @@ N_DIFF_HOSTS = 12
 N_DIFF_PAGES = 400
 
 
-def recrawl_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Recrawl diff: two captures of the same sites compared URL-by-URL —
-    per host, how many pages were ADDED, GONE, CHANGED (content hash
-    moved) or UNCHANGED between rounds, with a change-rate per-mille. This
-    is the corpus-level audit that tunes adaptive revisit (a host at
-    900 pm change rate deserves short intervals; one at 0 pm wastes
-    budget), the static twin of the engine's per-URL change detection
-    (plans/round_loop adaptive revisit).
-
-    Synthesis: capture A = pages 0..349 per host, capture B = pages
-    50..399 (50 gone, 50 added), with every 7th page's content version
-    bumped in B. The operator is generic: one full-outer join on the URL
-    key, a classify projection, one host-keyed agg.
-
-    Scale shape: the join is URL-keyed (uniform hash); both sides prune
-    to the compared rounds via partition filters on a real capture table;
-    output rows = hosts."""
+def _diff_captures(spark: SparkSession, sf: str):
+    """Two deterministic captures of the same sites (shared by
+    recrawl_diff_audit and change_rate_revisit): capture A = pages 0..349
+    per host, capture B = pages 50..399 (50 gone, 50 added), every 7th
+    page's content version bumped in B."""
     from spider_go_spark.queries import T
 
     li = T(spark, sf, "lineitem")
@@ -505,6 +493,27 @@ def recrawl_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p") * 31 % 1000
          + F.when(F.col("p") % 7 == 0, 1).otherwise(0)).alias("content_v"),
     )
+    return cap_a, cap_b
+
+
+def recrawl_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl diff: two captures of the same sites compared URL-by-URL —
+    per host, how many pages were ADDED, GONE, CHANGED (content hash
+    moved) or UNCHANGED between rounds, with a change-rate per-mille. This
+    is the corpus-level audit that tunes adaptive revisit (a host at
+    900 pm change rate deserves short intervals; one at 0 pm wastes
+    budget), the static twin of the engine's per-URL change detection
+    (plans/round_loop adaptive revisit).
+
+    Synthesis: capture A = pages 0..349 per host, capture B = pages
+    50..399 (50 gone, 50 added), with every 7th page's content version
+    bumped in B. The operator is generic: one full-outer join on the URL
+    key, a classify projection, one host-keyed agg.
+
+    Scale shape: the join is URL-keyed (uniform hash); both sides prune
+    to the compared rounds via partition filters on a real capture table;
+    output rows = hosts."""
+    cap_a, cap_b = _diff_captures(spark, sf)
     j = cap_a.alias("a").join(
         cap_b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer"
     )
@@ -533,8 +542,7 @@ def recrawl_diff_audit(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("host")
 
 
-RECRAWL_DIFF_SQL = f"""
-WITH base AS (
+_DIFF_CAPS_CTES = f"""base AS (
   SELECT DISTINCT (l_suppkey % {N_DIFF_HOSTS})::BIGINT AS h,
                   (l_partkey % {N_DIFF_PAGES})::BIGINT AS p
   FROM lineitem
@@ -546,7 +554,10 @@ WITH base AS (
   SELECT h, 'http://d' || h::VARCHAR || '.example.test/p/' || p::VARCHAR AS url,
          (p * 31 % 1000 + CASE WHEN p % 7 = 0 THEN 1 ELSE 0 END) AS content_v
   FROM base WHERE p >= 50
-), cls AS (
+)"""
+
+RECRAWL_DIFF_SQL = f"""
+WITH {_DIFF_CAPS_CTES}, cls AS (
   SELECT coalesce(a.h, b.h) AS h,
          CASE WHEN a.url IS NULL THEN 'added'
               WHEN b.url IS NULL THEN 'gone'
@@ -569,6 +580,100 @@ FROM agg ORDER BY host
 """
 
 
+# --------------------------------------------------------------------------
+# Change-rate estimation → revisit interval (Cho & Garcia-Molina, "Estimating
+# frequency of change", TOIT 2003): a page sampled every I rounds that
+# changed in X of n comparable observations has Poisson-MLE change rate
+# λ̂·I = ln(n / (n − X)). Kept in exact log2 Q20 units (the same integer
+# binary-log kernel BM25 uses — ln and log2 differ by a constant factor, so
+# the recommended-interval RANKING is identical), the freshness-optimal
+# revisit interval is ∝ I / λ̂: interval = clamp((I << 20) div rate_q20).
+# This is the published estimator behind the engine's adaptive revisit
+# (plans/round_loop.py doubles/halves empirically; this computes the rate).
+# --------------------------------------------------------------------------
+
+PROBE_INTERVAL_ROUNDS = 8
+REVISIT_MIN_ROUNDS = 1
+REVISIT_MAX_ROUNDS = 64
+
+
+def change_rate_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host Poisson change-rate estimate from the two-capture diff,
+    and the recommended revisit interval in rounds. Only URLs present in
+    BOTH captures are comparable observations (added/gone pages say
+    nothing about in-place change); X is clamped to n−1 so an
+    every-page-changed host gets the shortest interval instead of a
+    division by ln(∞), and a never-changed host gets the max interval.
+
+    Scale shape: one URL-keyed inner join + one host-keyed agg; the log2
+    kernel is a per-host projection (rows = hosts)."""
+    from spider_go_spark.functions.intmath import log2_q20
+
+    cap_a, cap_b = _diff_captures(spark, sf)
+    j = cap_a.alias("a").join(cap_b.alias("b"), "url")
+    per_host = (
+        j.select(
+            F.col("a.h").alias("h"),
+            F.when(F.col("a.content_v") != F.col("b.content_v"), 1)
+            .otherwise(0)
+            .alias("chg"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_compared"),
+            F.sum("chg").cast("long").alias("n_changed"),
+        )
+    )
+    rated = per_host.withColumn(
+        "rate_q20",
+        log2_q20("n_compared", "n_compared - least(n_changed, n_compared - 1)"),
+    )
+    return rated.select(
+        F.concat(F.lit("d"), F.col("h").cast("string"), F.lit(".example.test"))
+        .alias("host"),
+        "n_compared",
+        "n_changed",
+        "rate_q20",
+        F.expr(
+            f"CASE WHEN rate_q20 = 0 THEN {REVISIT_MAX_ROUNDS}"
+            f" ELSE greatest({REVISIT_MIN_ROUNDS}, least({REVISIT_MAX_ROUNDS},"
+            f"   ({PROBE_INTERVAL_ROUNDS} * 1048576) div rate_q20)) END"
+        )
+        .cast("long")
+        .alias("revisit_rounds"),
+    ).orderBy("host")
+
+
+def _change_rate_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    lg = log2_q20_duckdb_ctes(
+        "n_compared",
+        "n_compared - least(n_changed, n_compared - 1)",
+        "per_host",
+        "h",
+    )
+    return f"""
+WITH RECURSIVE {_DIFF_CAPS_CTES}, per_host AS (
+  SELECT a.h,
+         count(*)::BIGINT AS n_compared,
+         sum(CASE WHEN a.content_v <> b.content_v THEN 1 ELSE 0 END)::BIGINT AS n_changed
+  FROM cap_a a JOIN cap_b b USING (url) GROUP BY a.h
+), {lg}
+SELECT 'd' || p.h::VARCHAR || '.example.test' AS host,
+       p.n_compared, p.n_changed, l.log2_q20 AS rate_q20,
+       (CASE WHEN l.log2_q20 = 0 THEN {REVISIT_MAX_ROUNDS}
+             ELSE greatest({REVISIT_MIN_ROUNDS}, least({REVISIT_MAX_ROUNDS},
+               ({PROBE_INTERVAL_ROUNDS} * 1048576) // l.log2_q20)) END)::BIGINT
+         AS revisit_rounds
+FROM per_host p JOIN lg l USING (h)
+ORDER BY host
+"""
+
+
+CHANGE_RATE_REVISIT_SQL = _change_rate_sql()
+
+
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_budget_allocation": crawl_budget_allocation,
@@ -578,6 +683,7 @@ QUERIES = {
     "url_trap_filter": url_trap_filter,
     "redirect_resolution": redirect_resolution,
     "recrawl_diff_audit": recrawl_diff_audit,
+    "change_rate_revisit": change_rate_revisit,
 }
 
 # The iterative crawl queries are non-SQL-expressible (rows-only checks);
@@ -589,4 +695,5 @@ ORACLES: dict[str, str] = {
     "frontier_pagerank_rerank": _rerank_sql(),
     "redirect_resolution": REDIRECT_RESOLUTION_SQL,
     "recrawl_diff_audit": RECRAWL_DIFF_SQL,
+    "change_rate_revisit": CHANGE_RATE_REVISIT_SQL,
 }

@@ -139,3 +139,38 @@ def test_update_policy_diff_classification(spark, tmp_path):
     }
     assert eng.cfg.config_version == v0 + 1
     assert eng._has_revisit  # memo refreshed from the new policy
+
+
+def test_change_rate_revisit_matches_mle(spark):
+    """The Cho/Garcia-Molina estimator gate: rate_q20 equals the float
+    MLE log2(n/(n-X)) within the log2 kernel's documented 2^-14 accuracy
+    (= 64 q20 units), intervals stay clamped, and a host that changes
+    more never gets a LONGER revisit interval."""
+    import math
+
+    from spider_go_spark.queries.crawlq import (
+        PROBE_INTERVAL_ROUNDS,
+        REVISIT_MAX_ROUNDS,
+        REVISIT_MIN_ROUNDS,
+        change_rate_revisit,
+    )
+
+    rows = change_rate_revisit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_frac = []
+    for r in rows:
+        n, x = r["n_compared"], r["n_changed"]
+        assert 0 <= x <= n
+        want = math.log2(n / (n - min(x, n - 1)))
+        assert abs(r["rate_q20"] - round(want * (1 << 20))) <= 64
+        assert REVISIT_MIN_ROUNDS <= r["revisit_rounds"] <= REVISIT_MAX_ROUNDS
+        if r["rate_q20"] > 0:
+            # the interval is the clamped integer I/λ̂ (in log2 units)
+            want_iv = (PROBE_INTERVAL_ROUNDS * (1 << 20)) // r["rate_q20"]
+            assert r["revisit_rounds"] == max(
+                REVISIT_MIN_ROUNDS, min(REVISIT_MAX_ROUNDS, want_iv)
+            )
+        by_frac.append((x / n if n else 0.0, r["revisit_rounds"]))
+    by_frac.sort()
+    ivs = [iv for _, iv in by_frac]
+    assert all(a >= b for a, b in zip(ivs, ivs[1:]))  # more change, not longer
