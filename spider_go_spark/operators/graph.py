@@ -577,30 +577,84 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
+def bfs_iters_sql(
+    seeds_sql: str, max_hops: int, prefix: str = "dist", edges_name: str = "edges"
+) -> str:
+    """The BFS per-hop CTE chain alone (``{prefix}0..{prefix}{max_hops}``),
+    expanding over an upstream CTE named ``edges_name(src, dst)`` — the
+    composition hook for oracles that run more than one BFS in a single
+    query (e.g. forward + backward reachability for bow-tie structure).
+    ``seeds_sql`` is a query producing ``node``."""
+    parts = [
+        f""",
+{prefix}0 AS MATERIALIZED (SELECT DISTINCT node::BIGINT AS node, 0 AS dist FROM ({seeds_sql}))
+""",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""", {prefix}nx{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node, {k} AS dist
+  FROM {prefix}{k - 1} f JOIN {edges_name} e ON f.node = e.src
+  WHERE f.dist = {k - 1} AND e.dst NOT IN (SELECT node FROM {prefix}{k - 1})
+), {prefix}{k} AS MATERIALIZED (
+  SELECT node, dist FROM {prefix}{k - 1} UNION ALL SELECT node, dist FROM {prefix}nx{k}
+)
+"""
+        )
+    return "".join(parts)
+
+
 def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int) -> str:
     """DuckDB twin of :func:`bfs_levels`: unrolled per-hop CTE chain
     (matching the Spark loop join-for-join; CTEs materialized so DuckDB
     doesn't re-derive every prior level per hop). ``edges_cte`` must define
     ``edges(src, dst)``; ``seeds_sql`` is a query producing ``node``;
     returns SQL ending in ``dist{max_hops}(node, dist)``."""
-    parts = [
-        edges_cte,
-        f""",
-dist0 AS MATERIALIZED (SELECT DISTINCT node::BIGINT AS node, 0 AS dist FROM ({seeds_sql}))
-""",
-    ]
-    for k in range(1, max_hops + 1):
-        parts.append(
-            f""", next{k} AS MATERIALIZED (
-  SELECT DISTINCT e.dst AS node, {k} AS dist
-  FROM dist{k - 1} f JOIN edges e ON f.node = e.src
-  WHERE f.dist = {k - 1} AND e.dst NOT IN (SELECT node FROM dist{k - 1})
-), dist{k} AS MATERIALIZED (
-  SELECT node, dist FROM dist{k - 1} UNION ALL SELECT node, dist FROM next{k}
-)
-"""
+    return edges_cte + bfs_iters_sql(seeds_sql, max_hops)
+
+
+def bowtie_components(edges: DataFrame, max_hops: int) -> DataFrame:
+    """(component, n_nodes) — bow-tie census of a directed graph (Broder
+    et al., WWW 2000) under a bounded-hop contract: from the
+    best-connected hub (max total degree, ties to the smallest node id)
+    run a forward and a backward ``max_hops`` BFS and classify every node
+    as ``core`` (both reach), ``in`` (reaches the hub only), ``out``
+    (reached from the hub only) or ``other`` (neither — tendrils and
+    disconnected pieces). See queries/pipelineops.bowtie_structure for the
+    gate query and the matching unrolled-CTE oracle."""
+    ends = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    nodes = ends.distinct()
+    hub = (
+        ends.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "node")
+        .limit(1)
+        .select("node")
+    )
+    fwd = bfs_levels(edges, hub, max_hops).select("node")
+    bwd = bfs_levels(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        hub,
+        max_hops,
+    ).select("node")
+    cls = (
+        nodes.join(fwd.withColumn("in_f", F.lit(1)), "node", "left")
+        .join(bwd.withColumn("in_b", F.lit(1)), "node", "left")
+        .select(
+            F.when(F.col("in_f").isNotNull() & F.col("in_b").isNotNull(), "core")
+            .when(F.col("in_b").isNotNull(), "in")
+            .when(F.col("in_f").isNotNull(), "out")
+            .otherwise("other")
+            .alias("component")
         )
-    return "".join(parts)
+    )
+    return (
+        cls.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("component")
+    )
 
 
 def resolve_pointer_chains(edges: DataFrame, max_hops: int) -> DataFrame:

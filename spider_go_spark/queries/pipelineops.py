@@ -210,6 +210,84 @@ ORDER BY rank_u DESC, node LIMIT 20
 )
 
 
+BOWTIE_HOPS = 4
+BOWTIE_M = 2000
+BOWTIE_EDGE_MOD = 11  # sparsifier: dense graphs collapse to all-core
+
+
+def bowtie_structure(spark: SparkSession, sf: str) -> DataFrame:
+    """Bow-tie macro-structure of a directed graph (Broder et al., WWW
+    2000): pick the best-connected hub, run a FORWARD and a BACKWARD
+    bounded BFS from it, and classify every node as ``core`` (reaches and
+    is reached — the strongly-connected heart, within the hop bound),
+    ``in`` (reaches the core but isn't reached), ``out`` (reached but
+    doesn't reach back), or ``other`` (tendrils/disconnected). The classic
+    whole-web census a crawl operator runs to know what share of the graph
+    a seed placement can ever discover.
+
+    Bounded-hop contract: both BFS runs expand exactly ``BOWTIE_HOPS``
+    levels (the unrolled oracle matches join-for-join), so "reaches" means
+    within k hops — the exact question a depth-capped crawl asks. Scale
+    shape: two bfs_levels runs (equi-join + anti-join per hop, lineage
+    checkpointed) + two left joins + one 4-row agg."""
+    from spider_go_spark.operators.graph import bowtie_components
+
+    li = T(spark, sf, "lineitem")
+    edges = (
+        li.filter(F.col("l_orderkey") % BOWTIE_EDGE_MOD == 0)
+        .select(
+            (F.col("l_suppkey") % BOWTIE_M).cast("long").alias("src"),
+            ((F.col("l_partkey") * 3 + F.col("l_linenumber")) % BOWTIE_M)
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return bowtie_components(edges, BOWTIE_HOPS)
+
+
+def _bowtie_sql() -> str:
+    from spider_go_spark.operators.graph import bfs_iters_sql
+
+    h = BOWTIE_HOPS
+    return (
+        f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT (l_suppkey % {BOWTIE_M})::BIGINT AS src,
+         ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})::BIGINT AS dst
+  FROM lineitem
+  WHERE l_orderkey % {BOWTIE_EDGE_MOD} = 0
+    AND (l_suppkey % {BOWTIE_M}) <> ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})
+), redges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+                       UNION SELECT DISTINCT dst FROM edges),
+hub AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM
+      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    GROUP BY node
+  ) ORDER BY deg DESC, node LIMIT 1
+)"""
+        + bfs_iters_sql("SELECT node FROM hub", h, "fd", "edges")
+        + bfs_iters_sql("SELECT node FROM hub", h, "bd", "redges")
+        + f"""
+SELECT CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'in'
+            WHEN f.node IS NOT NULL THEN 'out'
+            ELSE 'other' END AS component,
+       count(*)::BIGINT AS n_nodes
+FROM nodes n
+LEFT JOIN (SELECT DISTINCT node FROM fd{h}) f ON n.node = f.node
+LEFT JOIN (SELECT DISTINCT node FROM bd{h}) b ON n.node = b.node
+GROUP BY component ORDER BY component
+"""
+    )
+
+
+BOWTIE_STRUCTURE_SQL = _bowtie_sql()
+
+
 OPIC_ITERS = 4
 
 
@@ -964,6 +1042,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "pagerank_top20": pagerank_top20,
     "opic_top20": opic_top20,
+    "bowtie_structure": bowtie_structure,
     "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
@@ -984,6 +1063,7 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pagerank_top20": PAGERANK_TOP20_SQL,
     "opic_top20": OPIC_TOP20_SQL,
+    "bowtie_structure": BOWTIE_STRUCTURE_SQL,
     "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,

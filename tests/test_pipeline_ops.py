@@ -225,6 +225,25 @@ def test_opic_matches_python_twin(spark):
     assert got2 == got
 
 
+def test_bowtie_handcrafted(spark):
+    """Classification exactness on a graph with every component type:
+    core cycle {2,3}, in side {1, 5→1}, out {4}, disconnected pair {8,9}.
+    Hub = node 2 (max total degree 3, tie broken to the smaller id)."""
+    from spider_go_spark.operators.graph import bowtie_components
+
+    pairs = [(1, 2), (2, 3), (3, 2), (3, 4), (5, 1), (8, 9)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    got = {r["component"]: r["n_nodes"] for r in bowtie_components(edges, 4).collect()}
+    assert got == {"core": 2, "in": 2, "out": 1, "other": 2}
+
+    # partitioning invariance (joins + integer counts only)
+    got2 = {
+        r["component"]: r["n_nodes"]
+        for r in bowtie_components(edges.repartition(5), 4).collect()
+    }
+    assert got2 == got
+
+
 def test_opic_mass_conserved_up_to_truncation(spark, star_edges):
     from spider_go_spark.operators.graph import opic_int
 
