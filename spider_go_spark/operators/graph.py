@@ -613,6 +613,146 @@ def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int) -> str:
     return edges_cte + bfs_iters_sql(seeds_sql, max_hops)
 
 
+def hyperball_int(edges: DataFrame, max_hops: int) -> DataFrame:
+    """(hop, n_pairs_est) — the neighbourhood function N(h) of a directed
+    graph by HyperBall (Boldi & Vigna, 2013): every node carries a
+    HyperLogLog sketch of its out-ball (the set it reaches within h hops);
+    one hop is "union my ball with my out-neighbors' balls", and HLL union
+    is REGISTER-WISE MAX — associative, commutative, idempotent — so the
+    whole iteration is an equi-join + groupBy-max, bit-identical on any
+    partitioning and any engine. N(h) = Σ_v |ball_v(h)| estimates the
+    number of reachable pairs within h hops; the h where N(h) flattens is
+    the effective diameter — the census (avg distance, diameter) that is
+    flatly impossible to compute exactly at 10^10 nodes but falls out of
+    64 registers per node here.
+
+    Register state is kept in LONG format — rows (node, b, m), never an
+    array column — so the per-hop state is ≤ 64·N rows that partial-agg
+    (map-side max) before every shuffle, and skewed in-degree nodes just
+    mean more pre-combined rows, not a bigger per-row payload. Uses the
+    same 64-register integer HLL geometry as operators/sketches (raw
+    estimator, no small-range correction — documented, and mirrored
+    exactly by the oracle). Per-node estimates are ≤ ~1.5·10^9 and the
+    hop sum stays int64-safe past 10^9 nodes."""
+    from spider_go_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUM,
+        HLL_RANK_CAP,
+        hll_bucket,
+        hll_rho,
+    )
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.localCheckpoint(eager=True)
+    regs = nodes.select(
+        "node",
+        hll_bucket(F.col("node")).alias("b"),
+        hll_rho(F.col("node")).alias("m"),
+    ).localCheckpoint(eager=True)
+
+    def _hop_estimate(r: DataFrame, hop: int) -> DataFrame:
+        per_node = r.groupBy("node").agg(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RANK_CAP} - m)")).alias(
+                "s_used"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+        )
+        est = F.expr(
+            f"{HLL_NUM} div (1000 * (s_used + ({HLL_M} - n_used) * {2 ** HLL_RANK_CAP}))"
+        )
+        return (
+            per_node.select(est.alias("est"))
+            .agg(F.sum("est").cast("long").alias("n_pairs_est"))
+            .select(F.lit(hop).cast("int").alias("hop"), "n_pairs_est")
+        )
+
+    out = _hop_estimate(regs, 0)
+    for k in range(1, max_hops + 1):
+        nbr = (
+            e.alias("e")
+            .join(regs.alias("r"), F.col("e.dst") == F.col("r.node"))
+            .select(
+                F.col("e.src").alias("node"),
+                F.col("r.b").alias("b"),
+                F.col("r.m").alias("m"),
+            )
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "b")
+            .agg(F.max("m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_hop_estimate(regs, k))
+    return out.orderBy("hop")
+
+
+def hyperball_oracle_sql(edges_cte: str, max_hops: int) -> str:
+    """DuckDB twin of :func:`hyperball_int`: unrolled per-hop register
+    CTEs with the identical integer HLL arithmetic as
+    :func:`spider_go_spark.operators.sketches.hll_oracle_sql`.
+    ``edges_cte`` must define ``edges(src, dst)``; the final SELECT
+    returns (hop, n_pairs_est) for hops 0..max_hops."""
+    from spider_go_spark.operators.sketches import (
+        CMS_AS,
+        HASH_P,
+        HLL_M,
+        HLL_NUM,
+        HLL_RANK_BITS,
+        HLL_RANK_CAP,
+    )
+
+    a = CMS_AS[0]
+    cap2 = 2 ** HLL_RANK_CAP
+
+    def est_cte(k: int) -> str:
+        return f""", est{k} AS (
+  SELECT {k} AS hop, sum(est)::BIGINT AS n_pairs_est FROM (
+    SELECT node,
+           {HLL_NUM} // (1000 * (sum(1::BIGINT << ({HLL_RANK_CAP} - m))
+             + ({HLL_M} - count(*))::BIGINT * {cap2})) AS est
+    FROM r{k} GROUP BY node)
+)
+"""
+
+    parts = [
+        edges_cte,
+        f""", nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+r0 AS MATERIALIZED (
+  SELECT node,
+         (((node % {HASH_P}) * {a}) % {HASH_P}) % {HLL_M} AS b,
+         coalesce(
+           (SELECT min(k.k) + 1 FROM (SELECT unnest(range(0, {HLL_RANK_BITS})) AS k) k
+            WHERE (((((node % {HASH_P}) * {a}) % {HASH_P}) // {HLL_M})
+                    // (1::BIGINT << k.k)) % 2 = 1),
+           {HLL_RANK_CAP}) AS m
+  FROM nodes
+)""",
+        est_cte(0),
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT node, b, max(m) AS m FROM (
+    SELECT node, b, m FROM r{k - 1}
+    UNION ALL
+    SELECT e.src AS node, r.b, r.m FROM edges e JOIN r{k - 1} r ON e.dst = r.node
+  ) GROUP BY node, b
+)
+"""
+        )
+        parts.append(est_cte(k))
+    union = " UNION ALL ".join(f"SELECT * FROM est{k}" for k in range(max_hops + 1))
+    parts.append(f"\nSELECT hop, n_pairs_est FROM ({union}) ORDER BY hop\n")
+    return "".join(parts)
+
+
 def bowtie_components(edges: DataFrame, max_hops: int) -> DataFrame:
     """(component, n_nodes) — bow-tie census of a directed graph (Broder
     et al., WWW 2000) under a bounded-hop contract: from the

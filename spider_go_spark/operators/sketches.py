@@ -62,23 +62,23 @@ def hll_rho(col: Column) -> Column:
     """HLL rank of an integer key: 1 + index of the lowest set bit of the
     rank field (the hash divided by m), capped at HLL_RANK_CAP for zero.
 
-    Expressed as a min-over-bit-positions filter on a constant 25-element
-    sequence — pure Catalyst higher-order functions, no UDF, and the same
-    shape the SQL oracle uses (unnest(range(25))).
+    Closed form, no higher-order functions: ``w & -w`` isolates the lowest
+    set bit and ``length(bin(...))`` is 1 + its index (bin() prints no
+    leading zeros) — identical outputs to the oracle's min-over-bits scan
+    (unnest(range(25))), and a plain scalar expression tree, so it stays
+    inside whole-stage codegen and composes safely under checkpoint/union
+    plans (the previous lambda-capturing HOF form hit a Catalyst
+    outer-reference binding bug when the sketch column flowed into an
+    iterated join+union, as HyperBall does).
     """
     w = _h(col, CMS_AS[0])  # reuse the first multiplier; bucket uses mod m
     rank_field = F.floor(w / F.lit(HLL_M)).cast("long")  # h div m, < 2^24
-    powers = F.array(
-        *[F.lit(1 << k).cast("long") for k in range(HLL_RANK_BITS)]
+    lowbit = rank_field.bitwiseAND(-rank_field)
+    return (
+        F.when(rank_field == 0, F.lit(HLL_RANK_CAP))
+        .otherwise(F.length(F.bin(lowbit)))
+        .cast("int")
     )
-    positions = F.sequence(F.lit(0), F.lit(HLL_RANK_BITS - 1))
-    set_bits = F.filter(
-        positions,
-        lambda k: rank_field.bitwiseAND(F.element_at(powers, k + 1)) != 0,
-    )
-    return F.coalesce(
-        F.try_element_at(set_bits, F.lit(1)) + 1, F.lit(HLL_RANK_CAP)
-    ).cast("int")
 
 
 def hll_bucket(col: Column) -> Column:

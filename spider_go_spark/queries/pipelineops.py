@@ -288,6 +288,48 @@ GROUP BY component ORDER BY component
 BOWTIE_STRUCTURE_SQL = _bowtie_sql()
 
 
+def neighbourhood_function(spark: SparkSession, sf: str) -> DataFrame:
+    """N(h) for h = 0..BOWTIE_HOPS of the same sparsified directed graph
+    the bow-tie census runs on, by HyperBall
+    (operators/graph.hyperball_int): per-node HLL out-ball sketches
+    unioned by register-wise max each hop. The hop where N(h) flattens is
+    the graph's effective diameter — together with bowtie_structure this
+    is the full Broder-style web census, and the ONLY way either is
+    computable at 10^10 nodes is sketched, exactly as here."""
+    from spider_go_spark.operators.graph import hyperball_int
+
+    li = T(spark, sf, "lineitem")
+    edges = (
+        li.filter(F.col("l_orderkey") % BOWTIE_EDGE_MOD == 0)
+        .select(
+            (F.col("l_suppkey") % BOWTIE_M).cast("long").alias("src"),
+            ((F.col("l_partkey") * 3 + F.col("l_linenumber")) % BOWTIE_M)
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return hyperball_int(edges, BOWTIE_HOPS)
+
+
+def _neighbourhood_sql() -> str:
+    from spider_go_spark.operators.graph import hyperball_oracle_sql
+
+    edges_cte = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT (l_suppkey % {BOWTIE_M})::BIGINT AS src,
+         ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})::BIGINT AS dst
+  FROM lineitem
+  WHERE l_orderkey % {BOWTIE_EDGE_MOD} = 0
+    AND (l_suppkey % {BOWTIE_M}) <> ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})
+)"""
+    return hyperball_oracle_sql(edges_cte, BOWTIE_HOPS)
+
+
+NEIGHBOURHOOD_FUNCTION_SQL = _neighbourhood_sql()
+
+
 OPIC_ITERS = 4
 
 
@@ -1043,6 +1085,7 @@ QUERIES = {
     "pagerank_top20": pagerank_top20,
     "opic_top20": opic_top20,
     "bowtie_structure": bowtie_structure,
+    "neighbourhood_function": neighbourhood_function,
     "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
@@ -1064,6 +1107,7 @@ ORACLES = {
     "pagerank_top20": PAGERANK_TOP20_SQL,
     "opic_top20": OPIC_TOP20_SQL,
     "bowtie_structure": BOWTIE_STRUCTURE_SQL,
+    "neighbourhood_function": NEIGHBOURHOOD_FUNCTION_SQL,
     "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,

@@ -244,6 +244,44 @@ def test_bowtie_handcrafted(spark):
     assert got2 == got
 
 
+def test_hyperball_equals_hll_of_exact_reachability(spark):
+    """HLL union IS register-wise max, so HyperBall's ball sketch of a
+    node must be bit-identical to sketching the node's EXACT reachable
+    set directly — per hop, the N(h) totals must match exactly (no
+    tolerance: same registers, same estimator)."""
+    from spider_go_spark.operators.graph import hyperball_int
+    from spider_go_spark.operators.sketches import hll_estimate
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1), (8, 9)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    got = {r["hop"]: r["n_pairs_est"] for r in hyperball_int(edges, 3).collect()}
+
+    adj: dict[int, set[int]] = {}
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+    for h in range(4):
+        reach = []
+        for n in nodes:
+            ball = {n}
+            for _ in range(h):
+                ball = ball | {w for u in ball for w in adj.get(u, ())}
+            reach += [Row(node=n, member=m) for m in sorted(ball)]
+        per_node = hll_estimate(
+            spark.createDataFrame(reach), "member", ["node"]
+        )
+        want = sum(r["hll_est"] for r in per_node.collect())
+        assert got[h] == want, f"hop {h}"
+
+    # monotone in h, and bit-identical on any partitioning
+    assert got[0] <= got[1] <= got[2] <= got[3]
+    got2 = {
+        r["hop"]: r["n_pairs_est"]
+        for r in hyperball_int(edges.repartition(5), 3).collect()
+    }
+    assert got2 == got
+
+
 def test_opic_mass_conserved_up_to_truncation(spark, star_edges):
     from spider_go_spark.operators.graph import opic_int
 
