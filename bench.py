@@ -83,6 +83,10 @@ HEADLINE = [
     "lm_dirichlet_topk",      # query-likelihood ranking (2nd scoring family)
     "domain_farm_audit",      # PSL eTLD+1 cascade + domain-keyed agg
     "redirect_resolution",    # pointer-doubling chain resolve (log-round joins)
+    "opic_top20",             # online importance: cash/history + pot rounds
+    "host_spam_mass",         # PageRank + TrustRank composed over one edge set
+    "neighbourhood_function", # HyperBall register-max ball propagation (4 hops)
+    "bowtie_structure",       # forward+backward BFS census from the hub
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the

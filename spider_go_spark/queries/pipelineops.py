@@ -215,6 +215,33 @@ BOWTIE_M = 2000
 BOWTIE_EDGE_MOD = 11  # sparsifier: dense graphs collapse to all-core
 
 
+_CENSUS_EDGES = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT (l_suppkey % {BOWTIE_M})::BIGINT AS src,
+         ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})::BIGINT AS dst
+  FROM lineitem
+  WHERE l_orderkey % {BOWTIE_EDGE_MOD} = 0
+    AND (l_suppkey % {BOWTIE_M}) <> ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})
+)"""
+
+
+def _census_edges_df(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % BOWTIE_EDGE_MOD == 0)
+        .select(
+            (F.col("l_suppkey") % BOWTIE_M).cast("long").alias("src"),
+            ((F.col("l_partkey") * 3 + F.col("l_linenumber")) % BOWTIE_M)
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+
+
 def bowtie_structure(spark: SparkSession, sf: str) -> DataFrame:
     """Bow-tie macro-structure of a directed graph (Broder et al., WWW
     2000): pick the best-connected hub, run a FORWARD and a BACKWARD
@@ -232,19 +259,7 @@ def bowtie_structure(spark: SparkSession, sf: str) -> DataFrame:
     checkpointed) + two left joins + one 4-row agg."""
     from spider_go_spark.operators.graph import bowtie_components
 
-    li = T(spark, sf, "lineitem")
-    edges = (
-        li.filter(F.col("l_orderkey") % BOWTIE_EDGE_MOD == 0)
-        .select(
-            (F.col("l_suppkey") % BOWTIE_M).cast("long").alias("src"),
-            ((F.col("l_partkey") * 3 + F.col("l_linenumber")) % BOWTIE_M)
-            .cast("long")
-            .alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return bowtie_components(edges, BOWTIE_HOPS)
+    return bowtie_components(_census_edges_df(spark, sf), BOWTIE_HOPS)
 
 
 def _bowtie_sql() -> str:
@@ -252,14 +267,9 @@ def _bowtie_sql() -> str:
 
     h = BOWTIE_HOPS
     return (
-        f"""
-WITH edges AS MATERIALIZED (
-  SELECT DISTINCT (l_suppkey % {BOWTIE_M})::BIGINT AS src,
-         ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})::BIGINT AS dst
-  FROM lineitem
-  WHERE l_orderkey % {BOWTIE_EDGE_MOD} = 0
-    AND (l_suppkey % {BOWTIE_M}) <> ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})
-), redges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges),
+        _CENSUS_EDGES
+        + """
+, redges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges),
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
                        UNION SELECT DISTINCT dst FROM edges),
 hub AS (
@@ -298,36 +308,109 @@ def neighbourhood_function(spark: SparkSession, sf: str) -> DataFrame:
     computable at 10^10 nodes is sketched, exactly as here."""
     from spider_go_spark.operators.graph import hyperball_int
 
-    li = T(spark, sf, "lineitem")
-    edges = (
-        li.filter(F.col("l_orderkey") % BOWTIE_EDGE_MOD == 0)
-        .select(
-            (F.col("l_suppkey") % BOWTIE_M).cast("long").alias("src"),
-            ((F.col("l_partkey") * 3 + F.col("l_linenumber")) % BOWTIE_M)
-            .cast("long")
-            .alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return hyperball_int(edges, BOWTIE_HOPS)
+    return hyperball_int(_census_edges_df(spark, sf), BOWTIE_HOPS)
 
 
 def _neighbourhood_sql() -> str:
     from spider_go_spark.operators.graph import hyperball_oracle_sql
 
-    edges_cte = f"""
-WITH edges AS MATERIALIZED (
-  SELECT DISTINCT (l_suppkey % {BOWTIE_M})::BIGINT AS src,
-         ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})::BIGINT AS dst
-  FROM lineitem
-  WHERE l_orderkey % {BOWTIE_EDGE_MOD} = 0
-    AND (l_suppkey % {BOWTIE_M}) <> ((l_partkey * 3 + l_linenumber) % {BOWTIE_M})
-)"""
-    return hyperball_oracle_sql(edges_cte, BOWTIE_HOPS)
+    return hyperball_oracle_sql(_CENSUS_EDGES, BOWTIE_HOPS)
 
 
 NEIGHBOURHOOD_FUNCTION_SQL = _neighbourhood_sql()
+
+
+def degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-binned in/out degree distribution of the census graph: per
+    direction, the number of nodes whose degree falls in [2^k, 2^(k+1)) —
+    the power-law census every web-graph paper leads with, and the skew
+    audit a crawl partitioner reads before choosing salting factors.
+    Log2 bucket = length(bin(deg)) − 1 on both engines (no floats), one
+    hash agg per direction."""
+    edges = _census_edges_df(spark, sf)
+    out = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = edges.groupBy(F.col(key).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        out.append(
+            deg.groupBy(
+                F.lit(direction).alias("direction"),
+                (F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("log2_deg"),
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+    return out[0].unionByName(out[1]).orderBy("direction", "log2_deg")
+
+
+DEGREE_DISTRIBUTION_SQL = (
+    _CENSUS_EDGES
+    + """
+, outd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS node, count(*) AS deg FROM edges GROUP BY dst)
+SELECT direction, log2_deg, count(*)::BIGINT AS n_nodes FROM (
+  SELECT 'out' AS direction, (length(bin(deg)) - 1)::INT AS log2_deg FROM outd
+  UNION ALL
+  SELECT 'in', (length(bin(deg)) - 1)::INT FROM ind
+) GROUP BY direction, log2_deg
+ORDER BY direction, log2_deg
+"""
+)
+
+
+WCC_ITERS = 8
+
+
+def wcc_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly-connected-component size histogram of the census graph:
+    min-label propagation over the bidirectional edge set (the dedup-
+    groups kernel re-aimed at the web graph; fixed-k contract — after
+    WCC_ITERS rounds components of diameter ≤ k have converged, mirrored
+    join-for-join by the unrolled oracle), then component sizes binned by
+    log2. The 'is the web one giant component or dust' census — what a
+    seed-list designer checks before promising coverage."""
+    from spider_go_spark.operators.graph import label_propagation_min
+
+    edges = _census_edges_df(spark, sf)
+    bidir = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    sizes = (
+        label_propagation_min(nodes, bidir, WCC_ITERS)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy(
+            (F.length(F.bin(F.col("sz"))) - 1).cast("int").alias("log2_size")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("log2_size")
+    )
+
+
+def _wcc_sql() -> str:
+    from spider_go_spark.operators.graph import label_prop_oracle_sql
+
+    return (
+        _CENSUS_EDGES
+        + """
+, nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+e AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+"""
+        + label_prop_oracle_sql(WCC_ITERS)
+        + f"""
+, sizes AS (SELECT label, count(*) AS sz FROM lab{WCC_ITERS} GROUP BY label)
+SELECT (length(bin(sz)) - 1)::INT AS log2_size, count(*)::BIGINT AS n_components
+FROM sizes GROUP BY log2_size ORDER BY log2_size
+"""
+    )
+
+
+WCC_SIZE_HISTOGRAM_SQL = _wcc_sql()
 
 
 OPIC_ITERS = 4
@@ -1086,6 +1169,8 @@ QUERIES = {
     "opic_top20": opic_top20,
     "bowtie_structure": bowtie_structure,
     "neighbourhood_function": neighbourhood_function,
+    "degree_distribution": degree_distribution,
+    "wcc_size_histogram": wcc_size_histogram,
     "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
@@ -1108,6 +1193,8 @@ ORACLES = {
     "opic_top20": OPIC_TOP20_SQL,
     "bowtie_structure": BOWTIE_STRUCTURE_SQL,
     "neighbourhood_function": NEIGHBOURHOOD_FUNCTION_SQL,
+    "degree_distribution": DEGREE_DISTRIBUTION_SQL,
+    "wcc_size_histogram": WCC_SIZE_HISTOGRAM_SQL,
     "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
