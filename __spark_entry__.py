@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "crawlq",
     "lineops",
     "curation",
+    "siteops",
 )
 _DEFAULT_COST = 2.0
 

@@ -413,6 +413,94 @@ FROM sizes GROUP BY log2_size ORDER BY log2_size
 WCC_SIZE_HISTOGRAM_SQL = _wcc_sql()
 
 
+KCORE_K = 6  # at k ≤ 5 the census graph's core stabilizes after one peel;
+# k = 6 yields a genuine multi-iteration peeling trajectory at every sf
+KCORE_ITERS = 5
+
+
+def kcore_census(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peeling census (k = 3, Seidman 1983) of the undirected census
+    graph: iteration i drops every node with degree < k plus every edge
+    touching one, and reports ``(iter, n_nodes, n_edges_dir)`` after each
+    peel — iter 0 is the unpeeled graph; ``n_edges_dir`` counts directed
+    (both-way) rows so every figure stays integral. Fixed KCORE_ITERS
+    iterations make this a deterministic bounded-hop contract like the
+    bow-tie census: once an iteration changes nothing the counts repeat,
+    and the trajectory itself is the census signal (how fast the fringe
+    peels off).
+
+    Crawl-side use: the k-core is the densely-linked heart of the web graph
+    (Broder's CORE is roughly a high-k core), and core membership is a
+    link-farm-resistant priority signal — farms are shallow fringes that
+    peel in one or two rounds. Scale shape: each iteration is one hash agg
+    (degree) + two semi joins on node id with lineage truncated by an eager
+    localCheckpoint — the same fixed-k iterative contract as the WCC and
+    PageRank operators; no window, nothing quadratic."""
+    edges = _census_edges_df(spark, sf)
+    bidir = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def peel_stats(df: DataFrame, i: int) -> DataFrame:
+        return df.agg(
+            F.count_distinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges_dir"),
+        ).select(F.lit(i).cast("int").alias("iter"), "n_nodes", "n_edges_dir")
+
+    out = [peel_stats(bidir, 0)]
+    cur = bidir
+    for i in range(1, KCORE_ITERS + 1):
+        keep = (
+            cur.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(keep, F.col("src") == F.col("node"), "left_semi")
+            .join(keep, F.col("dst") == F.col("node"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        out.append(peel_stats(cur, i))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("iter")
+
+
+def _kcore_sql() -> str:
+    parts = [
+        _CENSUS_EDGES,
+        "\n, b0 AS MATERIALIZED (SELECT src, dst FROM edges"
+        " UNION SELECT dst, src FROM edges)",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""
+, k{i} AS MATERIALIZED (
+    SELECT src AS node FROM b{p} GROUP BY src HAVING count(*) >= {KCORE_K})
+, b{i} AS MATERIALIZED (
+    SELECT src, dst FROM b{p}
+    WHERE src IN (SELECT node FROM k{i}) AND dst IN (SELECT node FROM k{i}))"""
+        )
+    selects = [
+        f"SELECT {i}::INT AS iter, count(DISTINCT src)::BIGINT AS n_nodes,"
+        f" count(*)::BIGINT AS n_edges_dir FROM b{i}"
+        for i in range(0, KCORE_ITERS + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY iter\n")
+    return "".join(parts)
+
+
+KCORE_CENSUS_SQL = _kcore_sql()
+
+
 OPIC_ITERS = 4
 
 
@@ -1171,6 +1259,7 @@ QUERIES = {
     "neighbourhood_function": neighbourhood_function,
     "degree_distribution": degree_distribution,
     "wcc_size_histogram": wcc_size_histogram,
+    "kcore_census": kcore_census,
     "seed_distance_bfs": seed_distance_bfs,
     "dedup_groups": dedup_groups,
     "canonical_docs": canonical_docs,
@@ -1195,6 +1284,7 @@ ORACLES = {
     "neighbourhood_function": NEIGHBOURHOOD_FUNCTION_SQL,
     "degree_distribution": DEGREE_DISTRIBUTION_SQL,
     "wcc_size_histogram": WCC_SIZE_HISTOGRAM_SQL,
+    "kcore_census": KCORE_CENSUS_SQL,
     "seed_distance_bfs": SEED_DISTANCE_BFS_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
