@@ -90,6 +90,10 @@ def crawl_oracle(
     user_agent: str = "*",
     ingest_robots_sitemaps: bool = False,
     sitemap_seed_priority: float = 0.0,
+    breaker_threshold: int = 0,
+    breaker_cooldown_rounds: int = 2,
+    breaker_max_cooldown: int = 16,
+    dead_hosts: tuple = (),
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, OracleEntry] = {}
@@ -105,6 +109,9 @@ def crawl_oracle(
     # carrying discovered_round = eligibility round, next_round). A URL is
     # in the frontier XOR the revisit queue.
     revisit: dict[str, tuple[OracleEntry, int]] = {}
+    # circuit-breaker state: host → (streak, trips, quarantined_until);
+    # healthy hosts carry no entry (mirrors the engine's breaker table)
+    breaker: dict[str, tuple[int, int, int]] = {}
 
     # --- round 0: seed injection (first-wins per canonical URL: highest
     # priority, then smallest raw url string — mirrors the engine's min-struct
@@ -136,6 +143,12 @@ def crawl_oracle(
         # politeness: filter + per-host budget cut
         eligible: list[OracleEntry] = []
         for e in pool:
+            if (
+                breaker_threshold
+                and e.host in breaker
+                and breaker[e.host][2] >= rnd
+            ):
+                continue  # quarantined: consumes no budget, stays queued
             pol = host_policy.get(e.host, {})
             if pol.get("disabled", False):
                 continue
@@ -165,12 +178,15 @@ def crawl_oracle(
         assignments.sort(key=OracleEntry.order_key)
         if not assignments:
             res.rounds.append({"round": rnd, "n_assigned": 0})
-            if revisit:  # pending refetches keep the crawl alive
+            # pending refetches — and unexpired quarantines — keep the
+            # crawl alive through empty rounds
+            if revisit or any(q > rnd for _, _, q in breaker.values()):
                 continue
             break
 
         # fetch in global order
         new_candidates: list[tuple[tuple, str, OracleEntry]] = []
+        outcomes: dict[str, list[int]] = {}  # host -> [n_ok, n_fail]
         for fetch_rank, e in enumerate(assignments, start=1):
             node = int(node_id_of_url(pd.Series([e.url_norm])).iloc[0])
             status = str(
@@ -180,9 +196,13 @@ def crawl_oracle(
                     transient_every=transient_every,
                 )[0]
             )
+            if e.host in dead_hosts:
+                status = "503"
             res.fetched.append(
                 {"round": rnd, "fetch_rank": fetch_rank, "url_norm": e.url_norm, "status": status}
             )
+            o = outcomes.setdefault(e.host, [0, 0])
+            o[0 if status == "200" else 1] += 1
             frontier.pop(e.url_norm, None)  # revisit-sourced rows aren't here
             revisit.pop(e.url_norm, None)
             chash = int(
@@ -267,5 +287,27 @@ def crawl_oracle(
             res.seen.add(norm)
             frontier[norm] = cand
             n_new += 1
+        if breaker_threshold:
+            # round-granular breaker fold, mirroring the engine's full-outer
+            # state update: any success resets, an all-failure round adds its
+            # failures; crossing the threshold trips the host into an
+            # exponentially growing quarantine (capped)
+            for host, (n_ok, n_fail) in outcomes.items():
+                s, t, q = breaker.get(host, (0, 0, -1))
+                if n_ok > 0:
+                    s, t = 0, 0
+                else:
+                    s += n_fail
+                    if s >= breaker_threshold:
+                        t += 1
+                        q = rnd + min(
+                            breaker_cooldown_rounds << min(t - 1, 24),
+                            breaker_max_cooldown,
+                        )
+                        s = 0
+                if s > 0 or t > 0 or q > rnd:
+                    breaker[host] = (s, t, q)
+                else:
+                    breaker.pop(host, None)
         res.rounds.append({"round": rnd, "n_assigned": len(assignments), "n_new": n_new})
     return res

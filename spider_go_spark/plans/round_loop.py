@@ -157,6 +157,23 @@ class CrawlConfig:
     # n_hosts × R × budget rows). Cold rows live in bucket ids offset by
     # frontier_buckets, so the hot scan is a physical partition prune.
     hot_tier_rounds: int = 0
+    # per-host failure circuit breaker (0 = off): a host accumulating
+    # breaker_threshold consecutive failed fetches (no 200 in between) is
+    # quarantined — excluded from scheduling, its frontier rows untouched —
+    # through round rnd + min(breaker_cooldown_rounds · 2^(trips−1),
+    # breaker_max_cooldown); each consecutive trip doubles the cooldown and
+    # any successful fetch fully resets streak and trip count. Streaks are
+    # round-granular (deterministic without intra-round ordering): a round
+    # with ≥1 success resets, a round with only failures adds them all.
+    # The crawl-ops pattern for a host that is down or rate-limiting: stop
+    # burning politeness budget on it, probe with exponential back-off.
+    breaker_threshold: int = 0
+    breaker_cooldown_rounds: int = 2
+    breaker_max_cooldown: int = 16
+    # synthetic-fetcher dead hosts: every fetch on these hosts returns 503
+    # on every attempt (the deterministic stand-in for a downed host; see
+    # webgraph.synthetic_fetch)
+    dead_hosts: tuple = ()
     # crawler product token for robots.txt user-agent group selection
     # (RFC 9309): "*" applies only the wildcard groups (pre-agent behavior);
     # a named token selects that token's groups, falling back to "*" groups
@@ -216,6 +233,14 @@ class CrawlConfig:
             # the shard table schema/geometry is filter-specific: resuming
             # a bloom checkpoint with cuckoo shards would corrupt merges
             parts += (self.seen_filter,)
+        if self.breaker_threshold or self.dead_hosts:
+            # quarantine changes which hosts schedule (semantic); dead
+            # hosts change fetch outcomes; appended conditionally to keep
+            # pre-breaker checkpoints resumable under default configs
+            parts += (
+                self.breaker_threshold, self.breaker_cooldown_rounds,
+                self.breaker_max_cooldown, tuple(self.dead_hosts),
+            )
         return "-".join(str(p) for p in parts)
 
 
@@ -260,6 +285,7 @@ class CrawlEngine:
         self.lineage = self.catalog.load("lineage", schemas.with_crawl_id(schemas.LINEAGE))
         self.fetch_metrics = self.catalog.load("fetch_metrics", schemas.with_crawl_id(schemas.ROUND_METRICS))
         self.revisit = self.catalog.load("revisit", schemas.with_crawl_id(schemas.REVISIT))
+        self.breaker = self.catalog.load("breaker", schemas.with_crawl_id(schemas.BREAKER))
         self.state_log = RoundStateLog(config.workdir)
         self.m_bits, self.k_hashes = bloom_params(config.expected_urls, config.num_shards)
         self.cuckoo_buckets = cuckoo.cuckoo_params(config.expected_urls, config.num_shards)
@@ -429,6 +455,7 @@ class CrawlEngine:
             "lineage": self.lineage,
             "fetch_metrics": self.fetch_metrics,
             "revisit": self.revisit,
+            "breaker": self.breaker,
         }
 
     def _snapshot_ids(self) -> dict[str, int]:
@@ -813,6 +840,19 @@ class CrawlEngine:
                 self._cid & (F.col("next_round") <= F.lit(rnd))
             ).drop("next_round")
             pool = pool.unionByName(eligible)
+        use_breaker = self.cfg.breaker_threshold > 0
+        if use_breaker:
+            # circuit-breaker quarantine: hosts inside an unexpired cooldown
+            # are excluded BEFORE the politeness cut, so they consume no
+            # budget and their frontier rows stay queued untouched. The
+            # quarantined set is tiny (failing hosts only — the state table
+            # holds no healthy-host rows), so this is a broadcast anti-join.
+            qhosts = (
+                self.breaker.read()
+                .filter(self._cid & (F.col("quarantined_until") >= F.lit(rnd)))
+                .select("host")
+            )
+            pool = pool.join(F.broadcast(qhosts), "host", "left_anti")
         with _timed(phases, "schedule_rank"):
             assignments = schedule_round(
                 pool,
@@ -839,9 +879,20 @@ class CrawlEngine:
                 return self.run_round(rnd)
             ranked.unpersist()
             n_pending = rev_all.filter(self._cid).count() if use_revisit else 0
+            # quarantined hosts whose cooldown outlives this round keep the
+            # crawl alive (their frontier rows become schedulable again on
+            # expiry) — same keep-alive contract as pending revisits
+            n_quarantined = (
+                self.breaker.read()
+                .filter(self._cid & (F.col("quarantined_until") > F.lit(rnd)))
+                .count()
+                if use_breaker
+                else 0
+            )
             metrics = {
                 "n_assigned": 0, "n_fetched": 0, "n_ok": 0, "n_candidates": 0,
                 "n_new": 0, "n_revisit_pending": n_pending,
+                "n_quarantined": n_quarantined,
             }
             self._commit_state(rnd, metrics)
             return metrics
@@ -870,6 +921,7 @@ class CrawlEngine:
             fetch_input, self.cfg.n_urls, self.cfg.n_hosts,
             passthrough=pt, transient_every=self.cfg.transient_every,
             change_period=self.cfg.change_period,
+            dead_hosts=tuple(self.cfg.dead_hosts),
         ).persist()
         doc_cols = [f.name for f in schemas.FETCHED_DOCS.fields]
         with _timed(phases, "fetch_write"):
@@ -901,6 +953,79 @@ class CrawlEngine:
         )
         with _timed(phases, "fetch_metrics"):
             self.fetch_metrics.append(metrics_df, f"round-{rnd:06d}")
+
+        if use_breaker:
+            # per-host round outcome folded into the breaker state. The
+            # update is O(hosts fetched this round) — one tiny agg over the
+            # cached fetch output full-outer-joined with the (failing-hosts-
+            # only) state table; quarantined hosts fetch nothing, so their
+            # rows ride through unchanged. All int math, bit-identical on
+            # resume.
+            with _timed(phases, "breaker"):
+                outcome = fetched.groupBy("host").agg(
+                    F.count(F.when(F.col("status") == "200", 1))
+                    .cast("int")
+                    .alias("n_ok_h"),
+                    F.count(F.when(F.col("status") != "200", 1))
+                    .cast("int")
+                    .alias("n_fail_h"),
+                )
+                prior = self.breaker.read().filter(self._cid).select(
+                    "host", "streak", "trips", "quarantined_until"
+                )
+                j = prior.join(outcome, "host", "full_outer").select(
+                    "host",
+                    F.coalesce("streak", F.lit(0)).alias("s0"),
+                    F.coalesce("trips", F.lit(0)).alias("t0"),
+                    F.coalesce("quarantined_until", F.lit(-1)).alias("q0"),
+                    "n_ok_h",
+                    F.coalesce("n_fail_h", F.lit(0)).alias("nf"),
+                )
+                thr = self.cfg.breaker_threshold
+                cool = self.cfg.breaker_cooldown_rounds
+                cap = self.cfg.breaker_max_cooldown
+                fetched_host = F.col("n_ok_h").isNotNull()
+                any_ok = fetched_host & (F.col("n_ok_h") > 0)
+                s1 = F.col("s0") + F.col("nf")
+                tripped = fetched_host & ~any_ok & (s1 >= thr)
+                j = j.withColumn(
+                    "t1",
+                    F.when(any_ok, 0)
+                    .when(tripped, F.col("t0") + 1)
+                    .otherwise(F.col("t0"))
+                    .cast("int"),
+                )
+                # exponent clamped to [0, 24]: the when(tripped) guard means
+                # only t1 ≥ 1 rows use it, but Spark evaluates both branches
+                # columnar-eagerly, so the untripped rows' t1−1 = −1 must
+                # not reach shiftleft (Java wraps negative shifts). SQL-side
+                # shiftleft: the pyspark wrapper only takes a literal shift.
+                cooldown = F.expr(
+                    f"least(shiftleft({cool}, "
+                    f"cast(greatest(least(t1 - 1, 24), 0) as int)), {cap})"
+                )
+                new_state = j.select(
+                    "host",
+                    F.when(any_ok | tripped, 0)
+                    .when(fetched_host, s1)
+                    .otherwise(F.col("s0"))
+                    .cast("int")
+                    .alias("streak"),
+                    F.col("t1").alias("trips"),
+                    F.when(tripped, F.lit(rnd) + cooldown)
+                    .otherwise(F.col("q0"))
+                    .cast("int")
+                    .alias("quarantined_until"),
+                ).filter(  # healthy hosts carry no row
+                    (F.col("streak") > 0)
+                    | (F.col("trips") > 0)
+                    | (F.col("quarantined_until") > F.lit(rnd))
+                ).withColumn("crawl_id", F.lit(self.cfg.crawl_id))
+                others = self.breaker.read().filter(~self._cid)
+                self.breaker.overwrite(
+                    others.unionByName(new_state.select(*others.columns)),
+                    f"round-{rnd:06d}",
+                )
 
         # link extraction from the interleaved spans — built-in array fns,
         # JVM-side (≙ dep fan-out loop workflow.go:140-191 / explode(links))
@@ -1096,7 +1221,11 @@ class CrawlEngine:
             # terminate when the frontier is exhausted AND no refetch is
             # scheduled; pending revisits keep the loop alive through empty
             # rounds until their eligibility round arrives (cron semantics)
-            if m.get("n_assigned", 1) == 0 and m.get("n_revisit_pending", 0) == 0:
+            if (
+                m.get("n_assigned", 1) == 0
+                and m.get("n_revisit_pending", 0) == 0
+                and m.get("n_quarantined", 0) == 0
+            ):
                 break
         return history
 

@@ -198,6 +198,23 @@ ROUND_METRICS = T.StructType(
     ]
 )
 
+# --- per-host failure circuit breaker state ---------------------------------
+# one row per host currently carrying breaker information (a failure streak
+# in progress, accumulated trips, or an unexpired quarantine); healthy hosts
+# have no row. streak counts consecutive failed fetches with no intervening
+# success (round-granular: a round with any 200 resets it); trips counts
+# threshold crossings since the last success and drives the exponential
+# cooldown; quarantined_until is the last round the host is still excluded
+# from scheduling (-1 = never quarantined).
+BREAKER = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("streak", T.IntegerType(), False),
+        T.StructField("trips", T.IntegerType(), False),
+        T.StructField("quarantined_until", T.IntegerType(), False),
+    ]
+)
+
 SEEDS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

@@ -227,8 +227,13 @@ def synthetic_fetch(
     passthrough: tuple[str, ...] = (),
     transient_every: int = 0,
     change_period: int = 0,
+    dead_hosts: tuple[str, ...] = (),
 ) -> DataFrame:
     """mapInPandas fetch+parse: assignment rows → FETCHED_DOCS rows.
+
+    ``dead_hosts``: every fetch on these hosts returns 503 on every attempt
+    — the deterministic stand-in for a host that is down, exercised by the
+    per-host circuit-breaker path (CrawlConfig.breaker_threshold).
 
     Vectorized Arrow batches; doc_id is deterministic (url_hash + round),
     never wall-clock (the reference's uuidv7 ids — workflow.go:113-119 —
@@ -256,6 +261,10 @@ def synthetic_fetch(
             nodes = node_id_of_url(pdf["url_norm"]).to_numpy()
             att = pdf["attempt"].to_numpy() if "attempt" in pdf.columns else None
             status = status_of_nodes(nodes, attempts=att, transient_every=transient_every)
+            if dead_hosts:
+                status = np.where(
+                    pdf["host"].isin(dead_hosts).to_numpy(), "503", status
+                )
             ok = status == "200"
             spans: list[list[dict]] = [[] for _ in range(len(pdf))]
             links: list[list[str]] = [[] for _ in range(len(pdf))]
