@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "lineops",
     "curation",
     "siteops",
+    "linkops",
 )
 _DEFAULT_COST = 2.0
 

@@ -843,3 +843,231 @@ def resolve_pointer_chains(edges: DataFrame, max_hops: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return cur.withColumnRenamed("nxt", "final")
+
+
+def salsa_int(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, salsa_auth_u) after ``iters`` iterations of the SALSA
+    authority chain (Lempel & Moran, "The stochastic approach for
+    link-structure analysis", WWW 2000) over DIRECTED ``edges(src, dst)``
+    — HITS's random-walk cousin: instead of summing raw neighbor scores,
+    every push is DEGREE-NORMALIZED (back along an in-edge with weight
+    1/indeg, forward along an out-edge with weight 1/outdeg), which makes
+    the ranking far more resistant to tightly-knit link farms than HITS
+    (the TKC effect the paper is about — a farm inflates raw sums but not
+    normalized walk probabilities).
+
+    Same bit-exact cross-engine discipline as :func:`hits_int`: scores in
+    int64 micro-units, truncating integer division for each normalized
+    push (``score div indeg``, then ``score div outdeg`` — the leaked
+    remainder mass is deterministic and mirrored by the oracle), and a
+    ``x·SCALE div max(x)`` max-norm after each full back-forward step.
+    Overflow bound: a raw sum is ≤ max_degree·SCALE, so the rescale is
+    int64-safe for degrees < ~9·10^6, same bound as HITS.
+
+    Scale shape per iteration: two equi-join + groupBy shuffles (the
+    back-step to hubs, the forward-step to authorities) over edge lists
+    that carry the degree of their normalizing endpoint (joined ONCE,
+    before the loop — not per iteration), plus one single-row max
+    broadcast back."""
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    auths = indeg.localCheckpoint(eager=True)  # (node, indeg): authority side
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # per-edge normalizers attached once: e_in carries indeg(dst) for the
+    # back-step, e_out carries outdeg(src) for the forward-step
+    e_in = (
+        edges.join(indeg.withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst", "indeg")
+        .localCheckpoint(eager=True)
+    )
+    e_out = (
+        edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    auth = auths.select("node", F.lit(SCALE).cast("long").alias("auth_u"))
+    for _ in range(iters):
+        # back-step: authority a sends auth_u div indeg(a) along each
+        # in-edge (i -> a) to hub i
+        h = (
+            e_in.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.expr("auth_u div indeg")).alias("h_u"))
+        )
+        # forward-step: hub i sends h_u div outdeg(i) along each out-edge
+        a_raw = (
+            e_out.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("h_u div outdeg")).alias("s"))
+        )
+        a_max = a_raw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        auth = (
+            auths.select("node")
+            .join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("auth_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return auth.withColumnRenamed("auth_u", "salsa_auth_u")
+
+
+def salsa_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`salsa_int`: unrolled CTE chain with the
+    identical degree-normalized integer pushes and max-norm. ``edges_cte``
+    must define ``edges(src, dst)``; ends with
+    ``salsa{iters}(node, salsa_auth_u)``."""
+    parts = [
+        edges_cte,
+        f"""
+, sindeg AS MATERIALIZED (SELECT dst AS node, count(*)::BIGINT AS indeg
+                          FROM edges GROUP BY dst),
+soutdeg AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS outdeg
+                         FROM edges GROUP BY src),
+salsa0 AS (SELECT node, {SCALE}::BIGINT AS auth_u FROM sindeg)
+""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", sh{i + 1} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth_u // d.indeg)::BIGINT AS h_u
+  FROM edges e
+  JOIN salsa{i} a ON e.dst = a.node
+  JOIN sindeg d ON e.dst = d.node
+  GROUP BY e.src
+), sa{i + 1}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h_u // d.outdeg)::BIGINT AS s
+  FROM edges e
+  JOIN sh{i + 1} h ON e.src = h.node
+  JOIN soutdeg d ON e.src = d.node
+  GROUP BY e.dst
+), salsa{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (coalesce(a.s, 0) * {SCALE} // greatest((SELECT max(s) FROM sa{i + 1}r), 1))::BIGINT AS auth_u
+  FROM sindeg n LEFT JOIN sa{i + 1}r a ON n.node = a.node
+)
+"""
+        )
+    parts.append(
+        f", salsafinal AS (SELECT node, auth_u AS salsa_auth_u FROM salsa{iters})\n"
+    )
+    return "".join(parts)
+
+
+# rank = deg·RANK_BASE + node gives the degree-ordered total order used to
+# orient triangle edges; node ids must stay below RANK_BASE.
+TRIANGLE_RANK_BASE = 1_000_000
+
+
+def triangles_per_node(und_edges: DataFrame) -> DataFrame:
+    """(node, deg, tri, cc_ppm) — exact per-node triangle counts and local
+    clustering coefficients over UNDIRECTED canonical edges ``(a, b)``
+    with a < b, distinct, no self-loops.
+
+    Algorithm: degree-ordered edge orientation (the compact-forward /
+    node-iterator++ scheme of Latapy, "Main-memory triangle computations
+    for very large (sparse (power-law)) graphs", TCS 2008 — the same trick
+    every distributed triangle counter uses): orient each edge from the
+    endpoint with the SMALLER (degree, node) rank to the larger. Every
+    wedge is then generated exactly once, at its minimum-rank vertex, and
+    each triangle is found exactly once by closing the wedge with the
+    (also oriented) third edge. The wedge fan-out at a hub of degree d is
+    O(d²) in a naive scheme but only O(sum over u of oriented-outdeg(u)²)
+    here, and oriented out-degree is bounded by O(sqrt(edges)) on any
+    graph — THE property that makes triangle counting feasible on
+    power-law web graphs where raw hub degrees are huge.
+
+    cc_ppm = 2·tri·10^6 div (deg·(deg−1)) for deg ≥ 2 else 0 — integer
+    ppm, bit-exact cross-engine. Scale shape: one degree agg, two
+    equi-join shuffles (wedge build, wedge close), one explode + agg."""
+    deg = (
+        und_edges.select(F.col("a").alias("node"))
+        .unionByName(und_edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = (
+        und_edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            "a",
+            "b",
+            (F.col("deg_a") * TRIANGLE_RANK_BASE + F.col("a")).alias("rank_a"),
+            (F.col("deg_b") * TRIANGLE_RANK_BASE + F.col("b")).alias("rank_b"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("rank_a", "rank_b").alias("rank_v"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select("u", F.col("v").alias("w1"), F.col("rank_v").alias("r1"))
+    e2 = oriented.select("u", F.col("v").alias("w2"), F.col("rank_v").alias("r2"))
+    wedges = e1.join(e2, "u").filter(F.col("r1") < F.col("r2"))
+    closer = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri_rows = wedges.join(closer, ["w1", "w2"]).select(
+        F.explode(F.array("u", "w1", "w2")).alias("node")
+    )
+    tri = tri_rows.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(f"2 * coalesce(tri, 0) * {SCALE} div (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_ppm"),
+    )
+
+
+def triangles_oracle_sql(und_edges_cte: str) -> str:
+    """DuckDB twin of :func:`triangles_per_node`. ``und_edges_cte`` must
+    define ``und_edges(a, b)`` canonical (a < b, distinct); ends with
+    ``tri_final(node, deg, tri, cc_ppm)``."""
+    return (
+        und_edges_cte
+        + f"""
+, tdeg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM
+    (SELECT a AS node FROM und_edges UNION ALL SELECT b FROM und_edges)
+  GROUP BY node
+), toriented AS MATERIALIZED (
+  SELECT CASE WHEN da.deg * {TRIANGLE_RANK_BASE} + e.a < db.deg * {TRIANGLE_RANK_BASE} + e.b
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg * {TRIANGLE_RANK_BASE} + e.a < db.deg * {TRIANGLE_RANK_BASE} + e.b
+              THEN e.b ELSE e.a END AS v,
+         greatest(da.deg * {TRIANGLE_RANK_BASE} + e.a,
+                  db.deg * {TRIANGLE_RANK_BASE} + e.b) AS rank_v
+  FROM und_edges e
+  JOIN tdeg da ON e.a = da.node
+  JOIN tdeg db ON e.b = db.node
+), ttris AS MATERIALIZED (
+  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+  FROM toriented e1
+  JOIN toriented e2 ON e1.u = e2.u AND e1.rank_v < e2.rank_v
+  JOIN toriented c ON c.u = e1.v AND c.v = e2.v
+), tcnt AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS tri FROM
+    (SELECT n1 AS node FROM ttris UNION ALL SELECT n2 FROM ttris
+     UNION ALL SELECT n3 FROM ttris)
+  GROUP BY node
+), tri_final AS (
+  SELECT d.node, d.deg, coalesce(t.tri, 0)::BIGINT AS tri,
+         CASE WHEN d.deg >= 2
+              THEN (2 * coalesce(t.tri, 0) * {SCALE} // (d.deg * (d.deg - 1)))::BIGINT
+              ELSE 0 END AS cc_ppm
+  FROM tdeg d LEFT JOIN tcnt t ON d.node = t.node
+)
+"""
+    )
