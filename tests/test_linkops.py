@@ -1,0 +1,107 @@
+"""Independent pure-Python oracles for the link-analysis operators
+(queries/linkops.py) — the DuckDB gate twins run in tools/parity_check.py;
+these re-derive triangle counts, SALSA scores, and the effective diameter
+from the raw parquet rows with plain Python dict/set code, so a bug shared
+by the two SQL engines' plans can't hide."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from itertools import combinations
+
+import duckdb
+
+from spider_go_spark.operators.graph import SCALE
+from spider_go_spark.queries import linkops as lo
+
+SF = "/root/testdata/sf0.001"
+
+
+def _directed_edges():
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    edges = set()
+    for pk, sk, ok, ln in rows:
+        if ok % lo.LINK_EDGE_MOD != 0:
+            continue
+        s, d = pk % lo.LINK_M, (sk * 5 + ln * 17) % lo.LINK_M
+        if s != d:
+            edges.add((s, d))
+    return edges
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    got = [tuple(r) for r in lo.triangle_census(spark, SF).collect()]
+
+    und = {tuple(sorted(e)) for e in _directed_edges()}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    # brute force: for each node, count edges among its neighbors (each
+    # triangle counted once per corner — exactly the per-node count)
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (min(x, y), max(x, y)) in und:
+                tri[v] += 1
+    want = []
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        cc = 2 * tri[v] * SCALE // (d * (d - 1)) if d >= 2 else 0
+        want.append((v, d, tri[v], cc))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want[: lo.TRIANGLE_TOPK]
+    # and the census must actually contain triangles (model sanity)
+    assert got[0][2] > 0
+
+
+def test_salsa_matches_python_walk(spark):
+    got = [tuple(r) for r in lo.salsa_authorities(spark, SF).collect()]
+
+    edges = _directed_edges()
+    indeg = defaultdict(int)
+    outdeg = defaultdict(int)
+    in_nbrs = defaultdict(list)   # authority -> hubs pointing at it
+    out_nbrs = defaultdict(list)  # hub -> authorities it points at
+    for s, d in edges:
+        outdeg[s] += 1
+        indeg[d] += 1
+        in_nbrs[d].append(s)
+        out_nbrs[s].append(d)
+
+    auth = {a: SCALE for a in indeg}
+    for _ in range(lo.SALSA_ITERS):
+        h = defaultdict(int)
+        for a, score in auth.items():
+            push = score // indeg[a]
+            for i in in_nbrs[a]:
+                h[i] += push
+        raw = defaultdict(int)
+        for i, score in h.items():
+            push = score // outdeg[i]
+            for b in out_nbrs[i]:
+                raw[b] += push
+        m = max(max(raw.values(), default=0), 1)
+        auth = {a: raw.get(a, 0) * SCALE // m for a in indeg}
+
+    want = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[: lo.SALSA_TOPK]
+    assert got == [tuple(r) for r in want]
+    # degree normalization must leave a non-degenerate ranking
+    assert got[0][1] == SCALE and got[-1][1] < SCALE
+
+
+def test_effective_diameter_bounds(spark):
+    from spider_go_spark.queries.pipelineops import BOWTIE_HOPS, neighbourhood_function
+
+    (d, nf_at_d, nf_max), = lo.effective_diameter(spark, SF).collect()
+    nf = dict(neighbourhood_function(spark, SF).collect())
+    assert 0 <= d <= BOWTIE_HOPS
+    assert nf_max == max(nf.values())
+    assert nf_at_d == nf[d]
+    assert 10 * nf_at_d >= 9 * nf_max
+    if d > 0:
+        assert 10 * nf[d - 1] < 9 * nf_max
