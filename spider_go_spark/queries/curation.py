@@ -389,13 +389,90 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic weighted priority sample
+# --------------------------------------------------------------------------
+# The corpus-mixing stage needs *weighted* samples (longer / higher-quality
+# documents drawn more often) that are reproducible run-over-run and
+# engine-over-engine. Classic A-ES (Efraimidis & Spirakis, "Weighted random
+# sampling with a reservoir", IPL 2006) keys each item by u^(1/w) with a
+# fresh uniform u — float powers would break the bit-exact contract, so
+# this integer variant keys by  priority = h(doc_id) div w  with h a fixed
+# affine hash (classic LCG constants mod POLY_P): priority is uniform for
+# w = 1 and stochastically decreasing in w, so the bottom-K per stratum is
+# a weight-monotone deterministic sample — doubling a document's weight
+# (at fixed hash) halves its priority and can only move it INTO the
+# sample, never out. Not exactly proportional-to-weight like true A-ES
+# (documented divergence); fully reproducible, mergeable, and rerunnable
+# on any engine.
+WSAMPLE_A = 1_103_515_245
+WSAMPLE_B = 12_345
+WSAMPLE_P = 1_000_000_007
+WSAMPLE_K = 6     # sample size per stratum
+WSAMPLE_SALT = 16 # phase-1 fan-out of the two-phase bottom-K cut
+
+
+def weighted_doc_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-WSAMPLE_K documents per ``lang`` stratum by integer weighted
+    priority (weight = n_chars): the deterministic weighted sample the
+    corpus-mixing stage draws.
+
+    Scale shape: the exact bottom-K is computed with the engine's salted
+    two-phase cut (same discipline as operators/politeness.py) — a first
+    row_number inside (lang, doc_id mod WSAMPLE_SALT) keeps ≤ K rows per
+    salt lane, a second inside lang ranks the ≤ SALT·K survivors — so no
+    single window task ever sees a whole stratum (strata are few and huge
+    at 100 TB; an unsalted per-lang window would put one language on one
+    task). The result is salt-invariant: the global bottom-K per lang is
+    a pure function of (priority, doc_id) order."""
+    from pyspark.sql.window import Window
+
+    docs = T(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (
+            ((F.col("doc_id") * WSAMPLE_A + WSAMPLE_B) % WSAMPLE_P)
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).cast("long").alias("priority"),
+    )
+    w1 = Window.partitionBy("lang", F.pmod("doc_id", F.lit(WSAMPLE_SALT))).orderBy(
+        "priority", "doc_id"
+    )
+    w2 = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= WSAMPLE_K)
+        .drop("_r1")
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= WSAMPLE_K)
+        .drop("_r2")
+    )
+
+
+WEIGHTED_DOC_SAMPLE_SQL = f"""
+WITH prio AS (
+  SELECT lang, doc_id, n_chars,
+         (((doc_id * {WSAMPLE_A} + {WSAMPLE_B}) % {WSAMPLE_P})
+          // greatest(n_chars, 1))::BIGINT AS priority
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS r
+  FROM prio
+)
+SELECT lang, doc_id, n_chars, priority FROM ranked WHERE r <= {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "quality_logit_filter": quality_logit_filter,
     "dsir_importance": dsir_importance,
     "gopher_rules_filter": gopher_rules_filter,
+    "weighted_doc_sample": weighted_doc_sample,
 }
 ORACLES = {
     "quality_logit_filter": QUALITY_LOGIT_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "gopher_rules_filter": GOPHER_RULES_SQL,
+    "weighted_doc_sample": WEIGHTED_DOC_SAMPLE_SQL,
 }

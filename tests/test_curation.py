@@ -145,3 +145,47 @@ def test_gopher_rules_filter_matches_python(spark):
         assert got[doc_id] == want, doc_id
         kept += want["keep"]
     assert 0 < kept < len(docs)
+
+
+def test_weighted_doc_sample_matches_python(spark):
+    """Bottom-K weighted priority sample per lang stratum vs a brute-force
+    Python replay, plus the weight-monotonicity contract: raising a
+    sampled document's weight (n_chars) keeps it in the sample."""
+    import duckdb
+
+    from spider_go_spark.queries.curation import (
+        WSAMPLE_A, WSAMPLE_B, WSAMPLE_K, WSAMPLE_P, weighted_doc_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["lang"], r["doc_id"], r["n_chars"], r["priority"])
+        for r in weighted_doc_sample(spark, sf).collect()
+    )
+
+    docs = duckdb.connect().execute(
+        f"SELECT lang, doc_id, n_chars FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    by_lang = {}
+    for lang, doc_id, n_chars in docs:
+        prio = ((doc_id * WSAMPLE_A + WSAMPLE_B) % WSAMPLE_P) // max(n_chars, 1)
+        by_lang.setdefault(lang, []).append((prio, doc_id, n_chars))
+    want = sorted(
+        (lang, doc_id, n_chars, prio)
+        for lang, rows in by_lang.items()
+        for prio, doc_id, n_chars in sorted(rows)[:WSAMPLE_K]
+    )
+    assert got == want
+    assert len(got) == sum(min(WSAMPLE_K, len(v)) for v in by_lang.values())
+
+    # weight monotonicity: double every sampled doc's weight -> halved
+    # priority -> still in the bottom-K of its stratum.
+    sampled = {(lang, doc_id) for lang, doc_id, _, _ in got}
+    boosted = {}
+    for lang, doc_id, n_chars in docs:
+        w = 2 * n_chars if (lang, doc_id) in sampled else n_chars
+        prio = ((doc_id * WSAMPLE_A + WSAMPLE_B) % WSAMPLE_P) // max(w, 1)
+        boosted.setdefault(lang, []).append((prio, doc_id))
+    for lang, rows in boosted.items():
+        resampled = {d for _, d in sorted(rows)[:WSAMPLE_K]}
+        assert {d for l, d in sampled if l == lang} <= resampled
