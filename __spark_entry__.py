@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "curation",
     "siteops",
     "linkops",
+    "vocabops",
 )
 _DEFAULT_COST = 2.0
 
