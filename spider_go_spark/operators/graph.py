@@ -28,7 +28,7 @@ plan does not grow exponentially with iteration count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
@@ -642,6 +642,30 @@ def hyperball_int(edges: DataFrame, max_hops: int) -> DataFrame:
         hll_rho,
     )
 
+    out = (
+        hyperball_node_estimates(edges, max_hops)
+        .groupBy("hop")
+        .agg(F.sum("est").cast("long").alias("n_pairs_est"))
+    )
+    return out.orderBy("hop")
+
+
+def hyperball_node_estimates(edges: DataFrame, max_hops: int) -> DataFrame:
+    """(node, hop, est) — per-node HyperBall out-ball size estimates for
+    every hop 0..max_hops: the raw per-node readout under
+    :func:`hyperball_int` (which sums it into the neighbourhood function)
+    and :func:`harmonic_centrality_int` (which differences it per hop).
+    Same long-format register discipline and per-hop eager localCheckpoint
+    as documented on :func:`hyperball_int`; estimates are monotone
+    non-decreasing in hop because registers only ever max-increase."""
+    from spider_go_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUM,
+        HLL_RANK_CAP,
+        hll_bucket,
+        hll_rho,
+    )
+
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -665,10 +689,8 @@ def hyperball_int(edges: DataFrame, max_hops: int) -> DataFrame:
         est = F.expr(
             f"{HLL_NUM} div (1000 * (s_used + ({HLL_M} - n_used) * {2 ** HLL_RANK_CAP}))"
         )
-        return (
-            per_node.select(est.alias("est"))
-            .agg(F.sum("est").cast("long").alias("n_pairs_est"))
-            .select(F.lit(hop).cast("int").alias("hop"), "n_pairs_est")
+        return per_node.select(
+            "node", F.lit(hop).cast("int").alias("hop"), est.cast("long").alias("est")
         )
 
     out = _hop_estimate(regs, 0)
@@ -689,7 +711,102 @@ def hyperball_int(edges: DataFrame, max_hops: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(_hop_estimate(regs, k))
-    return out.orderBy("hop")
+    return out
+
+
+def harmonic_centrality_int(edges: DataFrame, max_hops: int) -> DataFrame:
+    """(node, harm_u) — bounded-hop harmonic centrality by HyperBall
+    (Boldi & Vigna 2013, §5: centrality readouts of the per-node ball
+    sizes): H(v) = Σ_{h=1..H} (|ball_v(h)| − |ball_v(h−1)|) / h, the
+    number of nodes first reached at hop h weighted 1/h. Exact harmonic
+    centrality is an all-pairs BFS — flatly impossible at 10^10 nodes;
+    the sketch form is ONE extra window + agg over the (H+1)·N per-node
+    estimate rows hyperball already produces.
+
+    harm_u is in micro-units: contrib = (est_h − est_{h−1}) · SCALE div h,
+    summed. Ball estimates are monotone in h (registers only max-grow), so
+    every contribution is ≥ 0; est ≤ ~1.5·10^9 keeps diff·SCALE < 2^51.
+    Directed OUT-ball centrality (documented choice): ranks nodes by how
+    cheaply they reach the web, the frontier-prioritization signal — flip
+    the edges for the classic "how reachable am I" in-ball form."""
+    est = hyperball_node_estimates(edges, max_hops)
+    w = Window.partitionBy("node").orderBy("hop")
+    return (
+        est.withColumn("prev", F.lag("est").over(w))
+        .filter(F.col("hop") >= 1)
+        .withColumn("contrib", F.expr(f"(est - prev) * {SCALE} div hop"))
+        .groupBy("node")
+        .agg(F.sum("contrib").cast("long").alias("harm_u"))
+    )
+
+
+def harmonic_oracle_sql(edges_cte: str, max_hops: int) -> str:
+    """DuckDB twin of :func:`harmonic_centrality_int`: the per-node,
+    per-hop estimate CTEs of :func:`hyperball_oracle_sql` kept un-summed,
+    then the identical lag-window difference/divide/aggregate."""
+    from spider_go_spark.operators.sketches import (
+        CMS_AS,
+        HASH_P,
+        HLL_M,
+        HLL_NUM,
+        HLL_RANK_BITS,
+        HLL_RANK_CAP,
+    )
+
+    a = CMS_AS[0]
+    cap2 = 2 ** HLL_RANK_CAP
+
+    def est_cte(k: int) -> str:
+        return f""", nest{k} AS (
+  SELECT node, {k} AS hop,
+         ({HLL_NUM} // (1000 * (sum(1::BIGINT << ({HLL_RANK_CAP} - m))
+           + ({HLL_M} - count(*))::BIGINT * {cap2})))::BIGINT AS est
+  FROM r{k} GROUP BY node
+)
+"""
+
+    parts = [
+        edges_cte,
+        f""", nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+r0 AS MATERIALIZED (
+  SELECT node,
+         (((node % {HASH_P}) * {a}) % {HASH_P}) % {HLL_M} AS b,
+         coalesce(
+           (SELECT min(k.k) + 1 FROM (SELECT unnest(range(0, {HLL_RANK_BITS})) AS k) k
+            WHERE (((((node % {HASH_P}) * {a}) % {HASH_P}) // {HLL_M})
+                    // (1::BIGINT << k.k)) % 2 = 1),
+           {HLL_RANK_CAP}) AS m
+  FROM nodes
+)""",
+        est_cte(0),
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT node, b, max(m) AS m FROM (
+    SELECT node, b, m FROM r{k - 1}
+    UNION ALL
+    SELECT e.src AS node, r.b, r.m FROM edges e JOIN r{k - 1} r ON e.dst = r.node
+  ) GROUP BY node, b
+)
+"""
+        )
+        parts.append(est_cte(k))
+    union = " UNION ALL ".join(f"SELECT * FROM nest{k}" for k in range(max_hops + 1))
+    parts.append(
+        f"""
+, all_est AS (SELECT * FROM ({union}))
+, lagged AS (
+  SELECT node, hop, est,
+         lag(est) OVER (PARTITION BY node ORDER BY hop) AS prev
+  FROM all_est
+)
+SELECT node, sum((est - prev) * {SCALE} // hop)::BIGINT AS harm_u
+FROM lagged WHERE hop >= 1 GROUP BY node
+"""
+    )
+    return "".join(parts)
 
 
 def hyperball_oracle_sql(edges_cte: str, max_hops: int) -> str:

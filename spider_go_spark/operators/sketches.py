@@ -153,6 +153,133 @@ FROM agg
 """
 
 
+def hll_pair_intersection(df: DataFrame, key: str, group_col: str) -> DataFrame:
+    """Estimated distinct-``key`` overlap between every unordered pair of
+    ``group_col`` values, by HLL inclusion-exclusion:
+    ``|A ∩ B| ≈ E(A) + E(B) − E(A ∪ B)`` with the union sketch the
+    register-wise max of the two groups' registers (HLL unions are exact
+    on sketch state — the merged registers equal the registers of the
+    merged stream, so E(A ∪ B) carries no extra merge error).
+
+    Plan shape: ONE pass over the data builds per-(group, bucket) max-rho
+    registers (map-side combined, shuffle ≤ groups·m rows); everything
+    after — the pair fan-out, union-max, and estimates — runs on that
+    ≤ groups·m-row aggregate, so cost at 100 TB is the cost of one
+    register aggregation regardless of pair count. The exact overlap
+    (a distinct self-join) is emitted alongside to document the sketch's
+    error in the gate output itself — at scale the exact branch is the
+    one you drop. Estimate can undershoot: inclusion-exclusion subtracts
+    two ~13%-error estimates, so the result is clamped at 0.
+
+    Output: g_a, g_b, est_a, est_b, est_union, inter_est, exact_overlap.
+    """
+    k = F.col(key)
+    regs = (
+        df.select(F.col(group_col).alias("g"), hll_bucket(k).alias("b"), hll_rho(k).alias("r"))
+        .groupBy("g", "b")
+        .agg(F.max("r").alias("m"))
+    )
+    reg_val = F.expr(f"shiftleft(cast(1 as bigint), {HLL_RANK_CAP} - m)")
+    empty = (F.lit(HLL_M) - F.count(F.lit(1))).cast("long") * F.lit(2 ** HLL_RANK_CAP)
+    est_expr = F.expr(f"{HLL_NUM} div (1000 * __s)").alias("e")
+
+    def _estimate(r: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            r.groupBy(*keys)
+            .agg((F.sum(reg_val) + empty).alias("__s"))
+            .select(*keys, est_expr)
+        )
+
+    est = _estimate(regs, ["g"])
+    groups = regs.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .join(groups.select(F.col("g").alias("g_b")), F.col("g_a") < F.col("g_b"))
+    )
+    union_regs = (
+        pairs.join(regs, F.col("g") == F.col("g_a")).select("g_a", "g_b", "b", "m")
+        .union(pairs.join(regs, F.col("g") == F.col("g_b")).select("g_a", "g_b", "b", "m"))
+        .groupBy("g_a", "g_b", "b")
+        .agg(F.max("m").alias("m"))
+    )
+    est_union = _estimate(union_regs, ["g_a", "g_b"]).withColumnRenamed("e", "est_union")
+    members = df.select(F.col(group_col).alias("g"), k.alias("__k")).distinct()
+    exact = (
+        members.alias("x")
+        .join(members.alias("y"),
+              (F.col("x.__k") == F.col("y.__k")) & (F.col("x.g") < F.col("y.g")))
+        .groupBy(F.col("x.g").alias("g_a"), F.col("y.g").alias("g_b"))
+        .agg(F.countDistinct("x.__k").cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        est_union
+        .join(est.select(F.col("g").alias("g_a"), F.col("e").alias("est_a")), "g_a")
+        .join(est.select(F.col("g").alias("g_b"), F.col("e").alias("est_b")), "g_b")
+        .join(exact, ["g_a", "g_b"], "left")
+        .select(
+            "g_a", "g_b", "est_a", "est_b", "est_union",
+            F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0))
+            .cast("bigint").alias("inter_est"),
+            F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias("exact_overlap"),
+        )
+    )
+
+
+def hll_pair_oracle_sql(table: str, key: str, group_col: str) -> str:
+    """DuckDB twin of :func:`hll_pair_intersection` — identical integer
+    arithmetic, same register/union/estimate pipeline in SQL."""
+    a = CMS_AS[0]
+    cap_val = 2 ** HLL_RANK_CAP
+    est = (
+        f"({HLL_NUM} // (1000 * (sum(1::BIGINT << ({HLL_RANK_CAP} - m))"
+        f" + ({HLL_M} - count(*))::BIGINT * {cap_val})))::BIGINT"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS g,
+         ((({key} % {HASH_P}) * {a}) % {HASH_P}) % {HLL_M} AS b,
+         ((({key} % {HASH_P}) * {a}) % {HASH_P}) // {HLL_M} AS w
+  FROM {table}
+), rho AS (
+  SELECT g, b,
+         coalesce(
+           (SELECT min(k.k) + 1 FROM (SELECT unnest(range(0, {HLL_RANK_BITS})) AS k) k
+            WHERE (w // (1::BIGINT << k.k)) % 2 = 1),
+           {HLL_RANK_CAP}) AS rho
+  FROM hashed
+), regs AS (
+  SELECT g, b, max(rho) AS m FROM rho GROUP BY g, b
+), est AS (
+  SELECT g, {est} AS e FROM regs GROUP BY g
+), pairs AS (
+  SELECT x.g AS g_a, y.g AS g_b
+  FROM (SELECT DISTINCT g FROM regs) x JOIN (SELECT DISTINCT g FROM regs) y
+  ON x.g < y.g
+), union_regs AS (
+  SELECT g_a, g_b, b, max(m) AS m FROM (
+    SELECT p.g_a, p.g_b, r.b, r.m FROM pairs p JOIN regs r ON r.g = p.g_a
+    UNION ALL
+    SELECT p.g_a, p.g_b, r.b, r.m FROM pairs p JOIN regs r ON r.g = p.g_b
+  ) GROUP BY g_a, g_b, b
+), uest AS (
+  SELECT g_a, g_b, {est} AS est_union FROM union_regs GROUP BY g_a, g_b
+), members AS (
+  SELECT DISTINCT {group_col} AS g, {key} AS k FROM {table}
+), exact AS (
+  SELECT x.g AS g_a, y.g AS g_b, count(DISTINCT x.k)::BIGINT AS exact_overlap
+  FROM members x JOIN members y ON x.k = y.k AND x.g < y.g
+  GROUP BY x.g, y.g
+)
+SELECT u.g_a, u.g_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
+       greatest(ea.e + eb.e - u.est_union, 0)::BIGINT AS inter_est,
+       coalesce(exact.exact_overlap, 0)::BIGINT AS exact_overlap
+FROM uest u
+JOIN est ea ON ea.g = u.g_a
+JOIN est eb ON eb.g = u.g_b
+LEFT JOIN exact ON exact.g_a = u.g_a AND exact.g_b = u.g_b
+"""
+
+
 def cms_bucket(col: Column, row: int) -> Column:
     """Count-Min bucket of an integer key for sketch row ``row``."""
     return (_h(col, CMS_AS[row]) % CMS_W).cast("int")

@@ -183,14 +183,48 @@ FROM d JOIN nf ON d.eff_diameter = nf.hop
 EFFECTIVE_DIAMETER_SQL = _effective_diameter_sql()
 
 
+HARMONIC_HOPS = 3
+HARMONIC_TOPK = 15
+
+
+def harmonic_centrality_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-HARMONIC_TOPK nodes of the directed link graph by bounded-hop
+    harmonic centrality H(v) = Σ_h (|ball_v(h)| − |ball_v(h−1)|)/h, read
+    off the per-node HyperBall ball-size estimates
+    (operators/graph.harmonic_centrality_int) — the centrality Boldi &
+    Vigna built HyperBall for, and the only one of the census family
+    that weights *distance*, not just volume. Ties by node id; harm_u in
+    micro-units, bit-exact vs the unrolled SQL twin."""
+    from spider_go_spark.operators.graph import harmonic_centrality_int
+
+    h = harmonic_centrality_int(_link_edges_df(spark, sf), HARMONIC_HOPS)
+    return h.orderBy(F.col("harm_u").desc(), "node").limit(HARMONIC_TOPK)
+
+
+def _harmonic_top_sql() -> str:
+    from spider_go_spark.operators.graph import harmonic_oracle_sql
+
+    return f"""
+WITH harm AS MATERIALIZED (
+{harmonic_oracle_sql(_LINK_EDGES, HARMONIC_HOPS)}
+)
+SELECT node, harm_u FROM harm ORDER BY harm_u DESC, node LIMIT {HARMONIC_TOPK}
+"""
+
+
+HARMONIC_CENTRALITY_SQL = _harmonic_top_sql()
+
+
 QUERIES = {
     "triangle_census": triangle_census,
     "salsa_authorities": salsa_authorities,
     "effective_diameter": effective_diameter,
+    "harmonic_centrality_top": harmonic_centrality_top,
 }
 
 ORACLES = {
     "triangle_census": TRIANGLE_CENSUS_SQL,
     "salsa_authorities": SALSA_AUTHORITIES_SQL,
     "effective_diameter": EFFECTIVE_DIAMETER_SQL,
+    "harmonic_centrality_top": HARMONIC_CENTRALITY_SQL,
 }

@@ -382,8 +382,27 @@ FROM pick p JOIN hc ON hc.bin = p.bin
 """
 
 
+# --------------------------------------------------------------------------
+# HLL audience overlap between event types
+# --------------------------------------------------------------------------
+
+
+def hll_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimated distinct-user overlap between every pair of event types,
+    via HLL inclusion-exclusion over register-max union sketches (the
+    "how much do these two segments' audiences intersect" question that
+    exact distinct self-joins can't answer at 100 TB) — exact overlap
+    alongside to document the sketch error. One register aggregation over
+    the data; all pair math runs on ≤ groups·64 register rows."""
+    return sketches.hll_pair_intersection(T(spark, sf, "events"), "user_id", "event_type")
+
+
+HLL_AUDIENCE_OVERLAP_SQL = sketches.hll_pair_oracle_sql("events", "user_id", "event_type")
+
+
 QUERIES = {
     "hll_distinct_users": hll_distinct_users,
+    "hll_audience_overlap": hll_audience_overlap,
     "heavy_hitters_cms": heavy_hitters_cms,
     "tfidf_top_terms": tfidf_top_terms,
     "repetition_quality": repetition_quality,
@@ -393,6 +412,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_distinct_users": HLL_DISTINCT_USERS_SQL,
+    "hll_audience_overlap": HLL_AUDIENCE_OVERLAP_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "repetition_quality": REPETITION_QUALITY_SQL,

@@ -105,3 +105,58 @@ def test_effective_diameter_bounds(spark):
     assert 10 * nf_at_d >= 9 * nf_max
     if d > 0:
         assert 10 * nf[d - 1] < 9 * nf_max
+
+
+def test_harmonic_centrality_matches_python_hyperball(spark):
+    """Replay per-node HyperBall registers (same hash geometry) + the
+    harmonic readout in plain Python dicts, over the exact ball sets
+    computed by BFS — checks both the register math and that the
+    engine's lag-window differencing implements Σ (Δball/h)·SCALE."""
+    from spider_go_spark.operators import sketches as sk
+
+    got = [tuple(r) for r in lo.harmonic_centrality_top(spark, SF).collect()]
+
+    edges = _directed_edges()
+    nodes = {n for e in edges for n in e}
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+
+    P, A = sk.HASH_P, sk.CMS_AS[0]
+    M, BITS, CAP = sk.HLL_M, sk.HLL_RANK_BITS, sk.HLL_RANK_CAP
+
+    def reg_of(n):
+        h = ((n % P) * A) % P
+        b, w = h % M, h // M
+        rho = CAP
+        for i in range(BITS):
+            if (w >> i) & 1:
+                rho = i + 1
+                break
+        return b, rho
+
+    def est(ball):
+        regs = {}
+        for n in ball:
+            b, rho = reg_of(n)
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (CAP - m) for m in regs.values()) + (M - len(regs)) * (1 << CAP)
+        return sk.HLL_NUM // (1000 * s)
+
+    # exact balls by BFS — HyperBall's register state after h hops is
+    # EXACTLY the sketch of the exact h-ball (union-max is lossless on
+    # sketch state), so the replay needs no register iteration.
+    harm = {}
+    for v in nodes:
+        ball = {v}
+        prev_est = est(ball)
+        h_u = 0
+        for hop in range(1, lo.HARMONIC_HOPS + 1):
+            ball |= {d for n in ball for d in out.get(n, ())}
+            e = est(ball)
+            h_u += (e - prev_est) * SCALE // hop
+            prev_est = e
+        harm[v] = h_u
+    want = sorted(harm.items(), key=lambda kv: (-kv[1], kv[0]))[: lo.HARMONIC_TOPK]
+    assert got == want
+    assert all(h >= 0 for _, h in got)

@@ -66,3 +66,52 @@ def test_sketch_queries_partition_invariant(spark):
         once = sorted(map(tuple, df.collect()))
         again = sorted(map(tuple, df.repartition(7).collect()))
         assert once == again, name
+
+
+def test_hll_pair_intersection_matches_python(spark, events):
+    """Full pure-Python replay of the pair-intersection pipeline (same
+    hash, registers, union-max, integer estimator), plus the lattice
+    invariants: est_union >= max(est_a, est_b) (register-max dominates)
+    and inter_est = max(est_a + est_b - est_union, 0)."""
+    got = {
+        (r["g_a"], r["g_b"]): r.asDict()
+        for r in sketches.hll_pair_intersection(events, "user_id", "event_type").collect()
+    }
+
+    P, A = sketches.HASH_P, sketches.CMS_AS[0]
+    M, BITS, CAP = sketches.HLL_M, sketches.HLL_RANK_BITS, sketches.HLL_RANK_CAP
+    NUM = sketches.HLL_NUM
+
+    rows = events.select("event_type", "user_id").collect()
+    regs: dict[str, dict[int, int]] = {}
+    members: dict[str, set] = {}
+    for r in rows:
+        g, k = r["event_type"], r["user_id"]
+        h = ((k % P) * A) % P
+        b, w = h % M, h // M
+        rho = CAP
+        for i in range(BITS):
+            if (w >> i) & 1:
+                rho = i + 1
+                break
+        regs.setdefault(g, {})
+        regs[g][b] = max(regs[g].get(b, 0), rho)
+        members.setdefault(g, set()).add(k)
+
+    def est(reg: dict[int, int]) -> int:
+        s = sum(1 << (CAP - m) for m in reg.values()) + (M - len(reg)) * (1 << CAP)
+        return NUM // (1000 * s)
+
+    groups = sorted(regs)
+    want_pairs = {(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]}
+    assert set(got) == want_pairs
+    for ga, gb in want_pairs:
+        u = dict(regs[ga])
+        for b, m in regs[gb].items():
+            u[b] = max(u.get(b, 0), m)
+        ea, eb, eu = est(regs[ga]), est(regs[gb]), est(u)
+        row = got[(ga, gb)]
+        assert (row["est_a"], row["est_b"], row["est_union"]) == (ea, eb, eu)
+        assert row["inter_est"] == max(ea + eb - eu, 0)
+        assert row["exact_overlap"] == len(members[ga] & members[gb])
+        assert eu >= max(ea, eb)  # union registers dominate both inputs
