@@ -111,12 +111,71 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+WEEK_US = 7 * 86400 * 1_000_000  # integer week id = epoch_us div WEEK_US
+
+
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohort matrix over the event log: users are
+    cohorted by their first-activity week; each (cohort_week,
+    offset_weeks) cell counts the cohort's users still active that many
+    weeks later, with retention in exact integer per-mille. Weeks are
+    ``epoch_us div WEEK_US`` — pure integer bucketing, engine-neutral,
+    no calendar/timezone semantics to drift.
+
+    Scale shape: one distinct on (user, week) — the natural-key shuffle —
+    then a groupBy(user) for cohorts whose join back to activity is
+    co-partitioned on user_id; the cell aggregation and the offset-0 size
+    join run on the tiny (cohorts × offsets) aggregate."""
+    ev = T(spark, sf, "events")
+    uw = ev.select(
+        "user_id", (_us("ts") / WEEK_US).cast("long").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    size = cells.filter(F.col("offset_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(size, "cohort_week").select(
+        "cohort_week",
+        "offset_weeks",
+        "n_active",
+        "cohort_size",
+        (F.lit(1000) * F.col("n_active") / F.col("cohort_size")).cast("bigint")
+        .alias("retention_pm"),
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+), cells AS (
+  SELECT c.cohort_week, (uw.week - c.cohort_week) AS offset_weeks,
+         count(DISTINCT uw.user_id)::BIGINT AS n_active
+  FROM uw JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cells.cohort_week, cells.offset_weeks, cells.n_active,
+       s.n_active AS cohort_size,
+       (1000 * cells.n_active // s.n_active)::BIGINT AS retention_pm
+FROM cells JOIN cells s
+  ON s.cohort_week = cells.cohort_week AND s.offset_weeks = 0
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "range_click_error_pairs": range_click_error_pairs,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLES = {
     "asof_last_click": ASOF_LAST_CLICK_SQL,
     "range_click_error_pairs": RANGE_CLICK_ERROR_PAIRS_SQL,
+    "retention_cohorts": RETENTION_COHORTS_SQL,
 }

@@ -319,6 +319,70 @@ SELECT doc_id_a, doc_id_b, jaccard FROM (
 
 
 # --------------------------------------------------------------------------
+CONT_MIN_PM = 800  # emit pairs where ≥80% of a's shingles appear in b
+
+
+def containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle containment
+    C(a,b) = |H_a ∩ H_b| / |H_a| ≥ CONT_MIN_PM/1000 — the asymmetric
+    complement to ngram_jaccard_pairs: a short page quoted wholesale
+    inside a long one has tiny Jaccard but containment ≈ 1, which is why
+    dedup pipelines (Broder's original shingling paper distinguishes
+    resemblance from containment) need both. Integer per-mille, no floats.
+
+    Scale shape: identical to the Jaccard op — explode → shingle-hash
+    equi-join for candidates (content-keyed shuffle, never a cross join),
+    exact verification on the candidate pairs only; one eager
+    localCheckpoint shared by the three plan branches."""
+    h = _docs_hashes(spark, sf).localCheckpoint(eager=True)
+    ex = h.select("doc_id", F.explode("hashes").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_id_a"), F.col("hashes").alias("hashes_a"))
+    hb = h.select(F.col("doc_id").alias("doc_id_b"), F.col("hashes").alias("hashes_b"))
+    inter = F.size(F.array_intersect("hashes_a", "hashes_b")).cast("bigint")
+    n_a = F.size("hashes_a").cast("bigint")
+    return (
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .filter(n_a > 0)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            n_a.alias("n_a"),
+            inter.alias("n_inter"),
+            (F.lit(1000) * inter / n_a).cast("bigint").alias("containment_pm"),
+        )
+        .filter(F.col("containment_pm") >= CONT_MIN_PM)
+    )
+
+
+CONTAINMENT_PAIRS_SQL = (
+    _HASHES_CTE
+    + f"""
+, ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+)
+SELECT doc_id_a, doc_id_b, n_a, n_inter, containment_pm FROM (
+  SELECT doc_id_a, doc_id_b,
+         len(x.hashes)::BIGINT AS n_a,
+         len(list_intersect(x.hashes, y.hashes))::BIGINT AS n_inter,
+         (1000 * len(list_intersect(x.hashes, y.hashes)) // len(x.hashes))::BIGINT
+           AS containment_pm
+  FROM cand JOIN hs x ON x.doc_id = cand.doc_id_a JOIN hs y ON y.doc_id = cand.doc_id_b
+  WHERE len(x.hashes) > 0
+) WHERE containment_pm >= {CONT_MIN_PM}
+"""
+)
+
+
+# --------------------------------------------------------------------------
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidate pairs with shared-band
     counts — the sub-quadratic near-dup path for 100 TB corpora. Docs with
@@ -815,6 +879,7 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "containment_pairs": containment_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_values": simhash_values,
     "simhash_near_pairs": simhash_near_pairs,
@@ -832,6 +897,7 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "containment_pairs": CONTAINMENT_PAIRS_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash_values": SIMHASH_VALUES_SQL,
     "simhash_near_pairs": SIMHASH_NEAR_PAIRS_SQL,

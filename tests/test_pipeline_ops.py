@@ -608,3 +608,79 @@ def test_pmi_collocations_replay(spark):
     want = scored[:PMI_TOP]
     got = [(r.bigram, r.n_ab, r.pmi_ratio_u) for r in rows]
     assert got == want
+
+
+def test_containment_pairs_matches_python(spark):
+    """Brute-force shingle-containment replay: recompute every doc's
+    3-token shingle-hash set in Python (same polynomial kernel) and check
+    the directed pair list and integer per-mille values exactly."""
+    from spider_go_spark.queries.textops import CONT_MIN_PM, containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in containment_pairs(spark, sf).collect())
+
+    import duckdb
+
+    P, MUL = 1_000_000_007, 1_000_003
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    hs = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split() if t]
+        th = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % P
+            th.append(h)
+        hs[doc_id] = {
+            ((th[i] * MUL + th[i + 1]) % P * MUL + th[i + 2]) % P
+            for i in range(max(len(th) - 2, 0))
+        }
+    want = []
+    for a, ha in hs.items():
+        if not ha:
+            continue
+        for b, hb in hs.items():
+            if a == b:
+                continue
+            inter = len(ha & hb)
+            pm = 1000 * inter // len(ha)
+            if pm >= CONT_MIN_PM:
+                want.append((a, b, len(ha), inter, pm))
+    assert got == sorted(want)
+    assert got  # the corpus has near-dups, so containment pairs must exist
+    # full containment (a's shingles all inside b) must occur — and it is
+    # directional: b need not be contained in a
+    assert any(pm == 1000 for _, _, _, _, pm in got)
+
+
+def test_retention_cohorts_matches_python(spark):
+    """Replay the weekly cohort matrix with Python dicts over raw
+    (user, epoch_us) rows — integer week buckets, per-mille retention."""
+    from spider_go_spark.queries.temporal import WEEK_US, retention_cohorts
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in retention_cohorts(spark, sf).collect())
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, epoch_us(ts) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    weeks = {}
+    for uid, us in rows:
+        weeks.setdefault(uid, set()).add(us // WEEK_US)
+    cells = {}
+    for uid, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            cells.setdefault((c, w - c), set()).add(uid)
+    want = []
+    for (c, off), users in cells.items():
+        size = len(cells[(c, 0)])
+        want.append((c, off, len(users), size, 1000 * len(users) // size))
+    assert got == sorted(want)
+    # offset-0 cells retain everyone by construction
+    assert all(pm == 1000 for _, off, _, _, pm in got if off == 0)
