@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "siteops",
     "linkops",
     "vocabops",
+    "layoutops",
 )
 _DEFAULT_COST = 2.0
 
