@@ -464,15 +464,113 @@ SELECT lang, doc_id, n_chars, priority FROM ranked WHERE r <= {WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# cluster_capped_sample — diversity-balanced corpus sampling: cap every
+# semantic cluster's contribution (the DataComp / cluster-balanced recipe
+# that stops one dominant content cluster — boilerplate, listings, spam
+# farms — from flooding the training mix). Assignment reuses SemDeDup's
+# anchor-centroid projection; within a cluster a deterministic
+# multiplicative hash of vec_id picks the CAP survivors.
+# ---------------------------------------------------------------------------
+
+CCS_CAP = 12
+CCS_MULT = 2654435761  # Knuth multiplicative hash constant
+CCS_MOD = 1 << 32
+
+
+def cluster_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """(cluster_id, vec_id, label, priority) — at most ``CCS_CAP`` vectors
+    per semantic cluster, chosen by a deterministic hash priority (so the
+    sample is reproducible and uniform within a cluster, never biased by
+    insert order).
+
+    Scale shape (10^9 vectors): assignment is a pure projection (literal
+    centroids, struct-min argmin — the SemDeDup path,
+    queries/vectorops.py); the cap is a per-cluster top-k window whose
+    partitions are the clusters — with K anchor clusters each partition
+    sorts corpus/K rows locally after one hash shuffle, and a skewed
+    mega-cluster is the salted two-phase-cut case
+    (operators/politeness.py). Output is ≤ K·CAP rows."""
+    from pyspark.sql.window import Window
+
+    from spider_go_spark.queries.vectorops import (
+        SEMDEDUP_K,
+        _long_array_sql,
+        _pq_quantize,
+    )
+
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", "label", _pq_quantize(F.col("embedding")).alias("v")
+    )
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    structs = ", ".join(
+        "struct(aggregate(zip_with(v, "
+        + _long_array_sql(list(r["v"]))
+        + ", (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
+        + f" as d2, {int(r['vec_id'])} as cid)"
+        for r in cent_rows
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    a = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        best["cid"].cast("int").alias("cluster_id"),
+        (F.col("vec_id").cast("bigint") * CCS_MULT % CCS_MOD).alias("priority"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("priority", "vec_id")
+    return (
+        a.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= CCS_CAP)
+        .select("cluster_id", "vec_id", "label", "priority")
+    )
+
+
+def _ccs_sql() -> str:
+    from spider_go_spark.queries.vectorops import DIMS, PQ_SCALE, SEMDEDUP_K
+
+    return f"""
+WITH sq AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> floor(x::DOUBLE * {PQ_SCALE})::BIGINT) AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM sq WHERE vec_id < {SEMDEDUP_K}
+), scored AS (
+  SELECT s.vec_id, s.label, c.cid,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, {DIMS + 1}),
+           i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))), (a, b) -> a + b) AS d2
+  FROM sq s CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id::BIGINT AS vec_id, label::INT AS label, cid AS cluster_id,
+         (vec_id::BIGINT * {CCS_MULT} % {CCS_MOD}) AS priority
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM scored
+  ) WHERE rk = 1
+)
+SELECT cluster_id, vec_id, label, priority FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY priority, vec_id) AS r
+  FROM assign
+) WHERE r <= {CCS_CAP}
+"""
+
+
+CLUSTER_CAPPED_SAMPLE_SQL = _ccs_sql()
+
+
 QUERIES = {
     "quality_logit_filter": quality_logit_filter,
     "dsir_importance": dsir_importance,
     "gopher_rules_filter": gopher_rules_filter,
     "weighted_doc_sample": weighted_doc_sample,
+    "cluster_capped_sample": cluster_capped_sample,
 }
 ORACLES = {
     "quality_logit_filter": QUALITY_LOGIT_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "gopher_rules_filter": GOPHER_RULES_SQL,
     "weighted_doc_sample": WEIGHTED_DOC_SAMPLE_SQL,
+    "cluster_capped_sample": CLUSTER_CAPPED_SAMPLE_SQL,
 }

@@ -168,14 +168,88 @@ FROM cells JOIN cells s
 """
 
 
+def scd2_event_type_history(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, event_type, valid_from_us, valid_to_us, n_events,
+    is_current) — a slowly-changing-dimension type-2 history built from
+    the raw event log: per user, consecutive runs of the same event_type
+    collapse into one validity interval; ``valid_to_us`` is the start of
+    the next run (NULL on the open current run). This is the standard
+    change-log → dimension-history build (the reference's Mongo documents
+    are version-stamped in place, storage_workflow_mongodb.go — an SCD2
+    table is the lakehouse twin that preserves every version).
+
+    Gaps-and-islands with a deterministic (ts, event_id) tie-break; runs
+    are numbered by a running sum over the change flag. Scale shape
+    (10^10 events): every window partitions by user_id — per-user
+    partitions sort locally after one hash shuffle, nothing global; a
+    skewed mega-user is the politeness salting case
+    (operators/politeness.py)."""
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", _us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    grp = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    # equal-ts events can start two runs at the same microsecond; run_id is
+    # monotone in the (us, event_id) order, so it is the deterministic tie-break
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
+    return grp.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_EVENT_TYPE_HISTORY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+), grp AS (
+  SELECT user_id, run_id, min(event_type) AS event_type,
+         min(us) AS valid_from_us, count(*)::BIGINT AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+       (lead(valid_from_us) OVER w2 IS NULL) AS is_current
+FROM grp WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, run_id)
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "range_click_error_pairs": range_click_error_pairs,
     "retention_cohorts": retention_cohorts,
+    "scd2_event_type_history": scd2_event_type_history,
 }
 
 ORACLES = {
     "asof_last_click": ASOF_LAST_CLICK_SQL,
     "range_click_error_pairs": RANGE_CLICK_ERROR_PAIRS_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,
+    "scd2_event_type_history": SCD2_EVENT_TYPE_HISTORY_SQL,
 }
