@@ -80,6 +80,7 @@ def build_corpus(
     pack_budget: int = 64,
     max_rounds: int | None = None,
     gopher_overrides: dict | None = None,
+    shard_seq_len: int | None = None,
 ) -> CorpusBuildResult:
     """Run the full pipeline; returns the stage-count manifest and the
     packed-corpus path. Idempotent per ``out_root``: archives and corpus
@@ -131,6 +132,33 @@ def build_corpus(
     packed.write.mode("overwrite").parquet(corpus_path)
     n_samples = spark.read.parquet(corpus_path).count()
 
+    # optional stage 7: binary token shards (the dataloader-facing layer).
+    # Crawl doc_ids are strings; the numeric doc key the shard sample ids
+    # need is the engine's own deterministic (round, fetch_rank) identity.
+    n_shard_samples = None
+    if shard_seq_len:
+        from spider_go_spark.sources.tokenshards import (
+            TokenShardDataSource,
+            fixed_width_samples,
+        )
+
+        spark.dataSource.register(TokenShardDataSource)
+        numbered = unique.join(
+            text.select("doc_id", "text"), "doc_id"
+        ).select(
+            (F.col("round").cast("long") * (1 << 32) + F.col("fetch_rank"))
+            .alias("doc_id"),
+            "text",
+        )
+        samples = fixed_width_samples(numbered, shard_seq_len)
+        shards_path = os.path.join(out_root, "shards")
+        samples.select("sample_id", "tokens").write.format("tokenshards").option(
+            "path", shards_path
+        ).option("seq_len", str(shard_seq_len)).mode("overwrite").save()
+        n_shard_samples = (
+            spark.read.format("tokenshards").option("path", shards_path).load().count()
+        )
+
     manifest = {
         "crawl_id": config.crawl_id,
         "n_fetched": n_fetched,
@@ -141,6 +169,9 @@ def build_corpus(
         "pack_budget": pack_budget,
         "n_samples": int(n_samples),
     }
+    if n_shard_samples is not None:
+        manifest["shard_seq_len"] = shard_seq_len
+        manifest["n_shard_samples"] = int(n_shard_samples)
     tmp = os.path.join(out_root, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

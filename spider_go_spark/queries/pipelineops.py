@@ -1242,7 +1242,59 @@ LIMIT {PMI_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# token_shard_samples — the shard-ready projection (tokenize → fixed-width
+# chunk → pad) behind the binary token-shard sink (sources/tokenshards.py).
+# The sink itself is gated by bit-exact roundtrip tests; this gate pins the
+# (sample_id, tokens) VALUES cross-engine, so the bytes the sink writes are
+# oracle-checked one projection earlier.
+# --------------------------------------------------------------------------
+
+SHARD_SEQ_LEN = 32
+
+
+def token_shard_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """(sample_id, doc_id, chunk_idx, n_real, tokens) — every document cut
+    into SHARD_SEQ_LEN-wide padded token-id samples (poly-hash ids mod
+    2^15). Map-only projection; see sources/tokenshards.fixed_width_samples
+    for the scale argument."""
+    from spider_go_spark.sources.tokenshards import fixed_width_samples
+
+    return fixed_width_samples(T(spark, sf, "documents"), SHARD_SEQ_LEN)
+
+
+TOKEN_SHARD_SAMPLES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), ids AS (
+  SELECT doc_id,
+         list_transform(tokens,
+            t -> (list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007) % 32768)::INT) AS ids
+  FROM toks
+), chunked AS (
+  SELECT doc_id, ids, ceil(len(ids)::DOUBLE / {SHARD_SEQ_LEN})::INT AS n_chunks
+  FROM ids WHERE len(ids) > 0
+), ex AS (
+  SELECT doc_id, ids, unnest(range(0, n_chunks))::INT AS chunk_idx FROM chunked
+), cut AS (
+  SELECT doc_id, chunk_idx,
+         ids[chunk_idx*{SHARD_SEQ_LEN}+1 : chunk_idx*{SHARD_SEQ_LEN}+{SHARD_SEQ_LEN}] AS chunk
+  FROM ex
+)
+SELECT (doc_id::BIGINT * {1 << 20} + chunk_idx) AS sample_id, doc_id, chunk_idx,
+       len(chunk)::INT AS n_real,
+       list_concat(chunk, list_transform(range(0, {SHARD_SEQ_LEN} - len(chunk)),
+                                         x -> 0::INT)) AS tokens
+FROM cut
+"""
+
+
 QUERIES = {
+    "token_shard_samples": token_shard_samples,
     "train_split_strata": train_split_strata,
     "oov_rate": oov_rate,
     "pmi_collocations": pmi_collocations,
@@ -1268,6 +1320,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_shard_samples": TOKEN_SHARD_SAMPLES_SQL,
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "oov_rate": OOV_RATE_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,

@@ -25,7 +25,7 @@ def built(spark, tmp_path_factory):
     )
     res = build_corpus(
         spark, cfg, make_seeds(spark, 20, 150, 5), str(root / "out"),
-        pack_budget=16, gopher_overrides=GOPHER_TUNE,
+        pack_budget=16, gopher_overrides=GOPHER_TUNE, shard_seq_len=8,
     )
     return spark, cfg, res, str(root / "out")
 
@@ -99,6 +99,23 @@ def test_packed_corpus_respects_budget(built):
 def test_rebuild_is_idempotent(built):
     spark, cfg, res, out = built
     res2 = build_corpus(
-        spark, cfg, None, out, pack_budget=16, gopher_overrides=GOPHER_TUNE
+        spark, cfg, None, out, pack_budget=16, gopher_overrides=GOPHER_TUNE,
+        shard_seq_len=8,
     )
     assert res2.manifest == res.manifest
+
+
+def test_token_shards_layer(built):
+    spark, cfg, res, out = built
+    from spider_go_spark.sources.tokenshards import TokenShardDataSource
+
+    spark.dataSource.register(TokenShardDataSource)
+    shards = spark.read.format("tokenshards").option("path", f"{out}/shards").load()
+    rows = shards.collect()
+    assert len(rows) == res.manifest["n_shard_samples"] > 0
+    assert len({r["sample_id"] for r in rows}) == len(rows)
+    assert all(len(r["tokens"]) == res.manifest["shard_seq_len"] for r in rows)
+    # one shard-sample stream per unique doc: distinct doc keys in the
+    # sample ids equal the dedup survivor count
+    doc_keys = {r["sample_id"] >> 20 for r in rows}
+    assert len(doc_keys) == res.manifest["n_unique"]
