@@ -872,7 +872,163 @@ FROM r
 )
 
 
+# --------------------------------------------------------------------------
+# Trigram Stupid Backoff LM score — the scale-era LM quality signal
+# (Brants et al. 2007, "Large Language Models in Machine Translation"):
+# no discounting/normalization, just relative frequencies with a fixed
+# backoff multiplier — exactly the estimator that stays exact in integer
+# arithmetic. The model trains on HALF the corpus (even doc_id) and scores
+# every document, so the backoff chain is genuinely exercised by held-out
+# docs (training and scoring on the same corpus would make every trigram
+# "seen" and the backoff branch dead code).
+# --------------------------------------------------------------------------
+
+SBO_P = 1_000_000_007
+SBO_A = 1_000_003
+# backoff multiplier 0.4 per level, pre-scaled into exact ppm numerators:
+# level1 = 10^6·c3/c12, level2 = 0.4·10^6·c23/c2, level3 = 0.16·10^6·c3u/N
+SBO_L1 = 1_000_000
+SBO_L2 = 400_000
+SBO_L3 = 160_000
+
+
+def trigram_sbo_score(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_trigrams, sbo_score_ppm) for docs with ≥ 3 tokens: the
+    mean (floor) Stupid-Backoff score over the doc's trigram occurrences,
+    against a trigram/bigram/unigram count model trained on even-doc_id
+    documents. All counts and scores are exact integers (ppm).
+
+    Scale shape (10^9 docs): the three model tables are word-count-shaped
+    hash aggs on uniform content hashes (map-side partials absorb hot
+    n-grams); scoring is four equi-joins from the occurrence stream to the
+    models on those same content keys — no broadcast required (AQE picks
+    one when the vocab is small), no windows, no all-pairs. The unigram
+    total N is one scalar collected once and inlined (bounded driver
+    data, same convention as the inlined centroids in vectorops)."""
+    par = spark.sparkContext.defaultParallelism
+    d = T(spark, sf, "documents").repartition(par, "doc_id")
+    th = d.select("doc_id", tk.token_hashes(F.col("text")).alias("th"))
+    th = th.repartition(par, "doc_id")
+
+    tri_expr = F.expr(
+        f"transform(sequence(1, size(th) - 2), i -> struct("
+        f"(element_at(th, i) * {SBO_A} + element_at(th, i + 1)) % {SBO_P} AS h12,"
+        f"(element_at(th, i + 1) * {SBO_A} + element_at(th, i + 2)) % {SBO_P} AS h23,"
+        f"(((element_at(th, i) * {SBO_A} + element_at(th, i + 1)) % {SBO_P})"
+        f" * {SBO_A} + element_at(th, i + 2)) % {SBO_P} AS h123,"
+        f"element_at(th, i + 1) AS w2, element_at(th, i + 2) AS w3))"
+    )
+    tri = (
+        th.filter(F.size("th") >= 3)
+        .select("doc_id", F.explode(tri_expr).alias("t"))
+        .select("doc_id", "t.h12", "t.h23", "t.h123", "t.w2", "t.w3")
+    )
+
+    train = th.filter(F.col("doc_id") % 2 == 0)
+    uni = train.select(F.explode("th").alias("w"))
+    big_expr = F.expr(
+        f"transform(sequence(1, size(th) - 1), i -> "
+        f"(element_at(th, i) * {SBO_A} + element_at(th, i + 1)) % {SBO_P})"
+    )
+    big = train.filter(F.size("th") >= 2).select(F.explode(big_expr).alias("h"))
+    tri3 = train.filter(F.size("th") >= 3).select("doc_id", tri_expr.alias("ts")) \
+        .select(F.explode("ts").alias("t")).select(F.col("t.h123").alias("h"))
+
+    m3 = tri3.groupBy("h").agg(F.count(F.lit(1)).alias("c3"))
+    m2 = big.groupBy("h").agg(F.count(F.lit(1)).alias("c2"))
+    m1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_train = uni.count()  # scalar, inlined as a literal
+
+    j = (
+        tri.join(m3.withColumnRenamed("h", "h123"), "h123", "left")
+        .join(m2.select(F.col("h").alias("h12"), F.col("c2").alias("c12")), "h12", "left")
+        .join(m2.select(F.col("h").alias("h23"), F.col("c2").alias("c23")), "h23", "left")
+        .join(m1.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")), "w2", "left")
+        .join(m1.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")), "w3", "left")
+    )
+    s = F.expr(
+        f"CASE WHEN c3 IS NOT NULL THEN ({SBO_L1} * c3) div c12 "
+        f"WHEN c23 IS NOT NULL THEN ({SBO_L2} * c23) div cw2 "
+        f"ELSE ({SBO_L3} * coalesce(cw3, 0)) div {max(n_train, 1)} END"
+    )
+    return (
+        j.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.expr("sum(s) div count(1)").cast("bigint").alias("sbo_score_ppm"),
+        )
+    )
+
+
+def _sbo_sql() -> str:
+    th_cte = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM toks
+)"""
+    return (
+        th_cte
+        + f""", tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(th) - 1), i -> (th[i]*{SBO_A} + th[i+1]) % {SBO_P})) AS h12,
+         unnest(list_transform(range(1, len(th) - 1), i -> (th[i+1]*{SBO_A} + th[i+2]) % {SBO_P})) AS h23,
+         unnest(list_transform(range(1, len(th) - 1),
+                i -> (((th[i]*{SBO_A} + th[i+1]) % {SBO_P}) * {SBO_A} + th[i+2]) % {SBO_P})) AS h123,
+         unnest(list_transform(range(1, len(th) - 1), i -> th[i+1])) AS w2,
+         unnest(list_transform(range(1, len(th) - 1), i -> th[i+2])) AS w3
+  FROM th WHERE len(th) >= 3
+), train AS (
+  SELECT * FROM th WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT unnest(th) AS w FROM train
+), m1 AS (
+  SELECT w, count(*)::BIGINT AS c1 FROM uni GROUP BY w
+), m2 AS (
+  SELECT h, count(*)::BIGINT AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(th)), i -> (th[i]*{SBO_A} + th[i+1]) % {SBO_P})) AS h
+    FROM train WHERE len(th) >= 2
+  ) GROUP BY h
+), m3 AS (
+  SELECT h123 AS h, count(*)::BIGINT AS c3 FROM (
+    SELECT unnest(list_transform(range(1, len(th) - 1),
+           i -> (((th[i]*{SBO_A} + th[i+1]) % {SBO_P}) * {SBO_A} + th[i+2]) % {SBO_P})) AS h123
+    FROM train WHERE len(th) >= 3
+  ) GROUP BY h123
+), n_train AS (
+  SELECT greatest(count(*), 1)::BIGINT AS n FROM uni
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN m3.c3 IS NOT NULL THEN ({SBO_L1} * m3.c3) // b12.c2
+              WHEN b23.c2 IS NOT NULL THEN ({SBO_L2} * b23.c2) // u2.c1
+              ELSE ({SBO_L3} * coalesce(u3.c1, 0)) // (SELECT n FROM n_train) END AS s
+  FROM tri t
+  LEFT JOIN m3 ON m3.h = t.h123
+  LEFT JOIN m2 b12 ON b12.h = t.h12
+  LEFT JOIN m2 b23 ON b23.h = t.h23
+  LEFT JOIN m1 u2 ON u2.w = t.w2
+  LEFT JOIN m1 u3 ON u3.w = t.w3
+)
+SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+       (sum(s) // count(*))::BIGINT AS sbo_score_ppm
+FROM scored GROUP BY doc_id
+"""
+    )
+
+
+TRIGRAM_SBO_SQL = _sbo_sql()
+
+
 QUERIES = {
+    "trigram_sbo_score": trigram_sbo_score,
     "dedup_exact": dedup_exact,
     "token_stats": token_stats,
     "text_quality": text_quality,
@@ -891,6 +1047,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "trigram_sbo_score": TRIGRAM_SBO_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
