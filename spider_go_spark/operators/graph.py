@@ -1188,3 +1188,67 @@ def triangles_oracle_sql(und_edges_cte: str) -> str:
 )
 """
     )
+
+
+def lpa_frequency(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, label) after ``iters`` rounds of SYNCHRONOUS frequency-based
+    label propagation (Raghavan et al. 2007) — community detection, the
+    denser cousin of :func:`label_propagation_min`: instead of the
+    component-wide minimum, every node adopts the label most frequent
+    among its neighbors, ties broken by the smaller label. Deterministic
+    (the published async/random-order variant is not): synchronous rounds
+    + (count DESC, label ASC) argmin make the result bit-identical on any
+    partitioning and engine — the same determinism contract as every
+    fixed-point op here (pagerank_int's int64 lattice, hits_int max-norm).
+
+    ``edges`` must be bidirectional. Nodes whose neighbors haven't
+    changed label since the previous round still recompute (synchronous
+    semantics); isolated nodes keep their own id via the left join.
+
+    Scale shape per round: edges⋈labels shuffles on src, the frequency
+    count is one (node, label)-keyed hash agg with map-side partials, and
+    the argmin is a struct-min groupBy — three equi-key exchanges, no
+    windows, no driver state; lineage is truncated per round with an
+    eager localCheckpoint like every iterative op in this module."""
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(iters):
+        freq = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            freq.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lb"))).alias("b"))
+            .select("node", F.col("b.lb").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def lpa_frequency_oracle_sql(iters: int = 3) -> str:
+    """DuckDB twin of :func:`lpa_frequency` as an unrolled CTE chain;
+    expects ``nodes(node)`` and ``e(src, dst)`` (bidirectional) upstream,
+    defines ``flab0..flab{iters}``."""
+    parts = ["\n, flab0 AS (SELECT node, node AS label FROM nodes)\n"]
+    for i in range(iters):
+        parts.append(
+            f""", ffreq{i + 1} AS (
+  SELECT e.dst AS node, l.label, count(*)::BIGINT AS cnt
+  FROM e JOIN flab{i} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+), fbest{i + 1} AS (
+  SELECT node, min(struct_pack(nc := -cnt, lb := label)).lb AS new_label
+  FROM ffreq{i + 1} GROUP BY node
+), flab{i + 1} AS (
+  SELECT l.node, coalesce(b.new_label, l.label) AS label
+  FROM flab{i} l LEFT JOIN fbest{i + 1} b ON b.node = l.node
+)
+"""
+        )
+    return "".join(parts)

@@ -1293,8 +1293,61 @@ FROM cut
 """
 
 
+# --------------------------------------------------------------------------
+# lpa_communities — frequency-based label-propagation community detection
+# over the sparsified census graph (deterministic synchronous variant,
+# operators/graph.lpa_frequency). Where dedup_groups answers "which docs
+# are the same", communities answer "which hosts/pages cluster together"
+# — link farms, mirror rings, topical hubs.
+# --------------------------------------------------------------------------
+
+LPA_ITERS = 3
+LPA_TOP = 20
+
+
+def lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """(community, size) — the LPA_TOP largest communities after
+    LPA_ITERS synchronous frequency-LPA rounds on the undirected census
+    graph. Scale shape: three equi-key shuffles per round (see
+    lpa_frequency), one size agg, one top-k."""
+    from spider_go_spark.operators.graph import lpa_frequency
+
+    d = _census_edges_df(spark, sf)
+    und = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = lpa_frequency(nodes, und, LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(LPA_TOP)
+    )
+
+
+def _lpa_communities_sql() -> str:
+    from spider_go_spark.operators.graph import lpa_frequency_oracle_sql
+
+    return (
+        _CENSUS_EDGES
+        + """
+, e AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
+"""
+        + lpa_frequency_oracle_sql(LPA_ITERS)
+        + f"""
+SELECT label AS community, count(*)::BIGINT AS size
+FROM flab{LPA_ITERS} GROUP BY label
+ORDER BY size DESC, community LIMIT {LPA_TOP}
+"""
+    )
+
+
 QUERIES = {
     "token_shard_samples": token_shard_samples,
+    "lpa_communities": lpa_communities,
     "train_split_strata": train_split_strata,
     "oov_rate": oov_rate,
     "pmi_collocations": pmi_collocations,
@@ -1321,6 +1374,7 @@ QUERIES = {
 
 ORACLES = {
     "token_shard_samples": TOKEN_SHARD_SAMPLES_SQL,
+    "lpa_communities": _lpa_communities_sql(),
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "oov_rate": OOV_RATE_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,

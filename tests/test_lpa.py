@@ -1,0 +1,78 @@
+"""Frequency-based label propagation (operators/graph.lpa_frequency):
+pure-Python synchronous replay on the sf0.001 census graph, a known
+two-clique fixture, and partitioning invariance (the determinism the
+synchronous + (count DESC, label ASC) contract buys)."""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from spider_go_spark.operators.graph import lpa_frequency
+from spider_go_spark.queries.pipelineops import (
+    LPA_ITERS,
+    _census_edges_df,
+    lpa_communities,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_lpa(edges, iters):
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+    labels = {n: n for n in {x for e in edges for x in e}}
+    for _ in range(iters):
+        new = {}
+        for n, lab in labels.items():
+            cnt = Counter(labels[m] for m in nbrs.get(n, []))
+            if cnt:
+                new[n] = min((-c, l) for l, c in cnt.items())[1]
+            else:
+                new[n] = lab
+        labels = new
+    return labels
+
+
+def _und(edges):
+    out = set()
+    for s, d in edges:
+        out.add((s, d))
+        out.add((d, s))
+    return sorted(out)
+
+
+def test_lpa_matches_python_on_census_graph(spark):
+    e = _census_edges_df(spark, SF)
+    edges = _und([(r["src"], r["dst"]) for r in e.collect()])
+    labels = _py_lpa(edges, LPA_ITERS)
+    sizes = Counter(labels.values())
+    expect = sorted(((-s, c) for c, s in sizes.items()))[:20]
+    expect = [(c, -ns) for ns, c in expect]
+    got = [
+        (r["community"], r["size"]) for r in lpa_communities(spark, SF).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == expect
+
+
+def test_lpa_two_cliques(spark):
+    # two 4-cliques bridged by one edge: each clique converges to its own
+    # minimum id; the bridge does not merge them in 3 synchronous rounds
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    edges = _und(cl1 + cl2 + [(3, 10)])
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    got = {r["node"]: r["label"] for r in lpa_frequency(nodes, e, 3).collect()}
+    assert got == _py_lpa(edges, 3)
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_partitioning_invariance(spark):
+    e = _census_edges_df(spark, SF)
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    a = {(r["node"], r["label"]) for r in lpa_frequency(nodes.repartition(1), und.repartition(1), 2).collect()}
+    b = {(r["node"], r["label"]) for r in lpa_frequency(nodes.repartition(7), und.repartition(13), 2).collect()}
+    assert a == b
