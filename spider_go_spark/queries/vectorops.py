@@ -974,7 +974,147 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# pca_power_iteration — the dominant principal component of the embedding
+# cloud, in int64 max-norm fixed point. Dimensionality reduction is the
+# missing member of the vector family (ANN, clustering, dedup are above);
+# the dominant PC is what a curation pipeline uses to de-bias ("remove the
+# top component" à la all-but-the-top post-processing) and what IVF/PQ
+# codebook builders seed from.
+#
+# Scale-correct algorithm: the covariance matrix is NEVER materialized —
+# each power-iteration step computes w = Xᶜᵀ(Xᶜ v) in one pass over the
+# data (per-row integer dot s = ⟨q - mean, v⟩ scaled down, then a
+# (dim)-keyed sum of (q - mean)·s), so an iteration costs one projection
+# plus one 64-key hash agg with map-side partials regardless of corpus
+# size. v is renormalized by max-|component| (the hits_int max-norm trick)
+# so everything stays in int64; both engines run the identical integer
+# recurrence, making the gate value-exact.
+# --------------------------------------------------------------------------
+
+PCA_SCALE = 1_000_000
+PCA_ITERS = 4
+
+
+def pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """(dim, loading) — the 64 components of the dominant principal
+    direction after PCA_ITERS max-norm power-iteration steps on the
+    mean-centered quantized embeddings. ``loading`` is fixed-point at
+    PCA_SCALE (the largest-|·| component is ±PCA_SCALE by construction).
+
+    Per-iteration driver traffic is one 64-value collect (the new v),
+    the same bounded-literal convention as the inlined IVF centroids.
+    Int64 headroom: |s| ≤ DIMS·SCALE², scaled down by SCALE before the
+    second product; the dim-sum then holds N·SCALE·(DIMS·SCALE) — rescale
+    per shard / use decimal beyond ~10^5 rows per partial (the gate SFs
+    are far under; a 10^9-row run sums per-executor partials at 128 bits
+    first)."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(PCA_SCALE))).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    # integer per-dim means (floor), collected once and inlined
+    n = e.count()
+    dim_sums = (
+        e.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    mean = [0] * DIMS
+    for r in dim_sums:
+        # Python // floors like SQL "div" truncates only for non-negative;
+        # use explicit floor division on both engines via floor(s / n)
+        mean[r["dim"]] = r["s"] // n if r["s"] >= 0 else -((-r["s"] + n - 1) // n)
+
+    mean_sql = "array(" + ", ".join(f"{m}L" for m in mean) + ")"
+    qc = F.expr(f"zip_with(q, {mean_sql}, (a, b) -> a - b)")
+    c = e.select("vec_id", qc.alias("x")).localCheckpoint(eager=True)
+
+    v = [PCA_SCALE] * DIMS
+    for _ in range(PCA_ITERS):
+        v_sql = "array(" + ", ".join(f"{int(x)}L" for x in v) + ")"
+        s = F.expr(
+            f"aggregate(zip_with(x, {v_sql}, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"
+            f" div {PCA_SCALE}"
+        )
+        w_rows = (
+            c.select(F.posexplode("x").alias("dim", "xv"), s.alias("s"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("xv") * F.col("s")).alias("w"))
+            .collect()
+        )
+        w = [0] * DIMS
+        for r in w_rows:
+            w[r["dim"]] = r["w"]
+        m = max(abs(x) for x in w) or 1
+        # truncating div toward zero, exactly Spark's `div` / DuckDB's `//`
+        v = [(PCA_SCALE * x) // m if x >= 0 else -((PCA_SCALE * -x) // m) for x in w]
+
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(DIMS)], "dim int, loading long"
+    )
+
+
+def _pca_sql() -> str:
+    q_cte = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {PCA_SCALE})::BIGINT) AS q
+  FROM embeddings
+), mean AS (
+  SELECT list(m ORDER BY dim) AS m FROM (
+    SELECT dim,
+           CASE WHEN sum(q[dim]) >= 0 THEN sum(q[dim]) // count(*)
+                ELSE -((-sum(q[dim]) + count(*) - 1) // count(*)) END::BIGINT AS m
+    FROM q CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS dim)
+    GROUP BY dim
+  )
+), c AS (
+  SELECT vec_id, list_transform(range(1, {DIMS + 1}), i -> q.q[i] - mean.m[i]) AS x
+  FROM q CROSS JOIN mean
+), v0 AS (
+  SELECT list_transform(range(1, {DIMS + 1}), i -> {PCA_SCALE}::BIGINT) AS v
+)"""
+    steps = []
+    for k in range(PCA_ITERS):
+        steps.append(f""", s{k + 1} AS (
+  SELECT c.vec_id, c.x,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, {DIMS + 1}), i -> c.x[i] * v{k}.v[i])),
+           (a, b) -> a + b) // {PCA_SCALE} AS s
+  FROM c CROSS JOIN v{k}
+), w{k + 1} AS (
+  SELECT dim, sum(x[dim] * s)::BIGINT AS w
+  FROM s{k + 1} CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS dim)
+  GROUP BY dim
+), v{k + 1} AS (
+  -- HUGEINT for the SCALE·w product only: |w| can reach N·|x|·|s| ≈ 10^17,
+  -- so the 10^6 rescale multiply needs 128-bit headroom before the divide
+  SELECT list((({PCA_SCALE}::HUGEINT * w)
+               // greatest((SELECT max(abs(w)) FROM w{k + 1}), 1)::HUGEINT)::BIGINT
+              ORDER BY dim) AS v
+  FROM w{k + 1}
+)""")
+    return (
+        q_cte
+        + "".join(steps)
+        + f"""
+SELECT (dim - 1)::INT AS dim, v[dim] AS loading
+FROM v{PCA_ITERS} CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS dim)
+"""
+    )
+
+
+PCA_POWER_ITERATION_SQL = _pca_sql()
+
+
 QUERIES = {
+    "pca_power_iteration": pca_power_iteration,
     "rp_ann_topk": rp_ann_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -989,6 +1129,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pca_power_iteration": PCA_POWER_ITERATION_SQL,
     "rp_ann_topk": RP_ANN_TOPK_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
