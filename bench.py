@@ -87,6 +87,13 @@ HEADLINE = [
     "host_spam_mass",         # PageRank + TrustRank composed over one edge set
     "neighbourhood_function", # HyperBall register-max ball propagation (4 hops)
     "bowtie_structure",       # forward+backward BFS census from the hub
+    "minmax_pruning_audit",   # Z-order vs natural layout file-skipping audit
+    "token_shard_samples",    # tokenize→fixed-width chunk→pad (shard projection)
+    "trigram_sbo_score",      # trigram Stupid-Backoff LM (3 models + 5 joins)
+    "lpa_communities",        # synchronous frequency-LPA communities (3 rounds)
+    "pca_power_iteration",    # covariance-free integer power iteration
+    "scd2_event_type_history",# gaps-and-islands SCD2 dimension history
+    "cluster_capped_sample",  # per-cluster diversity cap (argmin + top-k)
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
