@@ -1,0 +1,152 @@
+r"""Incremental inverted-index maintenance over crawl rounds.
+
+The retrieval operators in :mod:`spider_go_spark.queries.webindex` build
+their index from a full corpus scan — right for ad-hoc analytics, wrong
+for a live crawl: a 10^10-doc index must absorb each round's 10^7 new
+documents WITHOUT touching the other 10^10 (the reference gets this for
+free from MongoDB's B-tree inserts,
+/root/reference/pkg/spider/storage_workflow_mongodb.go:81-119; a
+lakehouse engine has to build it). This module is that incremental path:
+
+- **Layout**: postings live under ``<index_dir>/round=N/bucket=B/…`` —
+  hive-style key=value directories, so the whole history reads back as
+  ONE DataFrame with ``round`` and ``bucket`` as partition columns.
+  ``bucket = term_hash mod n_buckets`` is the query-time pruning key:
+  a term lookup reads only its bucket's directories (Spark partition
+  pruning turns the predicate into a directory filter — the scan never
+  lists the other buckets' files). At 100 TB: buckets ≫ cores, each
+  round=N/bucket=B a handful of parquet files.
+
+- **Incrementality**: ``update(rnd, docs)`` writes ONLY ``round=N/…`` —
+  cost ∝ the round's postings, never the corpus. It is the
+  ``CrawlEngine`` ``docs_sink`` contract (at-least-once per round,
+  round number as the idempotence key): the round directory is written
+  mode=overwrite, so a crash-replay redelivery replaces the same
+  directory instead of doubling postings — same recipe as
+  sources/warc.warc_docs_sink.
+
+- **Search**: exact integer tf·idf over the pruned scan. df/N come from
+  the pruned postings themselves plus a tiny per-round stats sidecar
+  (``_stats/round=N``, one row per round), so scoring needs no full
+  scan either. idf is the shared exact binary-log kernel
+  (functions/intmath.log2_q20) — bit-identical in any engine, verified
+  against a pure-Python replay in tests/test_index_build.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions import textkernel as tk
+from spider_go_spark.functions.intmath import log2_q20
+
+POLY_P = 1_000_000_007
+
+
+class IncrementalIndexer:
+    """Maintains a term-bucketed postings index, one crawl round at a time.
+
+    Postings row: (term_h, doc_key, tf, dl) with partition columns
+    (round, bucket); doc_key = round·2^32 + fetch_rank (the engine's
+    deterministic document identity, SURVEY §1.3)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, n_buckets: int = 16):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_buckets = n_buckets
+
+    # -- write path ---------------------------------------------------------
+
+    def update(self, rnd: int, docs: DataFrame) -> None:
+        """Index one committed round's fetched docs (docs_sink contract:
+        at-least-once, idempotent per round via directory overwrite)."""
+        from spider_go_spark.functions.spans import assembled_col
+
+        th = docs.select(
+            (F.col("round").cast("long") * (1 << 32) + F.col("fetch_rank"))
+            .alias("doc_key"),
+            tk.token_hashes(assembled_col("spans")).alias("th"),
+        )
+        post = (
+            th.select("doc_key", F.size("th").cast("long").alias("dl"),
+                      F.explode("th").alias("term_h"))
+            .groupBy("term_h", "doc_key", "dl")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn("bucket", F.pmod("term_h", F.lit(self.n_buckets)).cast("int"))
+        )
+        post.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"round={rnd}")
+        )
+        stats = th.select(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("th").cast("long")), F.lit(0)).alias("total_dl"),
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, "_stats", f"round={rnd}")
+        )
+
+    def sink(self):
+        """Adapter: ``CrawlEngine(docs_sink=indexer.sink())``."""
+
+        def _sink(rnd: int, docs: DataFrame) -> None:
+            self.update(rnd, docs)
+
+        return _sink
+
+    # -- read path ----------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        """The full postings history as one DataFrame (partition columns
+        round, bucket). Predicates on either prune directories."""
+        return (
+            self.spark.read.option("basePath", self.index_dir)
+            .parquet(self.index_dir)
+        )
+
+    def corpus_stats(self) -> tuple[int, int]:
+        """(n_docs, total_dl) across all indexed rounds — reads only the
+        one-row-per-round stats sidecar."""
+        base = os.path.join(self.index_dir, "_stats")
+        agg = (
+            self.spark.read.option("basePath", base).parquet(base)
+            .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
+            .collect()[0]
+        )
+        return int(agg["n"] or 0), int(agg["t"] or 0)
+
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        """(doc_key, n_hit_terms, score_u) — exact integer tf·idf top-k for
+        ``terms`` over the PRUNED scan: only the query terms' buckets are
+        read (directory-level partition pruning), df comes from the pruned
+        postings, N from the stats sidecar. score_u = Σ_t tf · idf_q20(t),
+        idf_q20 = log2((2N)/df) in Q20 via the exact integer log kernel."""
+        hashes = [_poly(t) for t in terms]
+        buckets = sorted({h % self.n_buckets for h in hashes})
+        n_docs, _ = self.corpus_stats()
+        p = (
+            self.postings()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_h").isin(hashes))
+        )
+        df_tbl = p.groupBy("term_h").agg(F.countDistinct("doc_key").alias("df"))
+        scored = (
+            p.join(df_tbl, "term_h")
+            .withColumn("idf_q20", log2_q20(f"{2 * max(n_docs, 1)}", "df"))
+            .groupBy("doc_key")
+            .agg(
+                F.countDistinct("term_h").cast("bigint").alias("n_hit_terms"),
+                F.sum(F.col("tf") * F.col("idf_q20")).alias("score_u"),
+            )
+        )
+        return scored.orderBy(F.col("score_u").desc(), "doc_key").limit(k)
+
+
+def _poly(t: str) -> int:
+    """Python twin of textkernel.poly_hash for query-term hashing."""
+    h = 0
+    for ch in t:
+        h = (h * 31 + ord(ch)) % POLY_P
+    return h

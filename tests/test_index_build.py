@@ -1,0 +1,122 @@
+"""Incremental inverted index (plans/index_build.py): per-round postings
+through the docs_sink contract must equal a full rebuild; redelivery is
+idempotent; search reads only the query terms' buckets (partition pruning
+audited in the plan) and its exact integer tf·idf matches a pure-Python
+replay over the full postings."""
+
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_go_spark.functions.intmath import int_log2_q20
+from spider_go_spark.plans.index_build import IncrementalIndexer, _poly
+from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
+from spider_go_spark.sources.webgraph import make_seeds
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    cfg = CrawlConfig(
+        workdir=str(root / "crawl"), n_urls=150, n_hosts=5, num_shards=4,
+        max_rounds=3,
+    )
+    indexer = IncrementalIndexer(spark, str(root / "index"), n_buckets=8)
+    eng = CrawlEngine(spark, cfg, docs_sink=indexer.sink())
+    eng.crawl(seeds=make_seeds(spark, 20, 150, 5))
+    return spark, cfg, eng, indexer
+
+
+def _expected_postings(spark, eng, cfg):
+    from spider_go_spark.functions.spans import assembled_col
+
+    docs = eng.fetched_docs.read().filter(F.col("crawl_id") == cfg.crawl_id)
+    rows = docs.select(
+        "round", "fetch_rank", assembled_col("spans").alias("text")
+    ).collect()
+    post = {}
+    dls = {}
+    for r in rows:
+        key = (r["round"] << 32) + r["fetch_rank"]
+        toks = [t for t in re.split(r"\s+", r["text"]) if t]
+        dls[key] = len(toks)
+        for h, tf in Counter(_poly(t) for t in toks).items():
+            post[(h, key)] = tf
+    return post, dls
+
+
+def test_incremental_equals_full_rebuild(indexed):
+    spark, cfg, eng, indexer = indexed
+    expect, dls = _expected_postings(spark, eng, cfg)
+    got = {
+        (r["term_h"], r["doc_key"]): (r["tf"], r["dl"], r["bucket"], r["round"])
+        for r in indexer.postings().collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    for (h, key), (tf, dl, bucket, rnd) in got.items():
+        assert dl == dls[key]
+        assert bucket == h % indexer.n_buckets
+        assert rnd == key >> 32
+    n_docs, total_dl = indexer.corpus_stats()
+    assert n_docs == len(dls) and total_dl == sum(dls.values())
+
+
+def test_redelivery_is_idempotent(indexed):
+    spark, cfg, eng, indexer = indexed
+    docs = eng.fetched_docs.read().filter(
+        (F.col("crawl_id") == cfg.crawl_id) & (F.col("round") == 1)
+    )
+    before = indexer.postings().count()
+    indexer.update(1, docs)  # simulated crash-replay redelivery
+    assert indexer.postings().count() == before
+
+
+def test_search_matches_python_and_prunes(indexed):
+    spark, cfg, eng, indexer = indexed
+    expect_post, dls = _expected_postings(spark, eng, cfg)
+    # pick two real tokens from the corpus
+    by_term = defaultdict(dict)
+    for (h, key), tf in expect_post.items():
+        by_term[h][key] = tf
+    freq = sorted(by_term, key=lambda h: (-len(by_term[h]), h))
+    terms_h = [freq[0], freq[len(freq) // 2]]
+    # map hashes back to actual token strings via one doc's text
+    from spider_go_spark.functions.spans import assembled_col
+
+    texts = eng.fetched_docs.read().filter(F.col("crawl_id") == cfg.crawl_id) \
+        .select(assembled_col("spans").alias("text")).collect()
+    tok2h = {}
+    for r in texts:
+        for t in re.split(r"\s+", r["text"]):
+            if t:
+                tok2h.setdefault(_poly(t), t)
+    terms = [tok2h[h] for h in terms_h]
+
+    n_docs = len(dls)
+    df_by_h = {h: len(by_term[h]) for h in terms_h}
+    scores = defaultdict(lambda: [0, 0])
+    for h in terms_h:
+        idf = int_log2_q20(2 * n_docs, df_by_h[h])
+        for key, tf in by_term[h].items():
+            scores[key][0] += 1
+            scores[key][1] += tf * idf
+    expect = sorted(
+        ((key, n, s) for key, (n, s) in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+
+    res = indexer.search(terms, k=10)
+    got = [(r["doc_key"], r["n_hit_terms"], r["score_u"]) for r in res.collect()]
+    assert got == expect
+
+    # pruning audit: every postings FileScan carries a PartitionFilters
+    # bucket IN (...) with exactly the query terms' buckets — the scan
+    # lists only those directories at any index size
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    want = sorted({h % indexer.n_buckets for h in terms_h})
+    pf = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)\]", plan)
+    assert pf, plan
+    for grp in pf:
+        assert sorted(int(x) for x in grp.split(",")) == want
