@@ -908,7 +908,9 @@ def trigram_sbo_score(spark: SparkSession, sf: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     d = T(spark, sf, "documents").repartition(par, "doc_id")
     th = d.select("doc_id", tk.token_hashes(F.col("text")).alias("th"))
-    th = th.repartition(par, "doc_id")
+    # four consumers (tri occurrences + the three model builds) — tokenize
+    # once, eagerly, instead of four lineage recomputes of the hash kernel
+    th = th.localCheckpoint(eager=True)
 
     tri_expr = F.expr(
         f"transform(sequence(1, size(th) - 2), i -> struct("
