@@ -76,15 +76,25 @@ class IncrementalIndexer:
             .groupBy("term_h", "doc_key", "dl")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
             .withColumn("bucket", F.pmod("term_h", F.lit(self.n_buckets)).cast("int"))
+            .localCheckpoint(eager=True)  # one tokenize pass feeds write + stats
         )
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             os.path.join(self.index_dir, f"round={rnd}")
         )
-        stats = th.select(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum(F.size("th").cast("long")), F.lit(0)).alias("total_dl"),
+        self._write_stats(rnd, post)
+
+    def _write_stats(self, rnd: int, post: DataFrame) -> None:
+        # stats are DERIVED FROM POSTINGS (docs with ≥ 1 token): update and
+        # delete_docs then agree by construction, and zero-token docs —
+        # invisible to retrieval — never skew N
+        agg = (
+            post.select("doc_key", "dl").distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+            )
         )
-        stats.coalesce(1).write.mode("overwrite").parquet(
+        agg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.index_dir, "_stats", f"round={rnd}")
         )
 
@@ -95,6 +105,35 @@ class IncrementalIndexer:
             self.update(rnd, docs)
 
         return _sink
+
+    def delete_docs(self, doc_keys: list[int]) -> None:
+        """Takedown twin of the engine's ``forget_urls``: the victims'
+        postings leave the index. A doc's postings live only under its own
+        round's directory (``doc_key >> 32`` IS the round), so the rewrite
+        is partition-scoped: read-filter-rewrite ONLY the affected
+        ``round=N`` dirs (cost ∝ those rounds, never the corpus) and their
+        stats rows; every other round's files are untouched on disk.
+        Rewrites stage through a temp dir + atomic rename, so a crash
+        leaves either the old or the new round directory, never a half
+        one."""
+        import shutil
+
+        victims = set(doc_keys)
+        for rnd in sorted({k >> 32 for k in victims}):
+            rd = os.path.join(self.index_dir, f"round={rnd}")
+            if not os.path.isdir(rd):
+                continue
+            keep = (
+                self.spark.read.parquet(rd)  # bucket partition col inferred
+                .filter(~F.col("doc_key").isin(list(victims)))
+                .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
+            )
+            tmp = rd + ".rewrite"
+            shutil.rmtree(tmp, ignore_errors=True)
+            keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+            shutil.rmtree(rd)
+            os.replace(tmp, rd)
+            self._write_stats(rnd, keep)
 
     # -- read path ----------------------------------------------------------
 

@@ -59,8 +59,10 @@ def test_incremental_equals_full_rebuild(indexed):
         assert dl == dls[key]
         assert bucket == h % indexer.n_buckets
         assert rnd == key >> 32
+    # stats count docs visible to retrieval (≥ 1 token)
     n_docs, total_dl = indexer.corpus_stats()
-    assert n_docs == len(dls) and total_dl == sum(dls.values())
+    assert n_docs == sum(1 for v in dls.values() if v > 0)
+    assert total_dl == sum(dls.values())
 
 
 def test_redelivery_is_idempotent(indexed):
@@ -94,7 +96,7 @@ def test_search_matches_python_and_prunes(indexed):
                 tok2h.setdefault(_poly(t), t)
     terms = [tok2h[h] for h in terms_h]
 
-    n_docs = len(dls)
+    n_docs = sum(1 for v in dls.values() if v > 0)  # the engine's N
     df_by_h = {h: len(by_term[h]) for h in terms_h}
     scores = defaultdict(lambda: [0, 0])
     for h in terms_h:
@@ -120,3 +122,43 @@ def test_search_matches_python_and_prunes(indexed):
     assert pf, plan
     for grp in pf:
         assert sorted(int(x) for x in grp.split(",")) == want
+
+
+def test_delete_docs_partition_scoped(indexed):
+    # LAST test in the module: mutates the shared index fixture
+    spark, cfg, eng, indexer = indexed
+    import os
+
+    expect_before, dls = _expected_postings(spark, eng, cfg)
+    keys = sorted(dls)
+    victims = [k for k in keys if k >> 32 == 1][:3] + [k for k in keys if k >> 32 == 2][:1]
+    assert len(victims) == 4
+    untouched_rounds = sorted({k >> 32 for k in keys} - {1, 2})
+    snap = {}
+    for rnd in untouched_rounds:
+        rd = os.path.join(indexer.index_dir, f"round={rnd}")
+        snap[rnd] = {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(rd) for f in fs
+        }
+
+    indexer.delete_docs(victims)
+
+    got = {
+        (r["term_h"], r["doc_key"]): r["tf"] for r in indexer.postings().collect()
+    }
+    expect = {k: v for k, v in expect_before.items() if k[1] not in set(victims)}
+    assert got == expect
+    # untouched rounds: identical files on disk, not rewritten equivalents
+    for rnd in untouched_rounds:
+        rd = os.path.join(indexer.index_dir, f"round={rnd}")
+        now = {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(rd) for f in fs
+        }
+        assert now == snap[rnd], rnd
+    # stats sidecar re-derived from surviving postings
+    n_docs, total_dl = indexer.corpus_stats()
+    survivors = {k for k in dls if k not in set(victims) and dls[k] > 0}
+    assert n_docs == len(survivors)
+    assert total_dl == sum(dls[k] for k in survivors)
