@@ -560,12 +560,115 @@ SELECT cluster_id, vec_id, label, priority FROM (
 CLUSTER_CAPPED_SAMPLE_SQL = _ccs_sql()
 
 
+# ---------------------------------------------------------------------------
+# bitext_candidates — cross-lingual parallel-document mining (the
+# ParaCrawl/CCMatrix recipe's cheap candidate stage): documents from the
+# SAME source in DIFFERENT languages that share rare "anchor" tokens
+# (numbers, names, codes — here: corpus df ≤ ANCHOR_DF_MAX) and have
+# compatible lengths. Real pipelines follow with an alignment model; the
+# candidate stage is the part that must be scale-shaped, because it is the
+# only stage that looks at every document pair — and here it never does:
+# candidates come from an anchor-token equi-join (content-keyed, hub-free
+# by the df cap), never a cross join.
+# ---------------------------------------------------------------------------
+
+ANCHOR_DF_MAX = 30  # a token this rare is an anchor (tuned: the synthetic
+                    # corpus's rarest cross-lingual token has df 25; real
+                    # pipelines anchor on numbers/entities with tiny df —
+                    # the df-capped equi-join SHAPE is the recipe)
+ANCHOR_MIN = 1      # pairs must share at least this many distinct anchors
+
+
+def bitext_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """(source, doc_id_a, doc_id_b, lang_a, lang_b, n_anchors,
+    len_ratio_pm) — same-source cross-language doc pairs sharing ≥
+    ANCHOR_MIN distinct rare anchors, with token counts within 2× of each
+    other (len_ratio_pm = 1000·min/max, exact integer).
+
+    Scale shape: one word-count df agg builds the anchor set (bounded by
+    the rare tail); the pair stage explodes only anchor occurrences and
+    equi-joins on the anchor token — fan-out per anchor ≤ ANCHOR_DF_MAX²,
+    so candidate count is Σ df² over anchors, never N². Lengths ride the
+    exploded rows, the final agg is pair-keyed."""
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        tk.tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.explode(F.array_distinct("toks")).alias("t"),
+    )
+    df_t = d.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    anchors = df_t.filter(F.col("df") <= ANCHOR_DF_MAX).select("t")
+    at = d.join(anchors, "t")
+    a = at.select(
+        "t", F.col("source").alias("source"),
+        F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("lang_a"),
+        F.col("n_tokens").alias("na"),
+    )
+    b = at.select(
+        "t", F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
+        F.col("n_tokens").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (a["t"] == b["t"]) & (a["source"] == b["source_b"])
+               & (a["lang_a"] < b["lang_b"]))
+        .groupBy("source", "doc_id_a", "doc_id_b", "lang_a", "lang_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+        .filter(
+            (F.col("n_anchors") >= ANCHOR_MIN)
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+            & (F.least("na", "nb") > 0)
+        )
+    )
+    return pairs.select(
+        "source", "doc_id_a", "doc_id_b", "lang_a", "lang_b", "n_anchors",
+        (F.lit(1000) * F.least("na", "nb") / F.greatest("na", "nb"))
+        .cast("bigint").alias("len_ratio_pm"),
+    )
+
+
+BITEXT_CANDIDATES_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, lang, source, len(toks)::BIGINT AS n_tokens,
+         unnest(list_distinct(toks)) AS t
+  FROM d
+), anchors AS (
+  SELECT t FROM ex GROUP BY t HAVING count(*) <= {ANCHOR_DF_MAX}
+), at AS (
+  SELECT ex.* FROM ex JOIN anchors USING (t)
+), pairs AS (
+  SELECT a.source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.lang AS lang_a, b.lang AS lang_b,
+         a.n_tokens AS na, b.n_tokens AS nb,
+         count(*)::BIGINT AS n_anchors
+  FROM at a JOIN at b
+    ON a.t = b.t AND a.source = b.source AND a.lang < b.lang
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT source, doc_id_a, doc_id_b, lang_a, lang_b, n_anchors,
+       (1000 * least(na, nb) // greatest(na, nb))::BIGINT AS len_ratio_pm
+FROM pairs
+WHERE n_anchors >= {ANCHOR_MIN}
+  AND 2 * least(na, nb) >= greatest(na, nb)
+  AND least(na, nb) > 0
+"""
+
+
 QUERIES = {
     "quality_logit_filter": quality_logit_filter,
     "dsir_importance": dsir_importance,
     "gopher_rules_filter": gopher_rules_filter,
     "weighted_doc_sample": weighted_doc_sample,
     "cluster_capped_sample": cluster_capped_sample,
+    "bitext_candidates": bitext_candidates,
 }
 ORACLES = {
     "quality_logit_filter": QUALITY_LOGIT_SQL,
@@ -573,4 +676,5 @@ ORACLES = {
     "gopher_rules_filter": GOPHER_RULES_SQL,
     "weighted_doc_sample": WEIGHTED_DOC_SAMPLE_SQL,
     "cluster_capped_sample": CLUSTER_CAPPED_SAMPLE_SQL,
+    "bitext_candidates": BITEXT_CANDIDATES_SQL,
 }

@@ -189,3 +189,45 @@ def test_weighted_doc_sample_matches_python(spark):
     for lang, rows in boosted.items():
         resampled = {d for _, d in sorted(rows)[:WSAMPLE_K]}
         assert {d for l, d in sampled if l == lang} <= resampled
+
+
+def test_bitext_candidates_matches_python(spark):
+    """Anchor-join bitext mining ≡ brute-force pure-Python pair scan."""
+    from collections import Counter
+
+    from spider_go_spark.queries.curation import (
+        ANCHOR_DF_MAX,
+        ANCHOR_MIN,
+        bitext_candidates,
+    )
+
+    rows = [
+        (r["doc_id"], r["lang"], r["source"], _tokens(r["text"]))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    df = Counter()
+    for _, _, _, toks in rows:
+        for t in set(toks):
+            df[t] += 1
+    anchors = {t for t, c in df.items() if c <= ANCHOR_DF_MAX}
+    expect = set()
+    for i, (da, la, sa, ta) in enumerate(rows):
+        for db, lb, sb, tb in rows[i + 1:]:
+            if sa != sb or la == lb:
+                continue
+            (da2, la2, na), (db2, lb2, nb) = sorted(
+                [(da, la, len(ta)), (db, lb, len(tb))], key=lambda x: x[1]
+            )
+            shared = (set(ta) & set(tb)) & anchors
+            if len(shared) < ANCHOR_MIN:
+                continue
+            lo, hi = min(na, nb), max(na, nb)
+            if lo == 0 or 2 * lo < hi:
+                continue
+            expect.add((sa, da2, db2, la2, lb2, len(shared), 1000 * lo // hi))
+    got = {
+        (r["source"], r["doc_id_a"], r["doc_id_b"], r["lang_a"], r["lang_b"],
+         r["n_anchors"], r["len_ratio_pm"])
+        for r in bitext_candidates(spark, SF).collect()
+    }
+    assert got == expect
