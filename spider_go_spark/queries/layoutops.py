@@ -222,6 +222,42 @@ FROM audit a CROSS JOIN matched m
 """
 
 
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int | None = None
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of integer
+    columns ``x``/``y`` — the production twin of ``minmax_pruning_audit``'s
+    simulated z-layout (what Delta ``OPTIMIZE ZORDER BY`` does):
+    ``repartitionByRange`` over the z-key (a distributed total order —
+    sampled bounds, every partition sorts locally, no single-task sort)
+    then ``sortWithinPartitions``, one output file per range partition, so
+    each file's min/max of BOTH dimensions stays tight and a stats-aware
+    scan skips non-overlapping files. ``n_files`` defaults to the session
+    parallelism; at 100 TB pick corpus_bytes / target_file_bytes."""
+    spark = df.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    (
+        df.withColumn("_zkey", _zkey_spark(x, y))
+        .repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(df_with_file: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-input-file min/max stats for ``cols`` — the footer-reader twin
+    used to audit a written layout: group the scan by
+    ``input_file_name()`` and aggregate. O(#files) output."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df_with_file.groupBy(
+        F.input_file_name().alias("file")
+    ).agg(*aggs)
+
+
 QUERIES = {
     "zorder_key_sample": zorder_key_sample,
     "minmax_pruning_audit": minmax_pruning_audit,

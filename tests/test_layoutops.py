@@ -88,3 +88,38 @@ def test_minmax_pruning_audit_matches_python(spark):
     # no false skips: scanned rows always cover every matching row
     for (layout, pname), (_, _, rows_scanned, matched, _) in got.items():
         assert rows_scanned >= matched, (layout, pname)
+
+
+def test_write_zordered_improves_skipping(spark, tmp_path):
+    """The real write path: z-ordered parquet must yield strictly better
+    file-skipping than a natural write for range predicates on BOTH
+    clustered dimensions, with identical content."""
+    from pyspark.sql import functions as F
+
+    from spider_go_spark.queries.layoutops import (
+        _dims,
+        file_minmax_stats,
+        write_zordered,
+    )
+
+    # sf0.01 and 32 files: the z-curve needs enough range splits to cut
+    # BOTH dimensions (log2(files) bits deep, alternating dims)
+    d = _dims(spark, "/root/testdata/sf0.01").select("o_orderkey", "cust", "day")
+    nat, zo = str(tmp_path / "nat"), str(tmp_path / "zo")
+    d.orderBy("o_orderkey").repartitionByRange(32, "o_orderkey").write.parquet(nat)
+    write_zordered(d, zo, "cust", "day", n_files=32)
+
+    a = spark.read.parquet(nat)
+    b = spark.read.parquet(zo)
+    key = lambda r: (r["o_orderkey"], r["cust"], r["day"])
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+    def skipped(path, col, lo, hi):
+        stats = file_minmax_stats(spark.read.parquet(path), [col]).collect()
+        return sum(r[f"{col}_max"] < lo or r[f"{col}_min"] > hi for r in stats), len(stats)
+
+    for col, lo, hi in (("cust", 100, 180), ("day", 300, 400)):
+        ns, nf = skipped(nat, col, lo, hi)
+        zs, zf = skipped(zo, col, lo, hi)
+        assert nf == zf == 32
+        assert zs > ns, (col, ns, zs)  # z-layout skips strictly more files
