@@ -400,7 +400,141 @@ def hll_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
 HLL_AUDIENCE_OVERLAP_SQL = sketches.hll_pair_oracle_sql("events", "user_id", "event_type")
 
 
+# --------------------------------------------------------------------------
+# hll_cumulative_users — the MERGE property on display: per tumbling week,
+# the distinct-user estimate over the PREFIX (all weeks so far), computed
+# by register-wise max of the weekly sketches — never by rescanning
+# history. This is exactly how a 100-TB pipeline keeps "distinct users to
+# date": store 64 integers per window, merge by max. The register stream
+# is windows × 64 rows, so the prefix-merge window function is O(windows)
+# per bucket — cost independent of event volume.
+# --------------------------------------------------------------------------
+
+HLL_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def hll_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    """(week, hll_prefix_est, n_registers_used, exact_prefix_distinct) —
+    per week: the HLL estimate of distinct users in ALL weeks ≤ this one,
+    from prefix-merged (running-max) registers over a dense week×bucket
+    grid (a week without traffic in a bucket inherits the earlier
+    registers), plus the exact prefix count documenting sketch error."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / HLL_WEEK_US)
+        .cast("long").alias("week"),
+        "user_id",
+    )
+    regs = (
+        e.select(
+            "week",
+            sketches.hll_bucket(F.col("user_id")).alias("b"),
+            sketches.hll_rho(F.col("user_id")).alias("rho"),
+        )
+        .groupBy("week", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+    grid = (
+        e.select("week").distinct()
+        .crossJoin(spark.range(sketches.HLL_M).select(F.col("id").cast("long").alias("b")))
+    )
+    w = Window.partitionBy("b").orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = (
+        grid.join(regs, ["week", "b"], "left")
+        .withColumn("pm", F.max("m").over(w))  # running register max; null = empty
+    )
+    reg_val = F.expr(
+        f"CASE WHEN pm IS NULL THEN shiftleft(cast(1 as bigint), {sketches.HLL_RANK_CAP})"
+        f" ELSE shiftleft(cast(1 as bigint), {sketches.HLL_RANK_CAP} - pm) END"
+    )
+    est = (
+        merged.select("week", reg_val.alias("rv"), F.col("pm").isNotNull().cast("int").alias("used"))
+        .groupBy("week")
+        .agg(F.sum("rv").alias("s"), F.sum("used").cast("int").alias("n_registers_used"))
+        .withColumn("hll_prefix_est", F.expr(f"{sketches.HLL_NUM} div (1000 * s)"))
+    )
+    news = (
+        e.select("week", "user_id").distinct()
+        .groupBy("user_id").agg(F.min("week").alias("week"))
+        .groupBy("week").agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    # running sum over ALL weeks (a week with no first-time users still
+    # carries the running total forward)
+    wk = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exact = (
+        e.select("week").distinct()
+        .join(news, "week", "left")
+        .select("week", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "week",
+            F.sum("new_users").over(wk).cast("bigint").alias("exact_prefix_distinct"),
+        )
+    )
+    return est.join(exact, "week").select(
+        "week", "hll_prefix_est", "n_registers_used", "exact_prefix_distinct"
+    )
+
+
+def _hll_cumulative_sql() -> str:
+    a = sketches.CMS_AS[0]
+    P, M = sketches.HASH_P, sketches.HLL_M
+    CAP, RB = sketches.HLL_RANK_CAP, sketches.HLL_RANK_BITS
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {HLL_WEEK_US} AS week, user_id FROM events
+), hashed AS (
+  SELECT week,
+         (((user_id % {P}) * {a}) % {P}) % {M} AS b,
+         (((user_id % {P}) * {a}) % {P}) // {M} AS w
+  FROM e
+), rho AS (
+  SELECT week, b,
+         coalesce(
+           (SELECT min(k.k) + 1 FROM (SELECT unnest(range(0, {RB})) AS k) k
+            WHERE (w // (1::BIGINT << k.k)) % 2 = 1),
+           {CAP}) AS rho
+  FROM hashed
+), regs AS (
+  SELECT week, b, max(rho) AS m FROM rho GROUP BY week, b
+), grid AS (
+  SELECT wk.week, g.b
+  FROM (SELECT DISTINCT week FROM e) wk
+  CROSS JOIN (SELECT unnest(range(0, {M})) AS b) g
+), merged AS (
+  SELECT grid.week, grid.b,
+         max(regs.m) OVER (PARTITION BY grid.b ORDER BY grid.week
+                           ROWS UNBOUNDED PRECEDING) AS pm
+  FROM grid LEFT JOIN regs ON regs.week = grid.week AND regs.b = grid.b
+), agg AS (
+  SELECT week,
+         sum(CASE WHEN pm IS NULL THEN 1::BIGINT << {CAP}
+                  ELSE 1::BIGINT << ({CAP} - pm) END)::BIGINT AS s,
+         sum(CASE WHEN pm IS NULL THEN 0 ELSE 1 END)::INT AS n_registers_used
+  FROM merged GROUP BY week
+), news AS (
+  SELECT week, count(*) AS new_users FROM (
+    SELECT user_id, min(week) AS week FROM e GROUP BY user_id
+  ) GROUP BY week
+), exact AS (
+  SELECT wk.week,
+         sum(coalesce(news.new_users, 0)) OVER (ORDER BY wk.week
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS exact_prefix_distinct
+  FROM (SELECT DISTINCT week FROM e) wk LEFT JOIN news USING (week)
+)
+SELECT agg.week, {sketches.HLL_NUM} // (1000 * s) AS hll_prefix_est,
+       n_registers_used, exact.exact_prefix_distinct
+FROM agg JOIN exact ON exact.week = agg.week
+"""
+
+
+HLL_CUMULATIVE_USERS_SQL = _hll_cumulative_sql()
+
+
 QUERIES = {
+    "hll_cumulative_users": hll_cumulative_users,
     "hll_distinct_users": hll_distinct_users,
     "hll_audience_overlap": hll_audience_overlap,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -411,6 +545,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hll_cumulative_users": HLL_CUMULATIVE_USERS_SQL,
     "hll_distinct_users": HLL_DISTINCT_USERS_SQL,
     "hll_audience_overlap": HLL_AUDIENCE_OVERLAP_SQL,
     "heavy_hitters_cms": HEAVY_HITTERS_CMS_SQL,

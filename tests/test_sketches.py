@@ -115,3 +115,63 @@ def test_hll_pair_intersection_matches_python(spark, events):
         assert row["inter_est"] == max(ea + eb - eu, 0)
         assert row["exact_overlap"] == len(members[ga] & members[gb])
         assert eu >= max(ea, eb)  # union registers dominate both inputs
+
+
+def test_hll_cumulative_users_matches_python(spark):
+    """Prefix-merged weekly registers ≡ a pure-Python HLL replay, and the
+    final week's estimate equals the whole-table sketch (merge is lossless
+    w.r.t. running the sketch over the union)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from spider_go_spark.operators import sketches as sk
+    from spider_go_spark.queries.sketchops import HLL_WEEK_US, hll_cumulative_users
+
+    rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+    epoch = datetime(1970, 1, 1)
+    a, P, M = sk.CMS_AS[0], sk.HASH_P, sk.HLL_M
+
+    def rho(w):
+        for k in range(sk.HLL_RANK_BITS):
+            if (w >> k) & 1:
+                return k + 1
+        return sk.HLL_RANK_CAP
+
+    weekly = defaultdict(dict)  # week -> bucket -> max rho
+    seen_weeks = set()
+    first_week = {}
+    for r in rows:
+        us = (r["ts"] - epoch) // timedelta(microseconds=1)
+        wk = us // HLL_WEEK_US
+        seen_weeks.add(wk)
+        u = r["user_id"]
+        first_week[u] = min(first_week.get(u, wk), wk)
+        h = ((u % P) * a) % P
+        b, w = h % M, h // M
+        weekly[wk][b] = max(weekly[wk].get(b, 0), rho(w))
+    expect = {}
+    merged = {}
+    total = 0
+    for wk in sorted(seen_weeks):
+        for b, m in weekly[wk].items():
+            merged[b] = max(merged.get(b, 0), m)
+        s = sum(
+            1 << (sk.HLL_RANK_CAP - merged.get(b, 0)) if b in merged
+            else 1 << sk.HLL_RANK_CAP
+            for b in range(M)
+        )
+        total += sum(1 for u, fw in first_week.items() if fw == wk)
+        expect[wk] = (sk.HLL_NUM // (1000 * s), len(merged), total)
+    got = {
+        r["week"]: (r["hll_prefix_est"], r["n_registers_used"],
+                    r["exact_prefix_distinct"])
+        for r in hll_cumulative_users(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expect
+    # the last prefix ≡ the sketch of the whole table
+    whole = sk.hll_estimate(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("g", F.lit(1)),
+        "user_id", ["g"],
+    ).collect()[0]["hll_est"]
+    assert got[max(got)][0] == whole
