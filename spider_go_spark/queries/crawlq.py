@@ -412,6 +412,58 @@ FROM ranked ORDER BY host
 """
 
 
+def budget_fairness_report(spark: SparkSession, sf: str) -> DataFrame:
+    """(metric, n_hosts, sum_x, sum_sq, jain_ppm) — Jain's fairness index
+    J = (Σx)² / (n·Σx²) in exact integer ppm, for both the raw per-host
+    demand and the proportional-fair allocation it produces
+    (crawl_budget_allocation). J = 1 ⇔ perfectly even; 1/n ⇔ one host
+    takes everything. This is the per-round dashboard number an operator
+    watches to see whether the budget allocator is starving hosts — and
+    the allocation's J should exceed the demand's when demand is skewed
+    less than the allocator's cap smooths it.
+
+    Scale shape: two single-row aggregates over the |hosts| dimension
+    (the demand agg is shared with the allocation op); everything else is
+    scalar arithmetic. (Σx)²·10^6 stays in int64 for Σx ≤ 3·10^6 — at
+    web-scale budgets compute J per shard and combine the three sums."""
+    alloc = crawl_budget_allocation(spark, sf)
+    parts = []
+    for metric in ("demand", "alloc"):
+        parts.append(
+            alloc.agg(
+                F.lit(metric).alias("metric"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+                F.sum(metric).cast("bigint").alias("sum_x"),
+                F.sum(F.col(metric) * F.col(metric)).cast("bigint").alias("sum_sq"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "metric",
+        "n_hosts",
+        "sum_x",
+        "sum_sq",
+        F.expr("(sum_x * sum_x * 1000000) div (n_hosts * sum_sq)").alias("jain_ppm"),
+    )
+
+
+BUDGET_FAIRNESS_REPORT_SQL = f"""
+WITH alloc AS ({CRAWL_BUDGET_ALLOCATION_SQL}),
+m AS (
+  SELECT 'demand' AS metric, count(*)::BIGINT AS n_hosts,
+         sum(demand)::BIGINT AS sum_x, sum(demand * demand)::BIGINT AS sum_sq
+  FROM alloc
+  UNION ALL
+  SELECT 'alloc', count(*)::BIGINT, sum(alloc)::BIGINT,
+         sum(alloc * alloc)::BIGINT
+  FROM alloc
+)
+SELECT metric, n_hosts, sum_x, sum_sq,
+       (sum_x * sum_x * 1000000) // (n_hosts * sum_sq) AS jain_ppm
+FROM m
+"""
+
+
 REDIR_NODES = 4096  # 512 chains of 8 slots; chain c uses 1 + c%8 of them
 
 
@@ -677,6 +729,7 @@ CHANGE_RATE_REVISIT_SQL = _change_rate_sql()
 QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_budget_allocation": crawl_budget_allocation,
+    "budget_fairness_report": budget_fairness_report,
     "frontier_pagerank_rerank": frontier_pagerank_rerank,
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
@@ -691,6 +744,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
     "crawl_budget_allocation": CRAWL_BUDGET_ALLOCATION_SQL,
+    "budget_fairness_report": BUDGET_FAIRNESS_REPORT_SQL,
     "url_trap_filter": URL_TRAP_FILTER_SQL,
     "frontier_pagerank_rerank": _rerank_sql(),
     "redirect_resolution": REDIRECT_RESOLUTION_SQL,

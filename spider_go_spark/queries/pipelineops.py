@@ -1345,9 +1345,83 @@ ORDER BY size DESC, community LIMIT {LPA_TOP}
     )
 
 
+# --------------------------------------------------------------------------
+# degree_assortativity — Newman (2002): the Pearson correlation of degrees
+# across edge endpoints. Positive = hubs link hubs (social-network shape);
+# the web graph is famously DISassortative (hubs link leaves) — the single
+# scalar a crawl operator quotes about graph shape. All five sums are
+# exact int64; only the final r is a double (one division and one sqrt of
+# exactly-computed integers — deterministic IEEE in both engines, same
+# discipline as the cosine operators).
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """(n_dir_edges, sxy, sx, sx2, assortativity) over the symmetrized
+    census graph: per directed edge, x = deg(src), y = deg(dst); by
+    symmetry Σx = Σy and Σx² = Σy², so r = (n·sxy − sx²) / (n·sx2 − sx²).
+
+    Scale shape: one degree agg (host-dimension keys), two broadcast-able
+    joins to stamp endpoint degrees on the edge stream, one single-row
+    sum — no windows, no pairs beyond the edges themselves."""
+    d = _census_edges_df(spark, sf)
+    und = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    e = (
+        und.join(deg.withColumnRenamed("deg", "dx"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst"
+        )
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dir_edges"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
+    )
+    return s.select(
+        "n_dir_edges",
+        "sxy",
+        "sx",
+        "sx2",
+        (
+            (F.col("n_dir_edges") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / (F.col("n_dir_edges") * F.col("sx2") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = (
+    _CENSUS_EDGES
+    + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), deg AS (
+  SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src
+), e AS (
+  SELECT a.deg AS dx, b.deg AS dy
+  FROM und JOIN deg a ON a.src = und.src JOIN deg b ON b.src = und.dst
+), s AS (
+  SELECT count(*)::BIGINT AS n_dir_edges, sum(dx * dy)::BIGINT AS sxy,
+         sum(dx)::BIGINT AS sx, sum(dx * dx)::BIGINT AS sx2
+  FROM e
+)
+SELECT n_dir_edges, sxy, sx, sx2,
+       (n_dir_edges * sxy - sx * sx)::DOUBLE
+         / (n_dir_edges * sx2 - sx * sx)::DOUBLE AS assortativity
+FROM s
+"""
+)
+
+
 QUERIES = {
     "token_shard_samples": token_shard_samples,
     "lpa_communities": lpa_communities,
+    "degree_assortativity": degree_assortativity,
     "train_split_strata": train_split_strata,
     "oov_rate": oov_rate,
     "pmi_collocations": pmi_collocations,
@@ -1375,6 +1449,7 @@ QUERIES = {
 ORACLES = {
     "token_shard_samples": TOKEN_SHARD_SAMPLES_SQL,
     "lpa_communities": _lpa_communities_sql(),
+    "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "train_split_strata": TRAIN_SPLIT_STRATA_SQL,
     "oov_rate": OOV_RATE_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,

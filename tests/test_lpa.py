@@ -76,3 +76,49 @@ def test_lpa_partitioning_invariance(spark):
     a = {(r["node"], r["label"]) for r in lpa_frequency(nodes.repartition(1), und.repartition(1), 2).collect()}
     b = {(r["node"], r["label"]) for r in lpa_frequency(nodes.repartition(7), und.repartition(13), 2).collect()}
     assert a == b
+
+
+def test_degree_assortativity_matches_python(spark):
+    """Newman's r ≡ a plain-Python Pearson over edge-endpoint degrees."""
+    from collections import Counter
+
+    from spider_go_spark.queries.pipelineops import degree_assortativity
+
+    e = _census_edges_df(spark, SF)
+    und = set()
+    for r in e.collect():
+        und.add((r["src"], r["dst"]))
+        und.add((r["dst"], r["src"]))
+    deg = Counter(s for s, _ in und)
+    xs = [(deg[s], deg[d]) for s, d in und]
+    n = len(xs)
+    sxy = sum(x * y for x, y in xs)
+    sx = sum(x for x, _ in xs)
+    sx2 = sum(x * x for x, _ in xs)
+    expect_r = (n * sxy - sx * sx) / (n * sx2 - sx * sx)
+    row = degree_assortativity(spark, SF).collect()[0]
+    assert (row["n_dir_edges"], row["sxy"], row["sx"], row["sx2"]) == (n, sxy, sx, sx2)
+    assert row["assortativity"] == expect_r
+
+
+def test_budget_fairness_report_matches_python(spark):
+    """Jain index ≡ plain-Python recomputation from the allocation rows;
+    the allocation (rounding-smoothed) is never less fair than demand."""
+    from spider_go_spark.queries.crawlq import (
+        budget_fairness_report,
+        crawl_budget_allocation,
+    )
+
+    rows = crawl_budget_allocation(spark, SF).collect()
+    expect = {}
+    for metric in ("demand", "alloc"):
+        xs = [r[metric] for r in rows]
+        n, sx, sq = len(xs), sum(xs), sum(x * x for x in xs)
+        expect[metric] = (n, sx, sq, sx * sx * 1_000_000 // (n * sq))
+    got = {
+        r["metric"]: (r["n_hosts"], r["sum_x"], r["sum_sq"], r["jain_ppm"])
+        for r in budget_fairness_report(spark, SF).collect()
+    }
+    assert got == expect
+    # proportional-fair allocation preserves fairness up to rounding jitter
+    assert abs(got["alloc"][3] - got["demand"][3]) <= 100
