@@ -121,3 +121,34 @@ def test_expire_snapshots(spark, tmp_path):
     assert t.read().count() == 1
     data_dirs = os.listdir(os.path.join(t.path, "data"))
     assert len(data_dirs) == 1 and data_dirs[0].startswith("only")
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Widening the table schema (add-column, the Iceberg evolution case)
+    keeps every OLD snapshot readable: files written under the narrow
+    schema surface the new columns as NULL — both in full reads and in
+    time-travel reads — and new appends mix freely with old data dirs.
+    (Engine-level compat gates — e.g. the crawl's config fingerprint —
+    are a separate, deliberate layer on top of this mechanical one.)"""
+    cat = Catalog(spark, str(tmp_path))
+    t = cat.load("evo", SCHEMA)
+    t.append(_df(spark, [(1, "a"), (2, "b")]), "old-batch")
+    old_snap = t.current_snapshot_id()
+
+    wide = T.StructType(
+        [*SCHEMA.fields, T.StructField("w", T.IntegerType(), True)]
+    )
+    t2 = cat.load("evo", wide)  # same table dir, evolved schema
+    rows = {(r["k"], r["v"], r["w"]) for r in t2.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", None)}
+
+    t2.append(
+        spark.createDataFrame([(3, "c", 7)], wide), "new-batch"
+    )
+    rows = {(r["k"], r["v"], r["w"]) for r in t2.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 7)}
+    # time travel to the pre-evolution snapshot still works under the
+    # widened schema
+    assert {
+        (r["k"], r["v"], r["w"]) for r in t2.read(old_snap).collect()
+    } == {(1, "a", None), (2, "b", None)}
