@@ -81,6 +81,7 @@ def build_corpus(
     max_rounds: int | None = None,
     gopher_overrides: dict | None = None,
     shard_seq_len: int | None = None,
+    dedup: str = "exact",
 ) -> CorpusBuildResult:
     """Run the full pipeline; returns the stage-count manifest and the
     packed-corpus path. Idempotent per ``out_root``: archives and corpus
@@ -127,6 +128,62 @@ def build_corpus(
     unique = kept.join(canon, "doc_id")
     n_unique = unique.count()
 
+    # optional stage 5b: near-duplicate collapse on the exact-dedup
+    # survivors — MinHash(16)+LSH(4×4) band candidates (sub-quadratic,
+    # content-keyed equi-join) → min-label connected components → keep one
+    # canonical doc (the min (round, fetch_rank) key) per component.
+    # Candidate-based, unverified collapse: the aggressive end of the
+    # near-dup dial (the gate queries carry the verified variants).
+    n_near_groups = None
+    if dedup not in ("exact", "near"):
+        raise ValueError(f"dedup must be 'exact' or 'near', got {dedup!r}")
+    if dedup == "near":
+        from spider_go_spark.functions import textkernel as tk
+        from spider_go_spark.operators.graph import label_propagation_min
+
+        key = (F.col("round").cast("long") * (1 << 32) + F.col("fetch_rank")).alias("key")
+        ud = unique.join(text.select("doc_id", "text"), "doc_id").select(
+            "doc_id", key, "text"
+        )
+        h = (
+            ud.select("doc_id", "key", tk.shingle_hashes(F.col("text")).alias("hashes"))
+            .filter(F.size("hashes") > 0)
+        )
+        sig = h.select("key", tk.minhash_signature(F.col("hashes")).alias("sig"))
+        bands = (
+            sig.select("key", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b"))
+            .select("key", F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_sig").alias("band_sig"))
+            .localCheckpoint(eager=True)
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.key") < F.col("b.key")),
+            )
+            .select(F.col("a.key").alias("src"), F.col("b.key").alias("dst"))
+            .distinct()
+        )
+        edges = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nodes = h.select(F.col("key").alias("node"))
+        labels = label_propagation_min(nodes, edges, iters=5)
+        n_near_groups = labels.select(F.countDistinct("label")).collect()[0][0]
+        # canonical node of a component carries its own id as label;
+        # shingle-less docs never entered the graph and all survive
+        canonical = labels.filter(F.col("node") == F.col("label")).select(
+            F.col("node").alias("key")
+        )
+        survivors = ud.join(canonical, "key").select("doc_id").unionByName(
+            ud.join(h.select("key"), "key", "left_anti").select("doc_id")
+        )
+        unique = unique.join(survivors, "doc_id")
+    n_after_near = unique.count() if dedup == "near" else None
+
     packed = pack_spans(unique.select("doc_id", "spans"), budget=pack_budget)
     corpus_path = os.path.join(out_root, "corpus")
     packed.write.mode("overwrite").parquet(corpus_path)
@@ -172,6 +229,10 @@ def build_corpus(
     if n_shard_samples is not None:
         manifest["shard_seq_len"] = shard_seq_len
         manifest["n_shard_samples"] = int(n_shard_samples)
+    if dedup == "near":
+        manifest["dedup"] = "near"
+        manifest["n_near_groups"] = int(n_near_groups)
+        manifest["n_after_near"] = int(n_after_near)
     tmp = os.path.join(out_root, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

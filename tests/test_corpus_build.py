@@ -119,3 +119,95 @@ def test_token_shards_layer(built):
     # sample ids equal the dedup survivor count
     doc_keys = {r["sample_id"] >> 20 for r in rows}
     assert len(doc_keys) == res.manifest["n_unique"]
+
+
+def test_near_dedup_build(built, tmp_path):
+    """dedup='near' on the same committed crawl: MinHash-LSH components
+    collapse to one canonical doc each; manifest counts reconcile with a
+    pure-Python replay of the band-candidate component structure."""
+    import re
+    from collections import defaultdict
+
+    from spider_go_spark.functions.spans import assembled_col
+    from spider_go_spark.functions import textkernel as tk  # noqa: F401 (kernel under test)
+
+    spark, cfg, res, out = built
+    res2 = build_corpus(
+        spark, cfg, None, str(tmp_path / "near_out"), pack_budget=16,
+        gopher_overrides=GOPHER_TUNE, dedup="near",
+    )
+    m = res2.manifest
+    assert m["dedup"] == "near"
+    assert 0 < m["n_after_near"] <= m["n_unique"] == res.manifest["n_unique"]
+    assert m["n_near_groups"] <= m["n_unique"]
+    packed = spark.read.parquet(res2.corpus_path)
+    assert packed.select(F.count_distinct("doc_id")).collect()[0][0] == m["n_after_near"]
+
+    # python replay: recompute band candidates + components over the
+    # exact-dedup survivors and check the survivor count
+    eng = CrawlEngine(spark, cfg)
+    docs = eng.fetched_docs.read().filter(F.col("crawl_id") == cfg.crawl_id)
+    kept = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+    rows = docs.select(
+        "doc_id", "round", "fetch_rank", assembled_col("spans").alias("text")
+    ).collect()
+    P, A = 1_000_000_007, 1_000_003
+
+    def shingles(text):
+        th = []
+        for t in re.split(r"\s+", text):
+            if not t:
+                continue
+            hh = 0
+            for ch in t:
+                hh = (hh * 31 + ord(ch)) % P
+            th.append(hh)
+        out = set()
+        for i in range(len(th) - 2):
+            out.add(((th[i] * A + th[i + 1]) % P * A + th[i + 2]) % P)
+        return out
+
+    # survivors of the engine's earlier stages = distinct doc_ids in the
+    # EXACT-dedup corpus of the shared fixture
+    exact_kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(res.corpus_path).select("doc_id").distinct().collect()
+    }
+    keyed = {}
+    for r in rows:
+        if r["doc_id"] in exact_kept:
+            keyed[(r["round"] << 32) + r["fetch_rank"]] = (r["doc_id"], shingles(r["text"]))
+
+    def band_sigs(sh):
+        if not sh:
+            return []
+        sig = [
+            min(((2 * i + 1) * h + 10007 * i + 3) % P for h in sh)
+            for i in range(16)
+        ]
+        return [tuple(sig[b * 4:(b + 1) * 4] + [b]) for b in range(4)]
+
+    buckets = defaultdict(list)
+    for k, (_, sh) in keyed.items():
+        for bs in band_sigs(sh):
+            buckets[bs].append(k)
+    parent = {k: k for k in keyed}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for m2 in members[1:]:
+            ra, rb = find(members[0]), find(m2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(list)
+    for k in keyed:
+        comps[find(k)].append(k)
+    expect_survivors = {
+        keyed[min(v)][0] for v in comps.values() if keyed[min(v)][1]
+    } | {d for k, (d, sh) in keyed.items() if not sh}
+    assert kept == expect_survivors
