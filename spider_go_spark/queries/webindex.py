@@ -1759,7 +1759,143 @@ FROM per_shard ORDER BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# prf_expanded_topk — pseudo-relevance feedback (Rocchio's two-pass query
+# expansion, the classical retrieval-quality lever): retrieve with the
+# original query, mine expansion terms from the top feedback docs, retrieve
+# again with the widened weighted query. Integer tf·idf end to end (the
+# exact log kernel), deterministic tie-breaks at both the feedback-doc and
+# expansion-term cuts, so the two-pass composition is value-exact.
+# --------------------------------------------------------------------------
+
+PRF_FB_DOCS = 5     # feedback depth
+PRF_FB_TERMS = 3    # expansion terms mined from the feedback docs
+PRF_W_ORIG = 2      # weight of original query terms in pass 2
+PRF_W_EXP = 1       # weight of expansion terms
+PRF_TOP_K = 15
+
+
+def prf_expanded_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, score_u, n_hit_terms) — final ranking after one PRF round
+    for the BM25_TERMS query. Pass 1 ranks by Σ tf·idf_q20; the top
+    PRF_FB_DOCS docs donate their highest-tf terms (stopword-guarded:
+    df ≤ N/2, original terms excluded) as PRF_FB_TERMS expansions; pass 2
+    scores Σ w·tf·idf_q20 with w = PRF_W_ORIG/PRF_W_EXP.
+
+    Scale shape: both passes are posting-list plans (term-filtered before
+    any agg, broadcast idf, doc-keyed score agg, TakeOrderedAndProject);
+    the feedback stage's term mining aggregates only the ≤ FB_DOCS docs'
+    tokens against the precomputed dictionary df (inverted_index_stats is
+    that dictionary at index scale). The two driver literals (5 doc ids,
+    3 terms) are bounded by the constants — the inlined-literal
+    convention."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.functions.intmath import log2_q20
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", tk.tokens(F.col("text")).alias("toks"))
+    occ_all = toks.select("doc_id", F.explode("toks").alias("term"))
+    dict_df = occ_all.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = d.count()
+
+    def ranked(terms_w: dict[str, int], k: int) -> DataFrame:
+        occ = occ_all.filter(F.col("term").isin(*terms_w))
+        postings = occ.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        w_map = F.create_map(
+            *[x for t, w in sorted(terms_w.items()) for x in (F.lit(t), F.lit(w))]
+        )
+        scored = postings.join(F.broadcast(dict_df), "term").select(
+            "doc_id",
+            (
+                w_map[F.col("term")]
+                * F.col("tf")
+                * log2_q20(f"{2 * n_docs}", "df")
+            ).alias("s"),
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("s").alias("score_u"),
+                F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            )
+            .orderBy(F.desc("score_u"), "doc_id")
+            .limit(k)
+        )
+
+    fb_docs = [
+        r["doc_id"] for r in ranked({t: 1 for t in BM25_TERMS}, PRF_FB_DOCS).collect()
+    ]
+    cand = (
+        occ_all.filter(F.col("doc_id").isin(fb_docs))
+        .filter(~F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+        .join(dict_df, "term")
+        .filter(F.col("df") * 2 <= n_docs)
+        .orderBy(F.desc("fb_tf"), "term")
+        .limit(PRF_FB_TERMS)
+    )
+    expansion = [r["term"] for r in cand.collect()]
+    terms_w = {t: PRF_W_ORIG for t in BM25_TERMS}
+    terms_w.update({t: PRF_W_EXP for t in expansion})
+    return ranked(terms_w, PRF_TOP_K)
+
+
+def _prf_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    q_terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    lg = log2_q20_duckdb_ctes(
+        "2 * n_docs", "df", "(SELECT term, df, n_docs FROM dict, n)", "term, df"
+    )
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks
+), dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM occ) GROUP BY term
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+{lg}, idf AS (
+  SELECT term, df, log2_q20 AS idf_q20 FROM lg
+), p1 AS (
+  SELECT doc_id, sum(tf * idf_q20)::BIGINT AS score_u
+  FROM (SELECT term, doc_id, count(*)::BIGINT AS tf FROM occ
+        WHERE term IN ({q_terms}) GROUP BY 1, 2) p
+  JOIN idf USING (term) GROUP BY doc_id
+), fb AS (
+  SELECT doc_id FROM p1 ORDER BY score_u DESC, doc_id LIMIT {PRF_FB_DOCS}
+), cand AS (
+  SELECT o.term, count(*)::BIGINT AS fb_tf
+  FROM occ o JOIN fb USING (doc_id)
+  WHERE o.term NOT IN ({q_terms})
+  GROUP BY o.term
+), exp AS (
+  SELECT cand.term FROM cand JOIN dict USING (term) CROSS JOIN n
+  WHERE dict.df * 2 <= n.n_docs
+  ORDER BY fb_tf DESC, term LIMIT {PRF_FB_TERMS}
+), q2 AS (
+  SELECT term, {PRF_W_ORIG}::BIGINT AS w FROM (SELECT unnest([{q_terms}]) AS term)
+  UNION ALL
+  SELECT term, {PRF_W_EXP}::BIGINT FROM exp
+), p2 AS (
+  SELECT p.doc_id, sum(q2.w * p.tf * idf.idf_q20)::BIGINT AS score_u,
+         count(*)::BIGINT AS n_hit_terms
+  FROM (SELECT term, doc_id, count(*)::BIGINT AS tf FROM occ
+        WHERE term IN (SELECT term FROM q2) GROUP BY 1, 2) p
+  JOIN q2 USING (term) JOIN idf USING (term)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score_u, n_hit_terms FROM p2
+ORDER BY score_u DESC, doc_id LIMIT {PRF_TOP_K}
+"""
+
+
 QUERIES = {
+    "prf_expanded_topk": prf_expanded_topk,
     "cdx_prefix_scan": cdx_prefix_scan,
     "frontier_shard_skew": frontier_shard_skew,
     "url_template_mining": url_template_mining,
@@ -1785,6 +1921,7 @@ QUERIES = {
     "kwic_snippets": kwic_snippets,
 }
 ORACLES = {
+    "prf_expanded_topk": _prf_sql(),
     "cdx_prefix_scan": CDX_PREFIX_SCAN_SQL,
     "frontier_shard_skew": FRONTIER_SHARD_SKEW_SQL,
     "url_template_mining": URL_TEMPLATE_MINING_SQL,

@@ -208,3 +208,63 @@ def test_resolve_pointer_chains_cycle_bounded(spark):
     )
     rows = resolve_pointer_chains(df, max_hops=4).collect()
     assert len(rows) == 3 and all(r["hops"] == 4 for r in rows)
+
+
+def test_prf_expanded_topk_matches_python(spark):
+    """Two-pass PRF ≡ a pure-Python replay: same feedback docs, same
+    expansion terms, same final integer ranking."""
+    import re
+    from collections import Counter, defaultdict
+
+    from spider_go_spark.functions.intmath import int_log2_q20
+    from spider_go_spark.queries.webindex import (
+        BM25_TERMS,
+        PRF_FB_DOCS,
+        PRF_FB_TERMS,
+        PRF_TOP_K,
+        PRF_W_EXP,
+        PRF_W_ORIG,
+        prf_expanded_topk,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in re.split(r"\s+", r["text"]) if t]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] += 1
+
+    def rank(terms_w, k):
+        scores = defaultdict(lambda: [0, 0])
+        for did, toks in docs.items():
+            tf = Counter(toks)
+            for t, w in terms_w.items():
+                if tf[t]:
+                    scores[did][0] += w * tf[t] * int_log2_q20(2 * n_docs, df[t])
+                    scores[did][1] += 1
+        return sorted(
+            ((did, s, nh) for did, (s, nh) in scores.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+
+    fb = [d for d, _, _ in rank({t: 1 for t in BM25_TERMS}, PRF_FB_DOCS)]
+    cand = Counter()
+    for d in fb:
+        for t in docs[d]:
+            if t not in BM25_TERMS and df[t] * 2 <= n_docs:
+                cand[t] += 1
+    exp = [t for t, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_FB_TERMS]]
+    terms_w = {t: PRF_W_ORIG for t in BM25_TERMS}
+    terms_w.update({t: PRF_W_EXP for t in exp})
+    expect = rank(terms_w, PRF_TOP_K)
+    got = [
+        (r["doc_id"], r["score_u"], r["n_hit_terms"])
+        for r in prf_expanded_topk(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == expect
+    # the expansion genuinely fired (the tiny sf0.001 vocabulary passes
+    # fewer than PRF_FB_TERMS candidates through the df ≤ N/2 guard)
+    assert 1 <= len(exp) <= PRF_FB_TERMS
