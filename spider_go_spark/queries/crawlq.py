@@ -464,6 +464,101 @@ FROM m
 """
 
 
+NOVELTY_ROUNDS = 3  # pseudo-rounds: doc_id % NOVELTY_ROUNDS
+
+
+def round_novelty_report(spark: SparkSession, sf: str) -> DataFrame:
+    """(round, n_docs, n_shingles, n_new_shingles, novelty_ppm) — how much
+    genuinely NEW content each crawl round fetched: a round's distinct
+    3-token shingle hashes that no earlier round produced, as exact ppm of
+    its shingle set. The crawl-quality dial every operator watches — a
+    collapsing novelty curve means the frontier is re-fetching mirrors,
+    templates and traps instead of discovering (why adaptive revisit and
+    trap filters exist). Rounds are simulated as ``doc_id %
+    NOVELTY_ROUNDS`` over ``documents`` so the metric is value-exact
+    cross-engine; on the live engine the same query runs over
+    fetched_docs.round.
+
+    Scale shape: one explode → (shingle, min-round) hash agg (the
+    first-seen computation — uniform content keys, map-side partials) +
+    one per-round distinct count joined back; no pairs, no windows over
+    the corpus."""
+    from spider_go_spark.functions import textkernel as tk
+    from spider_go_spark.queries import T
+
+    d = T(spark, sf, "documents")
+    sh = (
+        d.select(
+            (F.col("doc_id") % NOVELTY_ROUNDS).cast("int").alias("round"),
+            F.explode(tk.shingle_hashes(F.col("text"))).alias("h"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("h").agg(F.min("round").alias("first_round"))
+    per_round = sh.groupBy("round").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    new = (
+        first.groupBy(F.col("first_round").alias("round"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_shingles"))
+    )
+    ndocs = d.groupBy((F.col("doc_id") % NOVELTY_ROUNDS).cast("int").alias("round")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        per_round.join(new, "round", "left")
+        .join(ndocs, "round")
+        .select(
+            "round",
+            "n_docs",
+            "n_shingles",
+            F.coalesce("n_new_shingles", F.lit(0)).cast("bigint").alias("n_new_shingles"),
+            F.expr(
+                "CASE WHEN n_shingles > 0 THEN"
+                " (coalesce(n_new_shingles, 0) * 1000000) div n_shingles"
+                " ELSE 0 END"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+ROUND_NOVELTY_REPORT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tokens
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tokens,
+            t -> list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                   (a, b) -> (a*31 + b) % 1000000007)) AS th
+  FROM toks
+), sh AS (
+  SELECT DISTINCT (doc_id % {NOVELTY_ROUNDS})::INT AS round,
+         unnest(list_transform(range(0, greatest(len(th)-2, 0)),
+            i -> ((th[i+1]*1000003 + th[i+2]) % 1000000007 * 1000003 + th[i+3]) % 1000000007)) AS h
+  FROM th
+), first AS (
+  SELECT h, min(round) AS first_round FROM sh GROUP BY h
+), per_round AS (
+  SELECT round, count(*)::BIGINT AS n_shingles FROM sh GROUP BY round
+), nw AS (
+  SELECT first_round AS round, count(*)::BIGINT AS n_new_shingles
+  FROM first GROUP BY first_round
+), nd AS (
+  SELECT (doc_id % {NOVELTY_ROUNDS})::INT AS round, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT p.round, nd.n_docs, p.n_shingles,
+       coalesce(nw.n_new_shingles, 0)::BIGINT AS n_new_shingles,
+       CASE WHEN p.n_shingles > 0
+            THEN (coalesce(nw.n_new_shingles, 0) * 1000000) // p.n_shingles
+            ELSE 0 END AS novelty_ppm
+FROM per_round p LEFT JOIN nw USING (round) JOIN nd USING (round)
+"""
+
+
 REDIR_NODES = 4096  # 512 chains of 8 slots; chain c uses 1 + c%8 of them
 
 
@@ -730,6 +825,7 @@ QUERIES = {
     "crawl_fetch_ordering": crawl_fetch_ordering,
     "crawl_budget_allocation": crawl_budget_allocation,
     "budget_fairness_report": budget_fairness_report,
+    "round_novelty_report": round_novelty_report,
     "frontier_pagerank_rerank": frontier_pagerank_rerank,
     "crawl_frontier_lineage": crawl_frontier_lineage,
     "schedule_one_round": schedule_one_round,
@@ -745,6 +841,7 @@ ORACLES: dict[str, str] = {
     "schedule_one_round": SCHEDULE_ONE_ROUND_SQL,
     "crawl_budget_allocation": CRAWL_BUDGET_ALLOCATION_SQL,
     "budget_fairness_report": BUDGET_FAIRNESS_REPORT_SQL,
+    "round_novelty_report": ROUND_NOVELTY_REPORT_SQL,
     "url_trap_filter": URL_TRAP_FILTER_SQL,
     "frontier_pagerank_rerank": _rerank_sql(),
     "redirect_resolution": REDIRECT_RESOLUTION_SQL,

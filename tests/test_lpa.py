@@ -122,3 +122,45 @@ def test_budget_fairness_report_matches_python(spark):
     assert got == expect
     # proportional-fair allocation preserves fairness up to rounding jitter
     assert abs(got["alloc"][3] - got["demand"][3]) <= 100
+
+
+def test_round_novelty_matches_python(spark):
+    """First-seen shingle novelty ≡ pure-Python replay; round 0 is always
+    all-new and the counts telescope to the global distinct shingle set."""
+    import re
+    from collections import defaultdict
+
+    from spider_go_spark.queries.crawlq import NOVELTY_ROUNDS, round_novelty_report
+
+    P, A = 1_000_000_007, 1_000_003
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_round = defaultdict(set)
+    ndocs = defaultdict(int)
+    for r in docs:
+        rnd = r["doc_id"] % NOVELTY_ROUNDS
+        ndocs[rnd] += 1
+        th = []
+        for t in re.split(r"\s+", r["text"]):
+            if not t:
+                continue
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % P
+            th.append(h)
+        for i in range(len(th) - 2):
+            by_round[rnd].add(((th[i] * A + th[i + 1]) % P * A + th[i + 2]) % P)
+    expect = {}
+    seen = set()
+    for rnd in sorted(by_round):
+        sh = by_round[rnd]
+        new = sh - seen
+        seen |= sh
+        expect[rnd] = (ndocs[rnd], len(sh), len(new),
+                       len(new) * 1_000_000 // len(sh) if sh else 0)
+    got = {
+        r["round"]: (r["n_docs"], r["n_shingles"], r["n_new_shingles"], r["novelty_ppm"])
+        for r in round_novelty_report(spark, SF).collect()
+    }
+    assert got == expect
+    assert got[0][3] == 1_000_000  # round 0 is all-new by definition
+    assert sum(v[2] for v in got.values()) == len(seen)  # telescoping
