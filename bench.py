@@ -94,6 +94,10 @@ HEADLINE = [
     "pca_power_iteration",    # covariance-free integer power iteration
     "scd2_event_type_history",# gaps-and-islands SCD2 dimension history
     "cluster_capped_sample",  # per-cluster diversity cap (argmin + top-k)
+    "prf_expanded_topk",      # two-pass PRF query expansion (posting plans)
+    "bitext_candidates",      # rare-anchor cross-language pair mining
+    "round_novelty_report",   # first-seen shingle rate per round
+    "hll_cumulative_users",   # prefix-merged weekly HLL registers
 ]
 
 # Crawl throughput bench: frontier sized so vectorized work dominates the
