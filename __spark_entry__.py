@@ -72,10 +72,20 @@ def _gate_costs() -> dict[str, float]:
         return {}
 
 
-def _by_cost(entries: dict) -> dict:
+def _by_cost(entries: dict, oracle_keys: set | None = None) -> dict:
+    """Sort cheapest-first; oracle-less (rows-only) queries sort after every
+    value-exact entry so a capped driver pass never spends a slot on a row
+    that can only record the weaker check."""
     costs = _gate_costs()
     return dict(
-        sorted(entries.items(), key=lambda kv: (costs.get(kv[0], _DEFAULT_COST), kv[0]))
+        sorted(
+            entries.items(),
+            key=lambda kv: (
+                0 if oracle_keys is None or kv[0] in oracle_keys else 1,
+                costs.get(kv[0], _DEFAULT_COST),
+                kv[0],
+            ),
+        )
     )
 
 
@@ -83,9 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import importlib
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle_keys: set[str] = set()
     for m in _QUERY_MODULES:
-        out.update(importlib.import_module(f"spider_go_spark.queries.{m}").QUERIES)
-    return _by_cost(out)
+        mod = importlib.import_module(f"spider_go_spark.queries.{m}")
+        out.update(mod.QUERIES)
+        oracle_keys.update(mod.ORACLES)
+    return _by_cost(out, oracle_keys)
 
 
 def oracle_sql() -> dict[str, str]:
