@@ -394,6 +394,42 @@ def label_propagation_min(nodes: DataFrame, edges: DataFrame, iters: int = 5) ->
     return labels
 
 
+def label_propagation_fixed_point(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """:func:`label_propagation_min` iterated to a FIXED POINT: rounds run
+    until no node's label changes, so components of ANY diameter fully
+    converge (the fixed-k variant only guarantees diameter ≤ k — LSH
+    chaining can exceed it, silently retaining duplicates).
+
+    Convergence check without a self-join: min-label propagation only ever
+    DECREASES a node's label, so the label sum is strictly monotone
+    non-increasing and is unchanged iff no label changed. One decimal(38)
+    agg per round (int64 sum could wrap at 10^10 nodes × 2^52 keys) —
+    driver traffic is a single scalar. ``max_iters`` is a runaway bound
+    (diameter can't exceed node count; 64 covers any plausible near-dup
+    chain), not a correctness knob."""
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    e = edges.localCheckpoint(eager=True)
+    dec_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev = labels.agg(dec_sum).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = e.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(dec_sum).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def label_prop_oracle_sql(iters: int = 5) -> str:
     """DuckDB twin of :func:`label_propagation_min` as an unrolled CTE
     chain; expects CTEs ``nodes(node)`` and ``e(src, dst)`` (bidirectional)

@@ -130,16 +130,19 @@ def build_corpus(
 
     # optional stage 5b: near-duplicate collapse on the exact-dedup
     # survivors — MinHash(16)+LSH(4×4) band candidates (sub-quadratic,
-    # content-keyed equi-join) → min-label connected components → keep one
-    # canonical doc (the min (round, fetch_rank) key) per component.
-    # Candidate-based, unverified collapse: the aggressive end of the
-    # near-dup dial (the gate queries carry the verified variants).
+    # content-keyed equi-join) → fixed-point min-label connected
+    # components (LSH chaining can build components of arbitrary diameter;
+    # a fixed-k propagation would silently keep >1 "canonical" doc per
+    # long chain) → keep one canonical doc (the min (round, fetch_rank)
+    # key) per component. Candidate-based, unverified collapse: the
+    # aggressive end of the near-dup dial (the gate queries carry the
+    # verified variants).
     n_near_groups = None
     if dedup not in ("exact", "near"):
         raise ValueError(f"dedup must be 'exact' or 'near', got {dedup!r}")
     if dedup == "near":
         from spider_go_spark.functions import textkernel as tk
-        from spider_go_spark.operators.graph import label_propagation_min
+        from spider_go_spark.operators.graph import label_propagation_fixed_point
 
         key = (F.col("round").cast("long") * (1 << 32) + F.col("fetch_rank")).alias("key")
         ud = unique.join(text.select("doc_id", "text"), "doc_id").select(
@@ -171,7 +174,7 @@ def build_corpus(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         nodes = h.select(F.col("key").alias("node"))
-        labels = label_propagation_min(nodes, edges, iters=5)
+        labels = label_propagation_fixed_point(nodes, edges)
         n_near_groups = labels.select(F.countDistinct("label")).collect()[0][0]
         # canonical node of a component carries its own id as label;
         # shingle-less docs never entered the graph and all survive

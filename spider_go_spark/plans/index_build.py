@@ -65,6 +65,8 @@ class IncrementalIndexer:
         at-least-once, idempotent per round via directory overwrite)."""
         from spider_go_spark.functions.spans import assembled_col
 
+        self._sweep_staging()
+
         th = docs.select(
             (F.col("round").cast("long") * (1 << 32) + F.col("fetch_rank"))
             .alias("doc_key"),
@@ -113,11 +115,19 @@ class IncrementalIndexer:
         is partition-scoped: read-filter-rewrite ONLY the affected
         ``round=N`` dirs (cost ∝ those rounds, never the corpus) and their
         stats rows; every other round's files are untouched on disk.
-        Rewrites stage through a temp dir + atomic rename, so a crash
-        leaves either the old or the new round directory, never a half
-        one."""
+
+        Crash contract: rewrites stage through an underscore-prefixed dir
+        (Spark partition discovery skips ``_``/``.`` names, so a leftover
+        can never corrupt the inferred ``round`` column). The
+        rmtree(rd) → os.replace(tmp, rd) pair is NOT atomic — a crash
+        between the two leaves only the staging dir — so every write/read
+        entry point first runs :meth:`_sweep_staging`, which promotes a
+        complete (``_SUCCESS``-marked) orphan stage to its round dir and
+        deletes incomplete ones. Net: a crash at any point leaves the old
+        round, the new round, or a recoverable stage — never a half dir."""
         import shutil
 
+        self._sweep_staging()
         victims = set(doc_keys)
         for rnd in sorted({k >> 32 for k in victims}):
             rd = os.path.join(self.index_dir, f"round={rnd}")
@@ -128,18 +138,44 @@ class IncrementalIndexer:
                 .filter(~F.col("doc_key").isin(list(victims)))
                 .localCheckpoint(eager=True)  # materialize BEFORE the rewrite
             )
-            tmp = rd + ".rewrite"
+            tmp = self._staging_dir(rnd)
             shutil.rmtree(tmp, ignore_errors=True)
             keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
             shutil.rmtree(rd)
             os.replace(tmp, rd)
             self._write_stats(rnd, keep)
 
+    def _staging_dir(self, rnd: int) -> str:
+        # underscore prefix: invisible to Spark's partition discovery
+        return os.path.join(self.index_dir, f"_staging-round={rnd}")
+
+    def _sweep_staging(self) -> None:
+        """Recover/clean orphan rewrite stages left by a crash in
+        delete_docs: a stage with Spark's ``_SUCCESS`` marker whose round
+        dir is gone had already passed the rmtree — finish the rename;
+        anything else (half-written stage, or round dir still present) is
+        stale — delete it."""
+        import shutil
+
+        if not os.path.isdir(self.index_dir):
+            return
+        for name in os.listdir(self.index_dir):
+            if not name.startswith("_staging-round="):
+                continue
+            tmp = os.path.join(self.index_dir, name)
+            rd = os.path.join(self.index_dir, name[len("_staging-"):])
+            complete = os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+            if complete and not os.path.isdir(rd):
+                os.replace(tmp, rd)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+
     # -- read path ----------------------------------------------------------
 
     def postings(self) -> DataFrame:
         """The full postings history as one DataFrame (partition columns
         round, bucket). Predicates on either prune directories."""
+        self._sweep_staging()
         return (
             self.spark.read.option("basePath", self.index_dir)
             .parquet(self.index_dir)

@@ -424,8 +424,10 @@ def budget_fairness_report(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: two single-row aggregates over the |hosts| dimension
     (the demand agg is shared with the allocation op); everything else is
-    scalar arithmetic. (Σx)²·10^6 stays in int64 for Σx ≤ 3·10^6 — at
-    web-scale budgets compute J per shard and combine the three sums."""
+    scalar arithmetic. (Σx)²·10^6 is computed in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) so it can never silently wrap int64 at web-scale
+    budgets; all-zero demand (Σx²=0, J undefined 0/0) reports the
+    perfectly-even value 10^6 instead of NULL."""
     alloc = crawl_budget_allocation(spark, sf)
     parts = []
     for metric in ("demand", "alloc"):
@@ -443,7 +445,11 @@ def budget_fairness_report(spark: SparkSession, sf: str) -> DataFrame:
         "n_hosts",
         "sum_x",
         "sum_sq",
-        F.expr("(sum_x * sum_x * 1000000) div (n_hosts * sum_sq)").alias("jain_ppm"),
+        F.expr(
+            "CASE WHEN sum_sq = 0 THEN 1000000 ELSE cast("
+            "(cast(sum_x as decimal(38,0)) * sum_x * 1000000)"
+            " div (cast(n_hosts as decimal(38,0)) * sum_sq) as bigint) END"
+        ).alias("jain_ppm"),
     )
 
 
@@ -459,7 +465,9 @@ m AS (
   FROM alloc
 )
 SELECT metric, n_hosts, sum_x, sum_sq,
-       (sum_x * sum_x * 1000000) // (n_hosts * sum_sq) AS jain_ppm
+       CASE WHEN sum_sq = 0 THEN 1000000
+            ELSE ((sum_x::HUGEINT * sum_x * 1000000)
+                  // (n_hosts::HUGEINT * sum_sq))::BIGINT END AS jain_ppm
 FROM m
 """
 

@@ -626,7 +626,9 @@ def bitext_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
     return pairs.select(
         "source", "doc_id_a", "doc_id_b", "lang_a", "lang_b", "n_anchors",
-        (F.lit(1000) * F.least("na", "nb") / F.greatest("na", "nb"))
+        # integer `div`, not float `/`+cast: keeps the cross-engine parity
+        # contract purely integral (≡ DuckDB `//` at any magnitude)
+        F.expr("(1000 * least(na, nb)) div greatest(na, nb)")
         .cast("bigint").alias("len_ratio_pm"),
     )
 

@@ -132,7 +132,8 @@ def minmax_pruning_audit(spark: SparkSession, sf: str) -> DataFrame:
     files = (
         d.select(
             F.lit("natural").alias("layout"),
-            (F.col("o_orderkey") / FILE_SPAN).cast("long").alias("file_id"),
+            # integer `div` (≡ DuckDB `//`): parity contract stays integral
+            F.expr(f"o_orderkey div {FILE_SPAN}").cast("long").alias("file_id"),
             "cust",
             "day",
         )

@@ -422,7 +422,8 @@ def hll_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = T(spark, sf, "events").select(
-        (F.unix_micros(F.col("ts").cast("timestamp")) / HLL_WEEK_US)
+        # integer `div` (≡ DuckDB `//`): parity contract stays integral
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HLL_WEEK_US}")
         .cast("long").alias("week"),
         "user_id",
     )

@@ -212,12 +212,24 @@ def fixed_width_samples(
     """(sample_id, doc_id, chunk_idx, n_real, tokens) — every document's
     token-id stream cut into ``seq_len``-wide samples, the last one padded
     with ``PAD_ID``. ``sample_id`` = doc_id·2^20 + chunk_idx (deterministic,
-    unique for corpora under 2^20 chunks/doc). Empty documents emit no
-    samples (mirrors queries/pipelineops.chunk_documents)."""
+    unique for corpora under 2^20 chunks/doc AND doc ids under 2^43 —
+    doc_id·2^20 must stay inside int64; the crawl doc key
+    round·2^32+fetch_rank satisfies this for round < 2^11, which a
+    runtime assert enforces so non-ANSI Spark can never wrap silently).
+    Empty documents emit no samples (mirrors
+    queries/pipelineops.chunk_documents)."""
     from spider_go_spark.functions import textkernel as tk
 
     ids = F.transform(tk.token_hashes(F.col(text)), lambda h: (h % VOCAB).cast("int"))
     d = docs.select(F.col(doc_id).alias("doc_id"), ids.alias("ids"))
+    d = d.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id").cast("long") < (1 << 43), F.col("doc_id")).otherwise(
+            F.assert_true(
+                F.lit(False), F.lit("fixed_width_samples: doc_id >= 2^43 would wrap sample_id")
+            ).cast("long")
+        ),
+    )
     d = d.withColumn("n_chunks", F.ceil(F.size("ids") / F.lit(seq_len)).cast("int"))
     d = d.filter(F.col("n_chunks") > 0).select(
         "doc_id",

@@ -162,3 +162,38 @@ def test_delete_docs_partition_scoped(indexed):
     survivors = {k for k in dls if k not in set(victims) and dls[k] > 0}
     assert n_docs == len(survivors)
     assert total_dl == sum(dls[k] for k in survivors)
+
+
+def test_staging_sweep_recovers_and_cleans(indexed):
+    # runs after the delete test (alphabetically later would not hold —
+    # pytest runs in file order, and this is below it on purpose)
+    spark, cfg, eng, indexer = indexed
+    import os
+    import shutil
+
+    before = {
+        (r["term_h"], r["doc_key"]): r["tf"] for r in indexer.postings().collect()
+    }
+    rd = os.path.join(indexer.index_dir, "round=2")
+    stage = os.path.join(indexer.index_dir, "_staging-round=2")
+
+    # crash after rmtree(rd), before os.replace: only a complete
+    # (_SUCCESS-marked) stage remains → sweep must finish the rename
+    os.replace(rd, stage)
+    assert os.path.isfile(os.path.join(stage, "_SUCCESS"))
+    got = {
+        (r["term_h"], r["doc_key"]): r["tf"] for r in indexer.postings().collect()
+    }
+    assert got == before
+    assert os.path.isdir(rd) and not os.path.isdir(stage)
+
+    # crash mid-stage-write: incomplete stage (no _SUCCESS) beside a live
+    # round dir → sweep deletes the stage, round dir untouched
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"half-written")
+    got = {
+        (r["term_h"], r["doc_key"]): r["tf"] for r in indexer.postings().collect()
+    }
+    assert got == before
+    assert os.path.isdir(rd) and not os.path.isdir(stage)

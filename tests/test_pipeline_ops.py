@@ -172,6 +172,29 @@ def test_label_propagation_components(spark):
     assert got2 == got
 
 
+def test_label_propagation_fixed_point_long_chain(spark):
+    from spider_go_spark.operators.graph import (
+        label_propagation_fixed_point,
+        label_propagation_min,
+    )
+
+    # a 12-hop chain with the min id at one END and ids DECREASING toward
+    # the other (0-12-11-…-1): after k=5 rounds the far end's 5-hop window
+    # never sees 0, so node 1 still carries its own id — a second
+    # "canonical" — while the fixed-point variant converges the whole
+    # chain to min-label 0
+    seq = [0] + list(range(12, 0, -1))
+    pairs = list(zip(seq, seq[1:]))
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs] + [Row(src=b, dst=a) for a, b in pairs]
+    )
+    nodes = spark.createDataFrame([Row(node=n) for n in range(13)])
+    fixed_k = label_propagation_min(nodes, edges, 5)
+    assert fixed_k.filter(F.col("node") == F.col("label")).count() > 1
+    got = {r["node"]: r["label"] for r in label_propagation_fixed_point(nodes, edges).collect()}
+    assert got == {n: 0 for n in range(13)}
+
+
 def test_pagerank_partitioning_invariant(spark, star_edges):
     r1 = sorted(map(tuple, pagerank_int(star_edges, iters=4).collect()))
     r2 = sorted(map(tuple, pagerank_int(star_edges.repartition(7), iters=4).collect()))

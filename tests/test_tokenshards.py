@@ -133,3 +133,16 @@ def test_fixed_width_samples_matches_python(spark):
     assert got == expect
     # empty docs emit nothing; every sample is exactly seq wide
     assert all(len(t[4]) == seq for t in got)
+
+
+def test_fixed_width_samples_rejects_oversized_doc_id(spark):
+    # doc_id·2^20 must stay inside int64: ids >= 2^43 fail loudly instead
+    # of wrapping silently in non-ANSI Spark
+    import pytest
+    from pyspark.sql import Row
+
+    ok = spark.createDataFrame([Row(doc_id=(1 << 43) - 1, text="a b c")])
+    assert fixed_width_samples(ok, 4).count() == 1
+    bad = spark.createDataFrame([Row(doc_id=1 << 43, text="a b c")])
+    with pytest.raises(Exception, match="doc_id >= 2\\^43"):
+        fixed_width_samples(bad, 4).collect()
