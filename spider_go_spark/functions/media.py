@@ -546,23 +546,30 @@ def video_sample_stats(payload: bytes, every: int = 2) -> dict:
 
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real codec dispatch by container magic: binary P6 PPM, uncompressed
-    24-bit BMP and 8-bit truecolor PNG images (deflate + all five scanline
-    filters, stdlib zlib), and PCM WAV audio, decode byte-for-byte
-    (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_png` /
-    :func:`decode_wav`); other containers still require an external codec
-    backend (PIL/pyav) and raise until one is installed."""
+    24-bit BMP, 8-bit truecolor PNG (deflate + all five scanline filters,
+    stdlib zlib) and baseline JFIF JPEG (canonical Huffman entropy decode +
+    integer IDCT, functions/jpeg.py) images, plus PCM WAV audio, decode
+    byte-for-byte (:func:`decode_ppm` / :func:`decode_bmp` /
+    :func:`decode_png` / ``jpeg.decode_jpeg`` / :func:`decode_wav`); other
+    containers (progressive JPEG, compressed audio beyond IMA ADPCM, real
+    video codecs) still require an external codec backend (PIL/pyav) and
+    raise until one is installed."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from spider_go_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond P6 PPM / 24-bit BMP / PNG / PCM WAV "
-        "requires a codec backend (PIL/pyav); use fake_decode for "
-        "deterministic tests"
+        "real media decoding beyond P6 PPM / 24-bit BMP / PNG / baseline "
+        "JPEG / PCM WAV requires a codec backend (PIL/pyav); use "
+        "fake_decode for deterministic tests"
     )
 
 
@@ -609,5 +616,89 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id", payload_col: s
                 }
             )
             yield pd.concat([out, feats], axis=1)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(extract, MEDIA_FEATURES)
+
+
+def _canonical_decode(payload: bytes) -> tuple[str, bytes, dict]:
+    """(media_kind, canonical decoded bytes, features) via REAL container
+    sniffing + real codecs: the kind comes from the payload's magic, the
+    canonical bytes are the codec-independent content (row-major RGB for
+    images and video frames, little-endian PCM for audio) — so the digest
+    downstream is invariant under lossless re-encoding (the same pixels as
+    PPM, BMP or PNG hash identically)."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        rgb = decode_bmp_pixels(payload)
+        return "image", rgb.tobytes(), {
+            "width": rgb.shape[1], "height": rgb.shape[0], "frame_count": None,
+        }
+    if payload[:8] == _PNG_SIG:
+        rgb = decode_png_pixels(payload)
+        return "image", rgb.tobytes(), {
+            "width": rgb.shape[1], "height": rgb.shape[0], "frame_count": None,
+        }
+    if payload[:2] == b"P6":
+        d = decode_ppm(payload)  # validates exactly w·h·3 trailing pixel bytes
+        rgb = np.frombuffer(
+            payload, dtype=np.uint8,
+            offset=len(payload) - d["width"] * d["height"] * 3,
+        )
+        return "image", rgb.tobytes(), {
+            "width": d["width"], "height": d["height"], "frame_count": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, samples = decode_wav_samples(payload)
+        return "audio", samples.astype("<i2").tobytes(), {
+            "width": None, "height": None, "frame_count": None,
+        }
+    if payload[:4] == b"SGV1":
+        frames = decode_video_frames(payload)
+        decoded = [decode_bmp_pixels(f) for f in frames]
+        first = decoded[0] if decoded else None
+        return "video", b"".join(d.tobytes() for d in decoded), {
+            "width": first.shape[1] if first is not None else None,
+            "height": first.shape[0] if first is not None else None,
+            "frame_count": len(frames),
+        }
+    raise ValueError(f"unrecognized media container (magic {payload[:4]!r})")
+
+
+def extract_media_features_real(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL-codec twin of :func:`extract_media_features`: media_kind is
+    sniffed from the container magic (not assigned by id), width/height/
+    frame_count come from genuine byte-level decodes (BMP/PNG/PPM images,
+    PCM WAV audio, SGV1+BMP video), and ``digest`` is the md5 of the
+    lowercase-hex rendering of the CANONICAL DECODED bytes — a
+    re-encode-invariant content identity (md5-of-hex because the SQL twin
+    can only hash strings). Same Arrow-batched map-only scale shape."""
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                kind, canonical, feats = _canonical_decode(payload)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "media_kind": kind,
+                        "n_bytes": len(payload),
+                        "digest": hashlib.md5(canonical.hex().encode()).hexdigest(),
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "frame_count": feats["frame_count"],
+                    }
+                )
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "frame_count"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(extract, MEDIA_FEATURES)

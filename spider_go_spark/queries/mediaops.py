@@ -1,12 +1,18 @@
 """Multimodal queries: binary-payload feature extraction with a value-exact
 SQL oracle.
 
-The payload is the UTF-8 encoding of ``documents.text`` (the corpus is the
-only driver-provided content), pushed through the full binary-column +
-``mapInPandas`` pipeline of :mod:`spider_go_spark.functions.media`. Because
-the (fake) decoder's features are arithmetic on byte length and the digest
-is md5, every output cell is reproducible in SQL — the plumbing is what's
-being verified.
+The flagship ``media_features`` gate runs REAL codecs end to end: each
+document's payload is a real container synthesized deterministically from
+(doc_id, length(text)) — an uncompressed 24-bit BMP image, a PCM-16 WAV
+clip, or an SGV1 video of BMP frames — and the extractor
+(:func:`spider_go_spark.functions.media.extract_media_features_real`)
+sniffs the kind from the container magic, decodes the bytes for real, and
+digests the CANONICAL decoded content (md5 of its hex rendering — a
+re-encode-invariant identity). The lossless containers make every output
+cell reproducible in SQL: dimensions and sizes from the synthesis rule,
+the digest from the same hex string built with printf/string_agg. The
+legacy fake-decoder path survives as ``media_features_plumbing`` —
+plumbing verification for kinds with no real codec yet.
 """
 
 from __future__ import annotations
@@ -16,20 +22,122 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spider_go_spark.functions.media import extract_media_features
+from spider_go_spark.functions.media import (
+    extract_media_features,
+    extract_media_features_real,
+)
 from spider_go_spark.queries import T
+
+# synthesis rule (d = doc_id, L = length(text)):
+#   image (d%3==0): BMP, w = 4 + L%9, h = 3 + d%7, pixel byte j
+#                   (row-major top-down RGB) = (d*19 + j*7) % 256
+#   audio (d%3==1): WAV, n = 40 + L%50 samples at 8000 + (d%3 of rate
+#                   rule: (d//3)%3)*4000 Hz, sample i = ((d*131 + i*97)
+#                   % 4001) - 2000
+#   video (d%3==2): SGV1 of f = 1 + d%4 BMP frames, each 8×5, frame k
+#                   pixel byte j = (d*29 + k*41 + j*7) % 256
+
+
+def _synth_media_payloads(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_bmp, encode_video, encode_wav
+
+    docs = T(spark, sf, "documents").select("doc_id", F.length("text").alias("L"))
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(d), int(L)
+                if d % 3 == 0:
+                    w, h = 4 + L % 9, 3 + d % 7
+                    j = np.arange(w * h * 3, dtype=np.int64)
+                    payload = encode_bmp(w, h, ((d * 19 + j * 7) % 256).astype(np.uint8))
+                elif d % 3 == 1:
+                    n = 40 + L % 50
+                    i = np.arange(n, dtype=np.int64)
+                    payload = encode_wav(
+                        8000 + ((d // 3) % 3) * 4000,
+                        ((d * 131 + i * 97) % 4001) - 2000,
+                    )
+                else:
+                    f = 1 + d % 4
+                    frames = []
+                    for k in range(f):
+                        j = np.arange(8 * 5 * 3, dtype=np.int64)
+                        frames.append(
+                            encode_bmp(8, 5, ((d * 29 + k * 41 + j * 7) % 256).astype(np.uint8))
+                        )
+                    payload = encode_video(frames)
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(synth, "doc_id bigint, payload binary")
 
 
 def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec media features over synthesized real containers: kind
+    sniffed from magic, dimensions/frames from real decodes, digest over
+    canonical decoded content. Scale shape: two chained Arrow map stages
+    (synthesize, decode) — no shuffle."""
+    return extract_media_features_real(_synth_media_payloads(spark, sf))
+
+
+def media_features_plumbing(spark: SparkSession, sf: str) -> DataFrame:
+    """The legacy fake-decoder path (arithmetic features on byte length):
+    still the plumbing gate for payload kinds with no real codec in this
+    environment (compressed video/audio containers beyond the real set)."""
     d = T(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_media_features(d)
 
 
+# the oracle rebuilds every feature from the synthesis rule: sizes are the
+# container formulas (BMP 54 + stride·h with stride = 4-byte-padded rows;
+# WAV 44 + 2n; SGV1 8 + (4+174)·f with a 174-byte 8×5 BMP per frame) and
+# the digest is md5 over the same lowercase-hex canonical-content string
+# the extractor hashes (images/video: row-major RGB; audio: int16-LE PCM).
+MEDIA_FEATURES_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, length(text)::BIGINT AS L FROM documents
+), img AS (
+  SELECT d, L, 4 + L % 9 AS w, 3 + d % 7 AS h FROM base WHERE d % 3 = 0
+), aud AS (
+  SELECT d, L, 40 + L % 50 AS n FROM base WHERE d % 3 = 1
+), vid AS (
+  SELECT d, L, 1 + d % 4 AS f FROM base WHERE d % 3 = 2
+)
+SELECT d AS doc_id, 'image' AS media_kind,
+       (54 + ((w*3 + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+       md5(list_aggregate(list_transform(range(w*h*3),
+           j -> printf('%02x', (d*19 + j*7) % 256)), 'string_agg', '')) AS digest,
+       w::INTEGER AS width, h::INTEGER AS height, NULL::INTEGER AS frame_count
+FROM img
+UNION ALL
+SELECT d, 'audio', (44 + 2*n)::BIGINT,
+       md5(list_aggregate(list_transform(range(n),
+           i -> printf('%02x%02x', ((d*131 + i*97) % 4001 - 2000) & 255,
+                       (((d*131 + i*97) % 4001 - 2000) >> 8) & 255)),
+           'string_agg', '')),
+       NULL, NULL, NULL
+FROM aud
+UNION ALL
+SELECT d, 'video', (8 + 178*f)::BIGINT,
+       md5(list_aggregate(list_transform(range(f*120),
+           m -> printf('%02x', (d*29 + (m // 120)*41 + (m % 120)*7) % 256)),
+           'string_agg', '')),
+       8, 5, f::INTEGER
+FROM vid
+"""
+
 # media_kind by doc_id % 3; width/height/frame_count arithmetic on n_bytes
 # (text is ASCII → n_bytes = length(text)); digest = md5(text).
-MEDIA_FEATURES_SQL = """
+MEDIA_FEATURES_PLUMBING_SQL = """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
        length(text)::BIGINT AS n_bytes,
@@ -371,6 +479,143 @@ SELECT r AS doc_id,
        list_sum(list_transform(range((3 + r % 6) * (2 + r % 7)),
                 p -> (r*23 + (p*3 + 2)*13) % 256))::BIGINT AS sum_b
 FROM range({PNG_DOCS}) t(r)
+"""
+
+
+# --------------------------------------------------------------------------
+# REAL JPEG decode gate: baseline JFIF files synthesized block-constant
+# (every 8×8 tile one RGB value), pushed through the full encoder
+# (integer fDCT, Annex-K quality-scaled quantization, canonical Huffman
+# with byte stuffing) and the full decoder (marker walk, DHT-driven
+# Huffman decode with DC prediction across MCUs, integer IDCT, YCbCr→RGB).
+# Because constant blocks produce a pure-DC spectrum (the Q13 cosine
+# table's u≥1 rows sum to exactly 0), the decoded value of each block is
+# ONE closed-form integer expression of (r,g,b,quality) — which the DuckDB
+# oracle recomputes stage by stage: quality scaling, YCbCr forward, DC
+# fDCT, round-half-away quantize, dequantize, DC IDCT, clamp, YCbCr
+# inverse. Any entropy-coding, predictor, quantizer or color-space bug
+# breaks the channel sums. Width/height vary over 8/16 so single-block
+# and multi-block (DC-diff chain) layouts are both exercised; quality runs
+# 30..94 so both IJG scaling branches are hit.
+# --------------------------------------------------------------------------
+
+JPEG_DOCS = 200
+# rule: doc d is w=8·(1+d%2) × h=8·(1+(d//2)%2); block bi (row-major) is
+# constant RGB ((d·7+bi·29)%256, (d·11+bi·31)%256, (d·13+bi·37)%256);
+# quality = 30 + (d·7)%65
+JPEG_STATS_DDL = PPM_STATS_DDL
+
+
+def media_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.jpeg import encode_jpeg
+    from spider_go_spark.functions.media import real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 2), 8 * (1 + (d // 2) % 2)
+                nbx = w // 8
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for bi in range(nbx * (h // 8)):
+                    by, bx = divmod(bi, nbx)
+                    img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                        (d * 7 + bi * 29) % 256,
+                        (d * 11 + bi * 31) % 256,
+                        (d * 13 + bi * 37) % 256,
+                    )
+                payload = encode_jpeg(w, h, img, quality=30 + (d * 7) % 65)
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(JPEG_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(JPEG_STATS_DDL)
+    )
+
+
+def _fdiv(a: str, b: int) -> str:
+    """SQL floor division of a possibly-negative numerator by positive
+    ``b`` (DuckDB ``//`` truncates toward zero — the repo's standard
+    trick)."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) // {b}"
+        f" ELSE -((-({a}) + {b} - 1) // {b}) END)"
+    )
+
+
+def _rha(v: str, q: str) -> str:
+    """SQL round-half-away-from-zero division (the JPEG quantizer)."""
+    return (
+        f"(CASE WHEN ({v}) >= 0 THEN (2*({v}) + {q}) // (2*{q})"
+        f" ELSE -((-2*({v}) + {q}) // (2*{q})) END)"
+    )
+
+
+# 2147766336 = (8·5793)², 33558849 = 5793², 134217728 = 2^27,
+# 268435456 = 2^28, 8421376 = (128<<16)+32768 (chroma offset incl. the
+# rounding term) — the exact constants of functions/jpeg.py's kernels.
+MEDIA_JPEG_SQL = f"""
+WITH docs AS (
+  SELECT r AS d, 8*(1 + r % 2) AS w, 8*(1 + (r//2) % 2) AS h,
+         30 + (r*7) % 65 AS qq
+  FROM range({JPEG_DOCS}) t(r)
+), scaled AS (
+  SELECT *, CASE WHEN qq < 50 THEN 5000 // qq ELSE 200 - 2*qq END AS sc
+  FROM docs
+), qtabs AS (
+  SELECT *, least(255, greatest(1, (16*sc + 50) // 100)) AS qy,
+            least(255, greatest(1, (17*sc + 50) // 100)) AS qc
+  FROM scaled
+), blocks AS (
+  SELECT qtabs.*, bi FROM qtabs, range(4) tb(bi) WHERE bi < (w//8)*(h//8)
+), rgb AS (
+  SELECT *, (d*7 + bi*29) % 256 AS r0, (d*11 + bi*31) % 256 AS g0,
+            (d*13 + bi*37) % 256 AS b0
+  FROM blocks
+), ycc AS (
+  SELECT *,
+    (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS yy,
+    ((-11059)*r0 + (-21709)*g0 + 32768*b0 + 8421376) // 65536 AS cb,
+    (32768*r0 + (-27439)*g0 + (-5329)*b0 + 8421376) // 65536 AS cr
+  FROM rgb
+), f00 AS (
+  SELECT *,
+    {_fdiv('(yy-128)*2147766336 + 134217728', 268435456)} AS fy,
+    {_fdiv('(cb-128)*2147766336 + 134217728', 268435456)} AS fcb,
+    {_fdiv('(cr-128)*2147766336 + 134217728', 268435456)} AS fcr
+  FROM ycc
+), deq AS (
+  SELECT *, {_rha('fy', 'qy')} * qy AS dfy,
+            {_rha('fcb', 'qc')} * qc AS dfcb,
+            {_rha('fcr', 'qc')} * qc AS dfcr
+  FROM f00
+), rec AS (
+  SELECT *,
+    least(255, greatest(0, {_fdiv('dfy*33558849 + 134217728', 268435456)} + 128)) AS ry,
+    least(255, greatest(0, {_fdiv('dfcb*33558849 + 134217728', 268435456)} + 128)) AS rcb,
+    least(255, greatest(0, {_fdiv('dfcr*33558849 + 134217728', 268435456)} + 128)) AS rcr
+  FROM deq
+), px AS (
+  SELECT *,
+    least(255, greatest(0, ry + {_fdiv('91881*(rcr-128) + 32768', 65536)})) AS rr,
+    least(255, greatest(0, ry - {_fdiv('22554*(rcb-128) + 46802*(rcr-128) + 32768', 65536)})) AS gg,
+    least(255, greatest(0, ry + {_fdiv('116130*(rcb-128) + 32768', 65536)})) AS bb
+  FROM rec
+)
+SELECT d AS doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+       (max(w)*max(h))::BIGINT AS n_pixels,
+       sum(64*rr)::BIGINT AS sum_r, sum(64*gg)::BIGINT AS sum_g,
+       sum(64*bb)::BIGINT AS sum_b
+FROM px GROUP BY d
 """
 
 
@@ -917,6 +1162,7 @@ FROM range({VID_DOCS}) t(r)
 
 QUERIES = {
     "media_features": media_features,
+    "media_features_plumbing": media_features_plumbing,
     "wav_silence_trim": wav_silence_trim,
     "video_frame_sample": video_frame_sample,
     "caption_pairs_synth": caption_pairs_synth,
@@ -925,6 +1171,7 @@ QUERIES = {
     "media_ppm_decode": media_ppm_decode,
     "media_bmp_decode": media_bmp_decode,
     "media_png_decode": media_png_decode,
+    "media_jpeg_decode": media_jpeg_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_resize_stats": image_resize_stats,
@@ -934,6 +1181,7 @@ QUERIES = {
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
+    "media_features_plumbing": MEDIA_FEATURES_PLUMBING_SQL,
     "wav_silence_trim": WAV_TRIM_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "caption_pairs_synth": CAPTION_PAIRS_SQL,
@@ -942,6 +1190,7 @@ ORACLES = {
     "media_ppm_decode": MEDIA_PPM_SQL,
     "media_bmp_decode": MEDIA_BMP_SQL,
     "media_png_decode": MEDIA_PNG_SQL,
+    "media_jpeg_decode": MEDIA_JPEG_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,

@@ -1,0 +1,194 @@
+"""Baseline JPEG codec (functions/jpeg.py): real Huffman entropy coding +
+integer DCT. Gates: constant blocks transform to a pure-DC spectrum and
+roundtrip by the analytic formula the SQL oracle replays
+(queries/mediaops.media_jpeg_decode); general images roundtrip within
+JPEG's quantization error; re-encodes at different qualities land in the
+same aHash bucket; malformed streams fail loudly; restart markers decode."""
+
+import numpy as np
+import pytest
+
+from spider_go_spark.functions.jpeg import (
+    DC0,
+    _fdct_blocks,
+    _idct_blocks,
+    _m,
+    decode_jpeg_pixels,
+    encode_jpeg,
+    quantize,
+    rgb_to_ycbcr,
+    scaled_qtables,
+    ycbcr_to_rgb,
+)
+
+
+def test_cos_table_row_sums():
+    # u=0 row is the constant 5793; u>=1 rows cancel in +/- pairs exactly,
+    # which is what makes a constant block a pure-DC spectrum
+    m = _m()
+    assert (m[0] == DC0).all()
+    assert m.sum(axis=1).tolist() == [8 * DC0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def test_constant_block_pure_dc_and_idct_inverse():
+    for s in (-128, -1, 0, 57, 127):
+        blk = np.full((1, 8, 8), s, dtype=np.int64)
+        f = _fdct_blocks(blk)
+        assert f[0, 0, 0] == (s * (8 * DC0) ** 2 + (1 << 27)) >> 28
+        assert np.count_nonzero(f[0]) == (1 if f[0, 0, 0] else 0)
+        # unquantized roundtrip of a constant block is exact
+        back = _idct_blocks(f)
+        assert (back == s).all() or abs(int(back[0, 0, 0]) - s) <= 1
+
+
+def test_color_conversion_integer_exact_and_bounded():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    ycc = rgb_to_ycbcr(rgb)
+    assert ycc.min() >= 0 and ycc.max() <= 255
+    back = ycbcr_to_rgb(ycc)
+    # YCbCr is not bijective on 8-bit grids, but error is tightly bounded
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def _analytic_block_rgb(r, g, b, quality):
+    """Pure-Python replay of the DC-only path — the same formula the
+    DuckDB oracle of media_jpeg_decode computes in SQL."""
+    ql, qc = scaled_qtables(quality)
+    ycc = rgb_to_ycbcr(np.array([[[r, g, b]]], dtype=np.uint8))[0, 0]
+    out = []
+    for ci, v in enumerate(ycc):
+        q = ql[0] if ci == 0 else qc[0]
+        s = int(v) - 128
+        f00 = (s * (8 * DC0) ** 2 + (1 << 27)) >> 28
+        fd = quantize(f00, q) * q
+        sp = (fd * DC0**2 + (1 << 27)) >> 28
+        out.append(max(0, min(255, sp + 128)))
+    return tuple(int(x) for x in ycbcr_to_rgb(np.array([[out]], dtype=np.int64))[0, 0])
+
+
+def test_block_constant_images_decode_by_analytic_formula():
+    for d in range(40):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        vals = {}
+        for bi in range(4):
+            by, bx = divmod(bi, 2)
+            rgb = ((d * 7 + bi * 29) % 256, (d * 11 + bi * 31) % 256,
+                   (d * 13 + bi * 37) % 256)
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = rgb
+            vals[bi] = rgb
+        q = 30 + (d * 7) % 65  # both quality-scaling branches
+        out = decode_jpeg_pixels(encode_jpeg(16, 16, img, quality=q))
+        for bi in range(4):
+            by, bx = divmod(bi, 2)
+            blk = out[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+            expect = np.array(_analytic_block_rgb(*vals[bi], q))
+            assert (blk == expect).all(), (d, bi)
+
+
+def test_roundtrip_error_bounded():
+    rng = np.random.default_rng(11)
+    # smooth gradients: decoded error stays small at high quality
+    xx, yy = np.meshgrid(np.arange(31), np.arange(22))
+    smooth = np.stack(
+        [(xx * 3 + yy * 2) % 200 + 20, (xx + yy) % 180 + 40, (xx * 2) % 150 + 50],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(31, 22, smooth, quality=95))
+    assert out.shape == smooth.shape  # non-multiple-of-8 dims crop back
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+    # noise: JPEG's worst case, still bounded at q=90
+    noise = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(13, 17, noise, quality=90))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 48
+
+
+def test_determinism_and_magic():
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    p1 = encode_jpeg(8, 8, img, quality=80)
+    p2 = encode_jpeg(8, 8, img, quality=80)
+    assert p1 == p2
+    assert p1[:2] == b"\xFF\xD8" and p1[-2:] == b"\xFF\xD9"
+
+
+def test_ahash_groups_reencodes():
+    from spider_go_spark.functions.media import ahash_bits
+
+    # high-contrast structure: block means far from the global mean, the
+    # case aHash is built for — re-encodes at any quality collide exactly
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    img = np.where((xx[..., None] < 16) ^ (yy[..., None] < 16),
+                   40 + (xx[..., None] % 8), 210 - (yy[..., None] % 8)).astype(np.uint8)
+    img = np.broadcast_to(img, (32, 32, 3)).copy()
+    hashes = {
+        ahash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, img, quality=q)))
+        for q in (75, 85, 95)
+    }
+    assert len(hashes) == 1  # re-encodes of the same image collide
+    other = 255 - img
+    assert ahash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, other, quality=85))) \
+        not in hashes
+    # borderline content (random walk, block means near the global mean):
+    # exact collision is not guaranteed, but re-encodes stay within a small
+    # Hamming distance — the match predicate real pipelines use
+    rng = np.random.default_rng(5)
+    walk = np.clip(np.cumsum(rng.integers(-6, 7, size=(32, 32, 3)), axis=1) + 128,
+                   0, 255).astype(np.uint8)
+    h1 = ahash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, walk, quality=75)))
+    h2 = ahash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, walk, quality=95)))
+    assert sum(a != b for a, b in zip(h1, h2)) <= 6
+
+
+def test_malformed_inputs_fail_loudly():
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = encode_jpeg(8, 8, img, quality=85)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:40])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:-30])  # truncated entropy stream
+    # corrupt the SOF sampling byte -> subsampling rejection
+    sof = good.find(b"\xFF\xC0")
+    bad = bytearray(good)
+    bad[sof + 11] = 0x22  # Y component sampling 2x2
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(8, 8, img, quality=0)
+
+
+def test_restart_marker_decode():
+    # hand-assemble a DRI/RST stream: re-encode a 2-block-wide image, then
+    # splice restart markers by re-running the encoder's entropy stage per
+    # block. Cheaper: decode a stream our encoder produced, then verify the
+    # decoder also accepts one with DRI=1 + RST markers built from two
+    # single-block encodes of the same blocks.
+    img = np.zeros((8, 16, 3), dtype=np.uint8)
+    img[:, :8] = (40, 90, 200)
+    img[:, 8:] = (200, 30, 70)
+    base = decode_jpeg_pixels(encode_jpeg(16, 8, img, quality=85))
+
+    import struct
+
+    from spider_go_spark.functions import jpeg as J
+
+    left = encode_jpeg(8, 8, img[:, :8], quality=85)
+    right = encode_jpeg(8, 8, img[:, 8:], quality=85)
+
+    def entropy(p):
+        sos = p.find(b"\xFF\xDA")
+        (ln,) = struct.unpack(">H", p[sos + 2 : sos + 4])
+        return p[sos + 2 + ln : -2]
+
+    # headers from a 16x8 encode, entropy = left block || RST0 || right block
+    full = encode_jpeg(16, 8, img, quality=85)
+    sos = full.find(b"\xFF\xDA")
+    (ln,) = struct.unpack(">H", full[sos + 2 : sos + 4])
+    dri = b"\xFF\xDD" + struct.pack(">HH", 4, 1)
+    patched = (
+        full[:sos] + dri + full[sos : sos + 2 + ln]
+        + entropy(left) + b"\xFF\xD0" + entropy(right) + b"\xFF\xD9"
+    )
+    out = decode_jpeg_pixels(patched)
+    assert (out == base).all()

@@ -106,6 +106,43 @@ def test_real_decode_is_stubbed():
         real_decode(b"\x89PNG", "image")
 
 
+def test_media_features_real_sniffs_and_digests_canonically(spark):
+    import numpy as np
+
+    from spider_go_spark.functions.media import (
+        encode_bmp,
+        encode_png,
+        encode_video,
+        encode_wav,
+        extract_media_features_real,
+    )
+
+    j = np.arange(4 * 3 * 3, dtype=np.int64)
+    rgb = ((j * 31) % 256).astype(np.uint8)
+    samples = ((np.arange(50) * 97) % 4001) - 2000
+    rows_in = [
+        (0, encode_bmp(4, 3, rgb)),
+        (1, encode_png(4, 3, rgb)),  # same pixels, different container
+        (2, encode_wav(8000, samples)),
+        (3, encode_video([encode_bmp(4, 3, rgb), encode_bmp(4, 3, rgb)])),
+    ]
+    d = spark.createDataFrame(rows_in, ["doc_id", "payload"])
+    rows = {r["doc_id"]: r for r in extract_media_features_real(d).collect()}
+    assert [rows[i]["media_kind"] for i in range(4)] == [
+        "image", "image", "audio", "video",
+    ]
+    assert (rows[0]["width"], rows[0]["height"]) == (4, 3)
+    # digest is over DECODED canonical content: BMP and PNG of the same
+    # pixels collide; the raw payloads differ
+    assert rows[0]["digest"] == rows[1]["digest"]
+    assert rows_in[0][1] != rows_in[1][1]
+    assert rows[0]["n_bytes"] == len(rows_in[0][1]) != len(rows_in[1][1])
+    assert rows[2]["width"] is None and rows[2]["frame_count"] is None
+    assert rows[3]["frame_count"] == 2 and rows[3]["width"] == 4
+    expect = hashlib.md5(rgb.tobytes().hex().encode()).hexdigest()
+    assert rows[0]["digest"] == expect
+
+
 # --------------------------------------------------------------------------
 # real P6 PPM codec (round 3): genuine byte-level decode behind real_decode
 # --------------------------------------------------------------------------
