@@ -152,7 +152,9 @@ def build_corpus(
             ud.select("doc_id", "key", tk.shingle_hashes(F.col("text")).alias("hashes"))
             .filter(F.size("hashes") > 0)
         )
-        sig = h.select("key", tk.minhash_signature(F.col("hashes")).alias("sig"))
+        from spider_go_spark.queries.textops import minhash_signature_df
+
+        sig = minhash_signature_df(h, id_col="key")
         bands = (
             sig.select("key", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b"))
             .select("key", F.col("b.band_id").alias("band_id"),

@@ -679,6 +679,110 @@ FROM range({WAV_DOCS}) t(r)
 
 
 # --------------------------------------------------------------------------
+# REAL IMA ADPCM decode gate: compressed-audio WAVs (format tag 0x0011)
+# synthesized from the same deterministic sample rule as the PCM gate,
+# 4-bit-quantized through the genuine step-table encoder, then decoded by
+# the real state machine. ADPCM is LOSSY and stateful, so the oracle can't
+# recompute the input rule — instead a recursive CTE replays the exact
+# integer encoder+decoder recurrence (quantize → reconstruct → clamp →
+# step-index walk) sample by sample and aggregates the decoded stats. Any
+# quantizer, clamp, nibble-order or table bug breaks the value hash.
+# --------------------------------------------------------------------------
+
+ADPCM_DOCS = 200
+# sample rule: doc d has n = 41 + d%32 samples at rate 8000 + (d%3)*4000;
+# sample i has value ((d*131 + i*97) % 4001) - 2000; one ADPCM block/doc
+ADPCM_STATS_DDL = WAV_STATS_DDL
+
+
+def media_adpcm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import encode_wav_ima, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                n = 41 + d % 32
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 131 + i * 97) % 4001) - 2000
+                payload = encode_wav_ima(8000 + (d % 3) * 4000, samples)
+                stats = real_decode(payload, "audio")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(ADPCM_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(ADPCM_STATS_DDL)
+    )
+
+
+def _adpcm_oracle_sql() -> str:
+    from spider_go_spark.functions.media import IMA_INDEX_ADJ, IMA_STEPS
+
+    steps = "[" + ",".join(map(str, IMA_STEPS)) + "]"
+    adj = "[" + ",".join(map(str, IMA_INDEX_ADJ)) + "]"
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT r AS d, 41 + r % 32 AS n FROM range({ADPCM_DOCS}) t(r)
+), st AS (
+  SELECT d, n, 0 AS i,
+         ((d*131) % 4001 - 2000)::BIGINT AS dec,
+         ((d*131) % 4001 - 2000)::BIGINT AS pred,
+         0::BIGINT AS idx
+  FROM docs
+  UNION ALL
+  SELECT d, n, i,
+         greatest(-32768, least(32767, pred + CASE WHEN neg THEN -delta ELSE delta END)) AS dec,
+         greatest(-32768, least(32767, pred + CASE WHEN neg THEN -delta ELSE delta END)) AS pred,
+         greatest(0, least(88, idx + {adj}[4*c4 + 2*c2 + c1 + 1])) AS idx
+  FROM (
+    SELECT d, n, i, pred, idx, neg, c4, c2,
+           CASE WHEN m2 >= (step >> 2) THEN 1 ELSE 0 END AS c1,
+           (step >> 3) + (CASE WHEN m2 >= (step >> 2) THEN 1 ELSE 0 END)*(step >> 2)
+             + c2*(step >> 1) + c4*step AS delta
+    FROM (
+      SELECT d, n, i, pred, idx, neg, step, c4, m1,
+             CASE WHEN m1 >= (step >> 1) THEN 1 ELSE 0 END AS c2,
+             m1 - (CASE WHEN m1 >= (step >> 1) THEN 1 ELSE 0 END)*(step >> 1) AS m2
+      FROM (
+        SELECT d, n, i, pred, idx, neg, step, mag,
+               CASE WHEN mag >= step THEN 1 ELSE 0 END AS c4,
+               mag - (CASE WHEN mag >= step THEN 1 ELSE 0 END)*step AS m1
+        FROM (
+          SELECT d, n, i + 1 AS i, pred, idx,
+                 (diff < 0) AS neg, abs(diff) AS mag, step
+          FROM (
+            SELECT d, n, i, pred, idx,
+                   ((d*131 + (i+1)*97) % 4001 - 2000) - pred AS diff,
+                   {steps}[idx + 1] AS step
+            FROM st WHERE i + 1 < n
+          )
+        )
+      )
+    )
+  )
+)
+SELECT d AS doc_id,
+       (8000 + (d % 3) * 4000)::INTEGER AS sample_rate,
+       count(*)::BIGINT AS n_samples,
+       sum(abs(dec))::BIGINT AS sum_abs,
+       max(abs(dec))::BIGINT AS peak,
+       sum(dec*dec)::BIGINT AS sum_sq
+FROM st GROUP BY d
+"""
+
+
+MEDIA_ADPCM_SQL = _adpcm_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Perceptual image dedup over REAL decoded bytes: 16×16 BMPs synthesized
 # from a deterministic pixel rule (pattern p = doc % 24 repeats every 24
 # docs → true duplicate groups), decoded byte-for-byte by
@@ -1172,6 +1276,7 @@ QUERIES = {
     "media_bmp_decode": media_bmp_decode,
     "media_png_decode": media_png_decode,
     "media_jpeg_decode": media_jpeg_decode,
+    "media_adpcm_decode": media_adpcm_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_resize_stats": image_resize_stats,
@@ -1191,6 +1296,7 @@ ORACLES = {
     "media_bmp_decode": MEDIA_BMP_SQL,
     "media_png_decode": MEDIA_PNG_SQL,
     "media_jpeg_decode": MEDIA_JPEG_SQL,
+    "media_adpcm_decode": MEDIA_ADPCM_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,

@@ -383,12 +383,36 @@ SELECT doc_id_a, doc_id_b, n_a, n_inter, containment_pm FROM (
 
 
 # --------------------------------------------------------------------------
+def minhash_signature_df(h: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig) — same integers as textkernel.minhash_signature, computed
+    as explode + a (doc, perm)-keyed min agg + ordered array re-assembly
+    instead of 16 interpreted HOF folds (HOF lambdas run outside codegen —
+    the fold form dominated minhash gate cost at sf0.01). Integer mins are
+    order-independent → bit-identical to the fold form on any partitioning.
+    Scale shape: two content-keyed shuffles sized corpus×16 — standard,
+    AQE-splittable. Callers must pre-filter empty hash sets (as both
+    existing call sites already do)."""
+    e = h.select(id_col, F.explode("hashes").alias("h"))
+    ei = e.select(
+        id_col, "h",
+        F.explode(F.sequence(F.lit(0), F.lit(tk.MINHASH_K - 1))).alias("i"),
+    )
+    m = ei.groupBy(id_col, "i").agg(
+        F.min(F.expr(f"((2*i + 1)*h + 10007*i + 3) % {tk.POLY_P}")).alias("s")
+    )
+    return (
+        m.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ps"))
+        .select(id_col, F.transform("ps", lambda p: p["s"]).alias("sig"))
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidate pairs with shared-band
     counts — the sub-quadratic near-dup path for 100 TB corpora. Docs with
     no shingles are excluded (their empty-set signatures would all collide)."""
     h = _docs_hashes(spark, sf).filter(F.size("hashes") > 0)
-    sig = h.select("doc_id", tk.minhash_signature(F.col("hashes")).alias("sig"))
+    sig = minhash_signature_df(h)
     bands = sig.select(
         "doc_id", F.explode(tk.lsh_band_signatures(F.col("sig"))).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
@@ -435,10 +459,37 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+def _simhash_df(h: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — same integers as textkernel.simhash, computed as
+    explode + two hash aggregations instead of 30 interpreted HOF folds
+    (Spark evaluates higher-order lambdas outside codegen; the fold form
+    cost ~10 s at sf0.01). Integer majority votes are order-independent, so
+    this stays bit-identical to the fold form and to the SQL oracle on any
+    partitioning. Scale shape: two content-keyed shuffles sized corpus×30 —
+    the standard shape, AQE-splittable; no-shingle docs rejoin with
+    simhash 0 (the fold form's value for an empty array)."""
+    e = h.select("doc_id", F.explode("hashes").alias("h"))
+    ej = e.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(tk.SIMHASH_BITS - 1))).alias("j"),
+    )
+    votes = ej.groupBy("doc_id", "j").agg(
+        F.sum(F.expr("2 * (shiftright(h, j) % 2) - 1")).alias("v")
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+    return h.select("doc_id").join(sim, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
 def simhash_values(spark: SparkSession, sf: str) -> DataFrame:
     """30-bit SimHash per doc (bitwise majority vote over shingle hashes)."""
     h = _docs_hashes(spark, sf)
-    return h.select("doc_id", tk.simhash(F.col("hashes")).alias("simhash"))
+    return _simhash_df(h)
 
 
 SIMHASH_VALUES_SQL = (

@@ -882,11 +882,23 @@ def rp_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     Cross-engine exactness: projections, norms and cosines are left-fold
     doubles evaluated in the same order on both engines; shortlist and
-    final rank use deterministic tie-breaks."""
+    final rank use deterministic tie-breaks.
+
+    The 32×64 projection matrix rides along as ONE broadcast nested-array
+    column consumed by a single ``transform`` HOF (not 32 inlined
+    64-literal expressions — that shape cost ~10 s of codegen/eval at
+    sf0.01 for 500 rows; same math, same fold order, tiny plan)."""
+    wq = [[float(x) for x in _rp_weights(j)] for j in range(RP_DIMS)]
+    wdf = spark.createDataFrame([(wq,)], "W: array<array<double>>")
     parr = F.expr(
-        "array(" + ",".join(_rp_proj_expr("embedding", j) for j in range(RP_DIMS)) + ")"
+        "transform(W, wj -> aggregate(zip_with(embedding, wj,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, b) -> a + b))"
     )
-    e = T(spark, sf, "embeddings").select("vec_id", parr.alias("parr"))
+    e = (
+        T(spark, sf, "embeddings")
+        .crossJoin(F.broadcast(wdf))
+        .select("vec_id", parr.alias("parr"))
+    )
     e = e.select("vec_id", "parr", _norm(F.col("parr")).alias("pnrm"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -936,10 +948,14 @@ def rp_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 RP_ANN_TOPK_SQL = f"""
-WITH proj AS (
+WITH wt AS (
+  SELECT [{",".join("[" + ",".join(str(float(x)) for x in _rp_weights(j)) + "]" for j in range(RP_DIMS))}] AS W
+), proj AS (
   SELECT vec_id,
-         [{",".join(_rp_proj_sql(j) for j in range(RP_DIMS))}] AS parr
-  FROM embeddings
+         list_transform(W, wj -> list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, 65), i -> (embedding[i]::DOUBLE) * wj[i])),
+           (x, y) -> x + y)) AS parr
+  FROM embeddings CROSS JOIN wt
 ), p AS (
   SELECT vec_id, parr,
          sqrt({_DOT_RP_SQL.format(a="parr", b="parr")}) AS pnrm

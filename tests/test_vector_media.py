@@ -322,6 +322,78 @@ def test_wav_chunk_walk_and_errors():
         decode_wav(bad)
 
 
+def test_ima_adpcm_roundtrip_and_structure():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spider_go_spark.functions.media import (
+        IMA_BLOCK_SAMPLES,
+        IMA_INDEX_ADJ,
+        IMA_STEPS,
+        _ima_quantize,
+        _ima_step,
+        decode_wav_samples,
+        encode_wav_ima,
+        wav_frame_profile,
+    )
+
+    # pure-Python replay: decoding must equal stepping the shared state
+    # machine over the encoder's own quantizer decisions
+    t = np.arange(1300, dtype=np.int64)
+    sig = ((t * 131 + 7) % 4001) - 2000
+    payload = encode_wav_ima(8000, sig)
+    rate, out = decode_wav_samples(payload)
+    assert rate == 8000 and out.size == sig.size
+    expect = []
+    for start in range(0, sig.size, IMA_BLOCK_SAMPLES):
+        blk = sig[start : start + IMA_BLOCK_SAMPLES]
+        pred, index = int(blk[0]), 0 if start == 0 else index  # noqa: F821
+        expect.append(pred)
+        for s in blk[1:]:
+            code = _ima_quantize(int(s) - pred, IMA_STEPS[index])
+            pred, index = _ima_step(pred, index, code)
+            expect.append(pred)
+    assert out.tolist() == expect  # multi-block (3 blocks), exact replay
+    # lossy but bounded on a slew-limited signal
+    smooth = (2000 * np.sin(np.arange(600) / 25)).astype(np.int64)
+    _, o2 = decode_wav_samples(encode_wav_ima(8000, smooth))
+    assert int(np.abs(o2 - smooth).max()) <= 256
+    # ~4:1 compression vs PCM at block scale
+    assert len(payload) < (44 + 2 * sig.size) // 3
+    # table sanity pinned to the public spec
+    assert len(IMA_STEPS) == 89 and IMA_STEPS[0] == 7 and IMA_STEPS[88] == 32767
+    assert IMA_INDEX_ADJ == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    # downstream audio ops run unchanged over compressed input: a silent
+    # lead decodes to exact zeros (diff 0 → code 0 → delta step>>3 ... not
+    # necessarily 0) — use frame profile for structure, not exact silence
+    prof = wav_frame_profile(payload, frame=64)
+    assert prof["n_frames"] == (sig.size + 63) // 64
+
+    # malformed streams fail loudly
+    with pytest.raises(ValueError, match="fact chunk"):
+        i = payload.index(b"fact")
+        decode_wav_samples(payload[:i] + b"junk" + payload[i + 4 :])
+    # fact chunk promising more samples than the data stream holds
+    fi = payload.index(b"fact") + 8
+    overclaim = payload[:fi] + struct.pack("<I", sig.size + 5000) + payload[fi + 4 :]
+    with pytest.raises(ValueError, match="truncated ADPCM"):
+        decode_wav_samples(overclaim)
+    # corrupt a block's step index beyond 88
+    di = payload.index(b"data") + 8
+    bad = bytearray(payload)
+    bad[di + 2] = 120
+    with pytest.raises(ValueError, match="invalid step index"):
+        decode_wav_samples(bytes(bad))
+    with pytest.raises(ValueError, match="format tag"):
+        fmt_off = payload.index(b"fmt ") + 8
+        decode_wav_samples(
+            payload[:fmt_off] + struct.pack("<H", 2) + payload[fmt_off + 2 :]
+        )
+
+
 def test_ahash_kernel_properties():
     import numpy as np
     import pytest
