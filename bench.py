@@ -134,18 +134,14 @@ TIER_R = 4                # hot tier holds 4 rounds of budget per host
 FLOW_TRIGGERS = 200_000
 
 
-def _bench_flow_dag(spark) -> dict:
-    """Messages/sec through the generic DAG interpreter with natively
-    VECTORIZED workers (the hot-path Worker contract — pandas batch in/out;
-    row_worker's per-record loop is the parity fixture, not the fast path).
-    The reference's one-goroutine-per-message interpreter pays ≥2 broker
-    hops + ≥3 Mongo round-trips per DAG hop; this is the batched columnar
-    equivalent of the same topology."""
+def _flow_bench_setup():
+    """(catalog, workers): a 3-hop chain with a 1→3 fan-out over natively
+    vectorized workers — shared by the batch and streaming flow benches."""
     import numpy as np
     import pandas as pd
 
     from spider_go_spark.functions.mapper import Mapper
-    from spider_go_spark.plans.flow import FlowCatalog, FlowRuntime, Worker
+    from spider_go_spark.plans.flow import FlowCatalog, Worker
 
     def echo(pdf: "pd.DataFrame", cfg: dict) -> "pd.DataFrame":
         return pd.DataFrame(
@@ -175,6 +171,19 @@ def _bench_flow_dag(spark) -> dict:
         "echo": Worker(handler=echo, output_schema="value string"),
         "fan3": Worker(handler=fan3, output_schema="item string"),
     }
+    return cat, workers
+
+
+def _bench_flow_dag(spark) -> dict:
+    """Messages/sec through the generic DAG interpreter with natively
+    VECTORIZED workers (the hot-path Worker contract — pandas batch in/out;
+    row_worker's per-record loop is the parity fixture, not the fast path).
+    The reference's one-goroutine-per-message interpreter pays ≥2 broker
+    hops + ≥3 Mongo round-trips per DAG hop; this is the batched columnar
+    equivalent of the same topology."""
+    from spider_go_spark.plans.flow import FlowRuntime
+
+    cat, workers = _flow_bench_setup()
     trig = spark.range(FLOW_TRIGGERS).selectExpr(
         "concat('t', id) AS task_id", "concat('v', id) AS value"
     )
@@ -196,6 +205,84 @@ def _bench_flow_dag(spark) -> dict:
         "wall_sec": round(wall, 3),
         "messages_per_sec": round(n_delivered / wall, 1),
     }
+
+
+# Streaming flow-DAG sustained load: a pre-landed trigger backlog drained
+# through the continuous interpreter in capped micro-batches, with a
+# stop/restart mid-stream on the same checkpoint. The sink-row count must
+# come out EXACT (batch-id overwrite idempotence), and the sustained rate
+# includes all checkpoint/file-listing overhead.
+FLOW_STREAM_TRIGGERS = 120_000
+FLOW_STREAM_FILES = 24
+FLOW_STREAM_FILES_PER_BATCH = 4
+
+
+def _bench_flow_stream(spark) -> dict:
+    from spider_go_spark.streaming.flowstream import flow_stream_query, read_flow_sink
+
+    cat, workers = _flow_bench_setup()
+    base = tempfile.mkdtemp(prefix="bench-flowstream-")
+    trig_dir = os.path.join(base, "triggers")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    per_file = FLOW_STREAM_TRIGGERS // FLOW_STREAM_FILES
+    expected_sink = FLOW_STREAM_TRIGGERS * 3
+
+    def sink_rows() -> int:
+        try:
+            return read_flow_sink(spark, out_dir, "sink").count()
+        except Exception:
+            return 0  # sink dir not created yet / batch dir mid-write
+
+    try:
+        for i in range(FLOW_STREAM_FILES):
+            spark.range(i * per_file, (i + 1) * per_file).selectExpr(
+                "concat('t', id) AS task_id", "concat('v', id) AS value"
+            ).coalesce(1).write.mode("append").parquet(trig_dir)
+
+        def start():
+            return flow_stream_query(
+                spark, cat, workers, "a1", "triggered", trig_dir,
+                "task_id string, value string", out_dir, ckpt,
+                sink_keys=["sink"],
+                max_files_per_trigger=FLOW_STREAM_FILES_PER_BATCH,
+            )
+
+        t0 = time.time()
+        q = start()
+        deadline = time.time() + 600
+        rows_at_stop = 0
+        while time.time() < deadline:
+            rows_at_stop = sink_rows()
+            if rows_at_stop >= expected_sink // 2:
+                break
+            time.sleep(0.3)
+        q.stop()  # mid-stream kill; checkpoint holds committed progress
+        q2 = start()
+        while time.time() < deadline and sink_rows() < expected_sink:
+            time.sleep(0.5)
+        q2.stop()
+        wall = time.time() - t0
+        final_rows = sink_rows()
+        n_batches = len(
+            [d for d in os.listdir(os.path.join(out_dir, "sink"))
+             if d.startswith("batch=")]
+        )
+        return {
+            "triggers": FLOW_STREAM_TRIGGERS,
+            "trigger_files": FLOW_STREAM_FILES,
+            "micro_batches": n_batches,
+            "sink_rows": final_rows,
+            "sink_rows_expected": expected_sink,
+            "exactly_once": final_rows == expected_sink,
+            "rows_at_restart": rows_at_stop,
+            "restarted_mid_stream": rows_at_stop < expected_sink,
+            "wall_sec": round(wall, 3),
+            "triggers_per_sec": round(FLOW_STREAM_TRIGGERS / wall, 1),
+            "sink_msgs_per_sec": round(final_rows / wall, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _pin_self() -> None:
@@ -273,35 +360,46 @@ def _bench_full_crawl(spark) -> dict:
     }
 
 
-def _bench_steady_round(spark) -> dict:
+def _bench_steady_round(spark, seen_filter: str = "bloom", reps: int | None = None) -> dict:
     """Prepare a 300k-row frontier once, then best-of-N single fetch
     rounds, each on a fresh copy of the prepared workdir (identical
-    input per rep)."""
+    input per rep). ``seen_filter`` selects the seen-set arm (bloom or
+    cuckoo) — the workdir is prepared under the SAME arm (the checkpoint
+    config fingerprint includes it). A digest of the round's fetched docs
+    is recorded so the two arms' outputs can be asserted identical."""
+    import hashlib
+
     from spider_go_spark.plans.round_loop import CrawlConfig, CrawlEngine
     from spider_go_spark.sources.webgraph import make_seeds
 
+    reps = CRAWL_REPS if reps is None else reps
     base = tempfile.mkdtemp(prefix="bench-steady-")
     src = os.path.join(base, "src")
     try:
-        cfg = CrawlConfig(
-            workdir=src, n_urls=STEADY_N_URLS, n_hosts=STEADY_N_HOSTS,
-            num_shards=STEADY_SHARDS, max_rounds=2, default_budget=STEADY_BUDGET,
-        )
-        CrawlEngine(spark, cfg).inject_seeds(
-            make_seeds(spark, STEADY_SEEDS, STEADY_N_URLS, STEADY_N_HOSTS)
-        )
-        walls, best = [], None
-        for rep in range(CRAWL_REPS):
-            wd = os.path.join(base, f"run-{rep}")
-            shutil.copytree(src, wd)
-            cfg_r = CrawlConfig(
+        def cfg_for(wd: str) -> "CrawlConfig":
+            return CrawlConfig(
                 workdir=wd, n_urls=STEADY_N_URLS, n_hosts=STEADY_N_HOSTS,
                 num_shards=STEADY_SHARDS, max_rounds=2, default_budget=STEADY_BUDGET,
+                seen_filter=seen_filter,
             )
-            eng = CrawlEngine(spark, cfg_r)
+
+        CrawlEngine(spark, cfg_for(src)).inject_seeds(
+            make_seeds(spark, STEADY_SEEDS, STEADY_N_URLS, STEADY_N_HOSTS)
+        )
+        walls, best, digest = [], None, None
+        for rep in range(reps):
+            wd = os.path.join(base, f"run-{rep}")
+            shutil.copytree(src, wd)
+            eng = CrawlEngine(spark, cfg_for(wd))
             t0 = time.time()
             m = eng.run_round(1)
             wall = time.time() - t0
+            if digest is None:
+                rows = sorted(
+                    (r["round"], r["fetch_rank"], r["url_norm"], r["status"])
+                    for r in eng.fetched_docs.read().collect()
+                )
+                digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
             shutil.rmtree(wd, ignore_errors=True)
             walls.append(round(wall, 3))
             meta = {
@@ -314,13 +412,15 @@ def _bench_steady_round(spark) -> dict:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return {
+        "seen_filter": seen_filter,
         "n_urls_fetched": best["n_fetched"],
         "n_candidates_deduped": best["n_candidates"],
         "wall_sec": best["wall_sec"],
         "walls_sec": walls,
-        "reps": CRAWL_REPS,
+        "reps": reps,
         "phase_sec": best["phase_sec"],
         "urls_fetched_per_sec": round(best["n_fetched"] / best["wall_sec"], 2),
+        "fetched_digest": digest,
     }
 
 
@@ -436,9 +536,18 @@ def main() -> None:
     times["crawl_3_rounds"] = crawl["wall_sec"]
     steady = _bench_steady_round(spark)
     times["crawl_steady_round"] = steady["wall_sec"]
+    # cuckoo seen-set arm at the same scale: throughput + digest equality
+    # vs the Bloom arm (2 reps — the evidence is the arm, not the spread)
+    steady_cuckoo = _bench_steady_round(spark, seen_filter="cuckoo", reps=2)
+    times["crawl_steady_round_cuckoo"] = steady_cuckoo["wall_sec"]
+    steady_cuckoo["digest_equals_bloom"] = (
+        steady_cuckoo["fetched_digest"] == steady["fetched_digest"]
+    )
     tiered = _bench_tiered_scheduling(spark)
     flow = _bench_flow_dag(spark)
     times["flow_dag_interpret"] = flow["wall_sec"]
+    flow_stream = _bench_flow_stream(spark)
+    times["flow_dag_stream"] = flow_stream["wall_sec"]
 
     total = round(sum(times.values()), 3)
     out = {
@@ -451,8 +560,10 @@ def main() -> None:
         "crawl_reps": CRAWL_REPS,
         "crawl": crawl,
         "crawl_steady_round": steady,
+        "crawl_steady_round_cuckoo": steady_cuckoo,
         "tiered_scheduling": tiered,
         "flow_dag": flow,
+        "flow_dag_stream": flow_stream,
     }
     print(json.dumps(out))
 

@@ -38,6 +38,14 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this snapshot id first. The engine's
+    contract is one driver loop per table root (SURVEY §2.10); this error
+    ENFORCES it instead of assuming it — a stray second engine loses the
+    race cleanly (its staged data dirs are unreferenced and swept by
+    expiry) rather than silently overwriting a committed manifest."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     snapshot_id: int
@@ -132,12 +140,25 @@ class SnapshotTable:
             manifest["bucket_dirs"] = {str(k): v for k, v in sorted(bucket_dirs.items())}
         if bucket_rows is not None:
             manifest["bucket_rows"] = {str(k): v for k, v in sorted(bucket_rows.items())}
-        tmp = self._manifest_path(new_id) + ".tmp"
+        # manifest-epoch CAS: the commit point is os.link, which fails with
+        # EEXIST if vN already exists — so of two racing writers that both
+        # derived N from head N-1, exactly one wins; the loser raises
+        # instead of replacing the winner's manifest (os.rename would).
+        # The tmp name is writer-unique so racing stages never clobber.
+        tmp = f"{self._manifest_path(new_id)}.tmp-{os.getpid()}-{id(self):x}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, self._manifest_path(new_id))  # atomic commit point
+        try:
+            os.link(tmp, self._manifest_path(new_id))  # atomic commit point
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"snapshot {new_id} at {self.path} was committed by another "
+                "writer; this table root has a single-writer contract"
+            ) from None
+        os.remove(tmp)
         return Snapshot(new_id, data_dirs, row_count, properties or {}, bucket_dirs, bucket_rows)
 
     def _write_data(self, df: DataFrame, label: str, partition_by: str | None = None) -> tuple[str, int]:

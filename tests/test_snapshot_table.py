@@ -152,3 +152,36 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert {
         (r["k"], r["v"], r["w"]) for r in t2.read(old_snap).collect()
     } == {(1, "a", None), (2, "b", None)}
+
+
+def test_concurrent_commit_cas_single_winner(spark, tmp_path):
+    """Two table handles on one root: a writer committing against a stale
+    head must raise ConcurrentCommitError and leave the winner's manifest
+    untouched — the single-writer contract is enforced, not assumed."""
+    from unittest import mock
+
+    import pytest
+
+    from spider_go_spark.tables.snapshot import ConcurrentCommitError
+
+    cat = Catalog(spark, str(tmp_path))
+    t1 = cat.load("cas", SCHEMA)
+    t2 = cat.load("cas", SCHEMA)
+    t1.append(_df(spark, [(1, "a")]), "b1")  # v0
+
+    stale = t2._next_snapshot_id()  # both writers derive 1 from head 0
+    s1 = t1.append(_df(spark, [(2, "b")]), "b2")  # t1 wins v1
+    assert s1.snapshot_id == stale
+    with mock.patch.object(t2, "_next_snapshot_id", return_value=stale):
+        with pytest.raises(ConcurrentCommitError, match="single-writer"):
+            t2.append(_df(spark, [(9, "z")]), "intruder")
+
+    # winner's manifest intact; loser left no tmp and no new snapshot
+    assert t1.current_snapshot_id() == s1.snapshot_id
+    assert sorted(r.k for r in t1.read().collect()) == [1, 2]
+    mdir = os.path.join(t1.path, "_manifests")
+    assert all(".tmp" not in n for n in os.listdir(mdir))
+
+    # the losing handle recovers by recomputing the head
+    t2.append(_df(spark, [(3, "c")]), "b3")
+    assert sorted(r.k for r in t1.read().collect()) == [1, 2, 3]
