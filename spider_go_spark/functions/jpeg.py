@@ -2,10 +2,11 @@
 pure stdlib+numpy, deterministic integer arithmetic end to end.
 
 Scope (honest): baseline sequential DCT, 8-bit precision, 3-component
-YCbCr, 4:4:4 sampling (all sampling factors 1×1), standard JPEG Annex K
-Huffman + quantization tables with the classic IJG quality scaling.
-Progressive scans, subsampled chroma, arithmetic coding, 12-bit precision
-and grayscale fail loudly — a decoder that guesses is worse than none.
+YCbCr, 4:4:4 or 4:2:0 sampling (the dominant real-world layouts), standard
+JPEG Annex K Huffman + quantization tables with the classic IJG quality
+scaling. Progressive scans, other sampling layouts, arithmetic coding,
+12-bit precision and grayscale fail loudly — a decoder that guesses is
+worse than none.
 
 Everything here derives from public specs: ITU-T T.81 (the JPEG spec,
 incl. Annex K's example tables), the JFIF spec, and the widely published
@@ -423,69 +424,119 @@ def _to_blocks(plane):
     )
 
 
-def encode_jpeg(width: int, height: int, rgb, quality: int = 85) -> bytes:
+def _encode_block(bw: _BitWriter, f, q, dct, act, pred: int) -> int:
+    """Entropy-encode one quantized block (DC diff + AC run-length);
+    returns the new DC predictor."""
+    zz = [quantize(int(f.flat[ZIGZAG[i]]), q[ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    s, bits = _magnitude_bits(diff)
+    code, ln = dct[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(bits, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s, bits = _magnitude_bits(zz[i])
+        code, ln = act[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = act[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _pad_replicate(plane, ph: int, pw: int):
+    """Edge-replicate a (h, w) int64 plane up to (ph, pw)."""
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.int64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(width: int, height: int, rgb, quality: int = 85,
+                subsampling: str = "444") -> bytes:
     """Encode a (height, width, 3) RGB array as a real baseline JFIF JPEG:
-    integer YCbCr conversion, edge-replicated padding to 8×8 blocks,
-    integer fDCT, Annex-K-scaled quantization, canonical Huffman entropy
-    coding with byte stuffing. Deterministic: same input → same bytes."""
+    integer YCbCr conversion, edge-replicated padding, integer fDCT,
+    Annex-K-scaled quantization, canonical Huffman entropy coding with
+    byte stuffing. ``subsampling``: "444" (every component full-res, 1×1
+    MCUs) or "420" (chroma box-averaged 2×2 with round-half-up — the
+    dominant real-world layout; MCU = 4 Y blocks + Cb + Cr over a 16×16
+    tile). Deterministic: same input → same bytes."""
     import numpy as np
 
     rgb = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
     if width < 1 or height < 1 or width > 65535 or height > 65535:
         raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     ycc = rgb_to_ycbcr(rgb)
-    ph, pw = (height + 7) & ~7, (width + 7) & ~7
-    padded = np.empty((ph, pw, 3), dtype=np.int64)
-    padded[:height, :width] = ycc
-    padded[height:, :width] = ycc[height - 1 : height, :]  # replicate last row
-    padded[:, width:] = padded[:, width - 1 : width]  # replicate last col
-
     ql, qc = scaled_qtables(quality)
     dc_l = _canonical_codes(*HUFF_DC_LUMA)
     ac_l = _canonical_codes(*HUFF_AC_LUMA)
     dc_c = _canonical_codes(*HUFF_DC_CHROMA)
     ac_c = _canonical_codes(*HUFF_AC_CHROMA)
 
-    comp_coefs = []
-    for c in range(3):
-        blocks = _to_blocks(padded[:, :, c] - 128)
-        comp_coefs.append(_fdct_blocks(blocks))
+    if subsampling == "444":
+        samp = (0x11, 0x11, 0x11)
+        ph, pw = (height + 7) & ~7, (width + 7) & ~7
+        planes = [_pad_replicate(ycc[:, :, c], ph, pw) for c in range(3)]
+    else:
+        samp = (0x22, 0x11, 0x11)
+        ph, pw = (height + 15) & ~15, (width + 15) & ~15
+        y = _pad_replicate(ycc[:, :, 0], ph, pw)
+        # chroma box average 2×2 with round-half-up — integer, deterministic
+        sub = []
+        for c in (1, 2):
+            p = _pad_replicate(ycc[:, :, c], ph, pw)
+            q4 = p.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3))
+            sub.append((q4 + 2) >> 2)
+        planes = [y, sub[0], sub[1]]
+
+    comp_coefs = [_fdct_blocks(_to_blocks(p - 128)) for p in planes]
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    nbx, nby = pw // 8, ph // 8
-    for by in range(nby):
-        for bx in range(nbx):
-            for c in range(3):
-                q = ql if c == 0 else qc
-                dct, act = (dc_l, ac_l) if c == 0 else (dc_c, ac_c)
-                f = comp_coefs[c][by * nbx + bx]
-                zz = [quantize(int(f.flat[ZIGZAG[i]]), q[ZIGZAG[i]]) for i in range(64)]
-                diff = zz[0] - pred[c]
-                pred[c] = zz[0]
-                s, bits = _magnitude_bits(diff)
-                code, ln = dct[s]
-                bw.put(code, ln)
-                if s:
-                    bw.put(bits, s)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    s, bits = _magnitude_bits(zz[i])
-                    code, ln = act[(run << 4) | s]
-                    bw.put(code, ln)
-                    bw.put(bits, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = act[0x00]  # EOB
-                    bw.put(code, ln)
+    if subsampling == "444":
+        nbx, nby = pw // 8, ph // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                for c in range(3):
+                    q = ql if c == 0 else qc
+                    dct, act = (dc_l, ac_l) if c == 0 else (dc_c, ac_c)
+                    pred[c] = _encode_block(
+                        bw, comp_coefs[c][by * nbx + bx], q, dct, act, pred[c]
+                    )
+    else:
+        mcux, mcuy = pw // 16, ph // 16
+        ybw = pw // 8  # Y plane blocks per row
+        cbw = pw // 16  # chroma plane blocks per row
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(2):  # 4 Y blocks, raster within the MCU
+                    for vx in range(2):
+                        bi = (2 * my + vy) * ybw + (2 * mx + vx)
+                        pred[0] = _encode_block(
+                            bw, comp_coefs[0][bi], ql, dc_l, ac_l, pred[0]
+                        )
+                for c in (1, 2):
+                    bi = my * cbw + mx
+                    pred[c] = _encode_block(
+                        bw, comp_coefs[c][bi], qc, dc_c, ac_c, pred[c]
+                    )
     entropy = bw.flush()
 
     out = bytearray(b"\xFF\xD8")  # SOI
@@ -495,7 +546,7 @@ def encode_jpeg(width: int, height: int, rgb, quality: int = 85) -> bytes:
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zz_tbl
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack(">BBB", cid, 0x11, tq)  # 1×1 sampling
+        out += struct.pack(">BBB", cid, samp[cid - 1], tq)
     for tc_th, (bits, values) in (
         (0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA),
         (0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA),
@@ -521,8 +572,9 @@ def decode_jpeg_pixels(payload: bytes):
     RGB array: marker walk (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped),
     canonical Huffman entropy decode with byte unstuffing and restart
     handling, dequantize, vectorized integer IDCT, +128 level shift,
-    integer YCbCr→RGB, crop to the SOF dimensions. Only baseline 8-bit
-    3-component 4:4:4 is accepted; everything else fails loudly."""
+    nearest chroma upsampling for subsampled planes, integer YCbCr→RGB,
+    crop to the SOF dimensions. Only baseline 8-bit 3-component 4:4:4 or
+    4:2:0 is accepted; everything else fails loudly."""
     import numpy as np
 
     d = payload
@@ -569,11 +621,12 @@ def decode_jpeg_pixels(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        f"unsupported sampling factor 0x{samp:02X} (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            samps = tuple((hh, vv) for _, hh, vv, _ in comps)
+            if samps not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
+                raise ValueError(
+                    f"unsupported sampling layout {samps} (4:4:4 and 4:2:0 only)"
+                )
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type 0xFF{marker:02X} (baseline only)")
@@ -605,51 +658,65 @@ def decode_jpeg_pixels(payload: bytes):
         cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
         scan.append((cs, tables >> 4, tables & 15))
     w, h, comps = sof
-    by_id = {cid: tq for cid, tq in comps}
+    by_id = {cid: (hh, vv, tq) for cid, hh, vv, tq in comps}
+    hmax = max(hh for _, hh, _, _ in comps)
+    vmax = max(vv for _, _, vv, _ in comps)
     order = []
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError(f"scan references unknown component {cs}")
         if (0x00 | td) not in huff or (0x10 | ta) not in huff:
             raise ValueError(f"scan references missing Huffman table dc={td} ac={ta}")
-        if by_id[cs] not in qtables:
-            raise ValueError(f"component {cs} references missing DQT {by_id[cs]}")
-        order.append((huff[0x00 | td], huff[0x10 | ta], qtables[by_id[cs]]))
+        hh, vv, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError(f"component {cs} references missing DQT {tq}")
+        order.append((huff[0x00 | td], huff[0x10 | ta], qtables[tq], hh, vv))
 
     entropy_start = pos + seglen
     br = _BitReader(d, entropy_start)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    n_blocks = nbx * nby
-    coefs = np.zeros((3, n_blocks, 64), dtype=np.int64)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    # per-component coefficient planes sized in blocks
+    plane_bw = [mcux * hh for _, _, _, hh, _ in order]
+    plane_bh = [mcuy * vv for _, _, _, _, vv in order]
+    coefs = [
+        np.zeros((plane_bh[c] * plane_bw[c], 64), dtype=np.int64)
+        for c in range(3)
+    ]
     pred = [0, 0, 0]
     mcu = 0
     expected_rst = 0
-    while mcu < n_blocks:
+    while mcu < n_mcus:
+        my, mx = divmod(mcu, mcux)
         try:
-            for c, (dct, act, q) in enumerate(order):
-                s = dct.decode(br)
-                if s > 11:
-                    raise ValueError(f"invalid DC category {s}")
-                diff = _extend(br.bits(s), s)
-                pred[c] += diff
-                blk = coefs[c][mcu]
-                blk[0] = pred[c] * q[0]
-                k = 1
-                while k < 64:
-                    rs = act.decode(br)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    blk[ZIGZAG[k]] = _extend(br.bits(s), s) * q[ZIGZAG[k]]
-                    k += 1
+            for c, (dct, act, q, hh, vv) in enumerate(order):
+                for vy in range(vv):
+                    for vx in range(hh):
+                        s = dct.decode(br)
+                        if s > 11:
+                            raise ValueError(f"invalid DC category {s}")
+                        diff = _extend(br.bits(s), s)
+                        pred[c] += diff
+                        bi = (my * vv + vy) * plane_bw[c] + (mx * hh + vx)
+                        blk = coefs[c][bi]
+                        blk[0] = pred[c] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            blk[ZIGZAG[k]] = _extend(br.bits(s), s) * q[ZIGZAG[k]]
+                            k += 1
             mcu += 1
-            if restart_interval and mcu < n_blocks and mcu % restart_interval == 0:
+            if restart_interval and mcu < n_mcus and mcu % restart_interval == 0:
                 br.byte_align()
                 # consume the RSTn marker
                 p = br.pos
@@ -667,12 +734,19 @@ def decode_jpeg_pixels(payload: bytes):
             raise ValueError("unexpected restart marker (no DRI)") from None
 
     planes = []
-    for c in range(3):
-        spatial = _idct_blocks(coefs[c].reshape(n_blocks, 8, 8)) + 128
+    for c, (_, _, _, hh, vv) in enumerate(order):
+        bh, bw_ = plane_bh[c], plane_bw[c]
+        spatial = _idct_blocks(coefs[c].reshape(bh * bw_, 8, 8)) + 128
         plane = (
-            spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            spatial.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         )
-        planes.append(np.clip(plane, 0, 255))
+        plane = np.clip(plane, 0, 255)
+        # nearest (pixel-replication) chroma upsample back to full res
+        if vmax // vv > 1:
+            plane = np.repeat(plane, vmax // vv, axis=0)
+        if hmax // hh > 1:
+            plane = np.repeat(plane, hmax // hh, axis=1)
+        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
     ycc = np.stack(planes, axis=-1)[:h, :w]
     return ycbcr_to_rgb(ycc)
 

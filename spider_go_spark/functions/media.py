@@ -688,17 +688,42 @@ def decode_video_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def decode_image_pixels(payload: bytes) -> "np.ndarray":
+    """Dispatch a still image to its REAL decoder by container magic
+    (P6 PPM, BMP, PNG, baseline JPEG) and return top-down row-major
+    (h, w, 3) uint8 RGB pixels."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from spider_go_spark.functions.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
+    if payload[:2] == b"P6":
+        d = decode_ppm(payload)  # validates exactly w·h·3 trailing bytes
+        return np.frombuffer(
+            payload, dtype=np.uint8,
+            offset=len(payload) - d["width"] * d["height"] * 3,
+        ).reshape(d["height"], d["width"], 3)
+    raise ValueError(f"unrecognized image container (magic {payload[:4]!r})")
+
+
 def video_sample_stats(payload: bytes, every: int = 2) -> dict:
     """Frame-sampling stage of a video training pipeline: decode the
     container index, take every ``every``-th frame (0, k, 2k, …), decode
-    each sampled frame's pixels through the REAL BMP decoder, and return
-    integer-exact channel sums over the sampled frames —
+    each sampled frame's pixels through the REAL image decoder for its
+    container (BMP frames = the MJPEG-style fixture; JPEG frames = real
+    compressed video-adjacent payloads now that functions/jpeg exists),
+    and return integer-exact channel sums over the sampled frames —
     (n_frames, n_sampled, sum_r, sum_g, sum_b)."""
     frames = decode_video_frames(payload)
     sampled = frames[::every]
     sums = [0, 0, 0]
     for f in sampled:
-        rgb = decode_bmp_pixels(f).astype("int64")
+        rgb = decode_image_pixels(f).astype("int64")
         for c in range(3):
             sums[c] += int(rgb[:, :, c].sum())
     return {
@@ -821,7 +846,7 @@ def _canonical_decode(payload: bytes) -> tuple[str, bytes, dict]:
         }
     if payload[:4] == b"SGV1":
         frames = decode_video_frames(payload)
-        decoded = [decode_bmp_pixels(f) for f in frames]
+        decoded = [decode_image_pixels(f) for f in frames]
         first = decoded[0] if decoded else None
         return "video", b"".join(d.tobytes() for d in decoded), {
             "width": first.shape[1] if first is not None else None,

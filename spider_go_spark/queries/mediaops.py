@@ -679,6 +679,112 @@ FROM range({WAV_DOCS}) t(r)
 
 
 # --------------------------------------------------------------------------
+# REAL 4:2:0 JPEG decode gate: the same closed-form DC story as
+# media_jpeg_decode, but through the SUBSAMPLED bitstream layout — MCU =
+# 4 interleaved Y blocks + box-averaged Cb + Cr over a 16×16 tile, nearest
+# chroma upsampling on decode. MCU-constant input makes the chroma box
+# average exact ((4v+2)>>2 = v), so the per-MCU decoded value is the SAME
+# closed-form integer expression — any interleave-order, subsample or
+# upsample bug breaks the channel sums while the oracle stays analytic.
+# --------------------------------------------------------------------------
+
+JPEG420_DOCS = 200
+# rule: doc d is w=16·(1+d%2) × 16 (1 or 2 MCUs); MCU bi is constant RGB
+# ((d·7+bi·29)%256, (d·11+bi·31)%256, (d·13+bi·37)%256); quality 30+(d·7)%65
+
+
+def media_jpeg420_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.jpeg import encode_jpeg
+    from spider_go_spark.functions.media import real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 2), 16
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for bi in range(w // 16):
+                    img[:, bi * 16 : (bi + 1) * 16] = (
+                        (d * 7 + bi * 29) % 256,
+                        (d * 11 + bi * 31) % 256,
+                        (d * 13 + bi * 37) % 256,
+                    )
+                payload = encode_jpeg(
+                    w, h, img, quality=30 + (d * 7) % 65, subsampling="420"
+                )
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(JPEG420_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(JPEG_STATS_DDL)
+    )
+
+
+MEDIA_JPEG420_SQL = f"""
+WITH docs AS (
+  SELECT r AS d, 16*(1 + r % 2) AS w, 16 AS h, 30 + (r*7) % 65 AS qq
+  FROM range({JPEG420_DOCS}) t(r)
+), scaled AS (
+  SELECT *, CASE WHEN qq < 50 THEN 5000 // qq ELSE 200 - 2*qq END AS sc
+  FROM docs
+), qtabs AS (
+  SELECT *, least(255, greatest(1, (16*sc + 50) // 100)) AS qy,
+            least(255, greatest(1, (17*sc + 50) // 100)) AS qc
+  FROM scaled
+), blocks AS (
+  SELECT qtabs.*, bi FROM qtabs, range(2) tb(bi) WHERE bi < w//16
+), rgb AS (
+  SELECT *, (d*7 + bi*29) % 256 AS r0, (d*11 + bi*31) % 256 AS g0,
+            (d*13 + bi*37) % 256 AS b0
+  FROM blocks
+), ycc AS (
+  SELECT *,
+    (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS yy,
+    ((-11059)*r0 + (-21709)*g0 + 32768*b0 + 8421376) // 65536 AS cb,
+    (32768*r0 + (-27439)*g0 + (-5329)*b0 + 8421376) // 65536 AS cr
+  FROM rgb
+), f00 AS (
+  SELECT *,
+    {_fdiv('(yy-128)*2147766336 + 134217728', 268435456)} AS fy,
+    {_fdiv('(cb-128)*2147766336 + 134217728', 268435456)} AS fcb,
+    {_fdiv('(cr-128)*2147766336 + 134217728', 268435456)} AS fcr
+  FROM ycc
+), deq AS (
+  SELECT *, {_rha('fy', 'qy')} * qy AS dfy,
+            {_rha('fcb', 'qc')} * qc AS dfcb,
+            {_rha('fcr', 'qc')} * qc AS dfcr
+  FROM f00
+), rec AS (
+  SELECT *,
+    least(255, greatest(0, {_fdiv('dfy*33558849 + 134217728', 268435456)} + 128)) AS ry,
+    least(255, greatest(0, {_fdiv('dfcb*33558849 + 134217728', 268435456)} + 128)) AS rcb,
+    least(255, greatest(0, {_fdiv('dfcr*33558849 + 134217728', 268435456)} + 128)) AS rcr
+  FROM deq
+), px AS (
+  SELECT *,
+    least(255, greatest(0, ry + {_fdiv('91881*(rcr-128) + 32768', 65536)})) AS rr,
+    least(255, greatest(0, ry - {_fdiv('22554*(rcb-128) + 46802*(rcr-128) + 32768', 65536)})) AS gg,
+    least(255, greatest(0, ry + {_fdiv('116130*(rcb-128) + 32768', 65536)})) AS bb
+  FROM rec
+)
+SELECT d AS doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+       (max(w)*max(h))::BIGINT AS n_pixels,
+       sum(256*rr)::BIGINT AS sum_r, sum(256*gg)::BIGINT AS sum_g,
+       sum(256*bb)::BIGINT AS sum_b
+FROM px GROUP BY d
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL IMA ADPCM decode gate: compressed-audio WAVs (format tag 0x0011)
 # synthesized from the same deterministic sample rule as the PCM gate,
 # 4-bit-quantized through the genuine step-table encoder, then decoded by
@@ -1277,6 +1383,7 @@ QUERIES = {
     "media_png_decode": media_png_decode,
     "media_jpeg_decode": media_jpeg_decode,
     "media_adpcm_decode": media_adpcm_decode,
+    "media_jpeg420_decode": media_jpeg420_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_resize_stats": image_resize_stats,
@@ -1297,6 +1404,7 @@ ORACLES = {
     "media_png_decode": MEDIA_PNG_SQL,
     "media_jpeg_decode": MEDIA_JPEG_SQL,
     "media_adpcm_decode": MEDIA_ADPCM_SQL,
+    "media_jpeg420_decode": MEDIA_JPEG420_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,

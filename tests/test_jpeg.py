@@ -103,6 +103,41 @@ def test_roundtrip_error_bounded():
     assert np.abs(out.astype(int) - noise.astype(int)).max() <= 48
 
 
+def test_420_subsampled_roundtrip():
+    # smooth image: 4:2:0 decode error stays small; output is smaller than
+    # 4:4:4 of the same content; odd dims pad/crop through the 16-grid
+    xx, yy = np.meshgrid(np.arange(37), np.arange(29))
+    smooth = np.stack(
+        [(xx * 3 + yy * 2) % 200 + 20, (xx + yy) % 180 + 40, (xx * 2) % 150 + 50],
+        axis=-1,
+    ).astype(np.uint8)
+    p420 = encode_jpeg(37, 29, smooth, quality=92, subsampling="420")
+    out = decode_jpeg_pixels(p420)
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 12
+    assert len(p420) < len(encode_jpeg(37, 29, smooth, quality=92))
+    # the SOF advertises the subsampled layout
+    sof = p420.find(b"\xFF\xC0")
+    assert p420[sof + 11] == 0x22 and p420[sof + 14] == 0x11
+
+    # MCU-constant input decodes exactly uniform through the interleaved
+    # 4-Y+Cb+Cr stream: box average of a constant is exact, so the decoded
+    # value is the same closed-form DC expression as the 4:4:4 gate
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16] = (37, 180, 99)
+    img[:, 16:] = (200, 40, 10)
+    o = decode_jpeg_pixels(encode_jpeg(32, 16, img, quality=60, subsampling="420"))
+    for mx, rgb in ((0, (37, 180, 99)), (1, (200, 40, 10))):
+        blk = o[:, mx * 16 : (mx + 1) * 16]
+        uniq = np.unique(blk.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1
+        expect = np.array(_analytic_block_rgb(*rgb, 60))
+        assert (uniq[0] == expect).all()
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(8, 8, img[:8, :8], subsampling="422")
+
+
 def test_determinism_and_magic():
     img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     p1 = encode_jpeg(8, 8, img, quality=80)
@@ -148,14 +183,34 @@ def test_malformed_inputs_fail_loudly():
         decode_jpeg_pixels(good[:40])  # truncated mid-segment
     with pytest.raises(ValueError):
         decode_jpeg_pixels(good[:-30])  # truncated entropy stream
-    # corrupt the SOF sampling byte -> subsampling rejection
+    # corrupt the SOF sampling byte -> unsupported-layout rejection
+    # (0x22 on Y alone is legal 4:2:0; 0x33 is not a supported layout)
     sof = good.find(b"\xFF\xC0")
     bad = bytearray(good)
-    bad[sof + 11] = 0x22  # Y component sampling 2x2
+    bad[sof + 11] = 0x33  # Y component sampling 3x3
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_pixels(bytes(bad))
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg(8, 8, img, quality=0)
+
+
+def test_video_container_with_jpeg_frames():
+    # MJPEG for real: SGV1 container holding baseline JPEG frames — the
+    # sampling walk decodes genuinely compressed frames via the dispatcher
+    from spider_go_spark.functions.media import encode_video, video_sample_stats
+
+    frames, expect = [], [0, 0, 0]
+    for k in range(5):
+        img = np.full((16, 16, 3), 40 + 30 * k, dtype=np.uint8)
+        p = encode_jpeg(16, 16, img, quality=80, subsampling="420" if k % 2 else "444")
+        frames.append(p)
+        if k % 2 == 0:  # every=2 samples frames 0, 2, 4
+            rgb = decode_jpeg_pixels(p).astype(int)
+            for c in range(3):
+                expect[c] += int(rgb[:, :, c].sum())
+    stats = video_sample_stats(encode_video(frames), every=2)
+    assert stats["n_frames"] == 5 and stats["n_sampled"] == 3
+    assert [stats["sum_r"], stats["sum_g"], stats["sum_b"]] == expect
 
 
 def test_restart_marker_decode():
