@@ -735,6 +735,133 @@ def video_sample_stats(payload: bytes, every: int = 2) -> dict:
     }
 
 
+def encode_avi_mjpeg(width: int, height: int, fps: int, jpeg_frames: list[bytes]) -> bytes:
+    """Write a REAL RIFF AVI container with an MJPEG video stream: the
+    standard header chain (``avih`` MainAVIHeader → ``strl`` list with a
+    ``vids``/``MJPG`` ``strh`` + BITMAPINFOHEADER ``strf``), the ``movi``
+    list of word-aligned ``00dc`` frame chunks (each a complete baseline
+    JPEG from functions/jpeg.py), and the ``idx1`` index. Every structure
+    is what a stock AVI/MJPEG reader expects — this replaces the SGV1 toy
+    container as the video story's real-container arm."""
+    import struct
+
+    for k, f in enumerate(jpeg_frames):
+        if f[:2] != b"\xFF\xD8":
+            raise ValueError(f"frame {k} is not a JPEG (MJPEG stream required)")
+    n = len(jpeg_frames)
+    max_size = max((len(f) for f in jpeg_frames), default=0)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        0, 0, 0x10,  # max bytes/sec, padding, flags (AVIF_HASINDEX)
+        n, 0, 1, max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, max(fps, 1), 0, n,
+        max_size, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    offsets = []
+    for f in jpeg_frames:
+        offsets.append(4 + len(movi_body))  # offset from 'movi' fourcc
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        for off, f in zip(offsets, jpeg_frames)
+    )
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """REAL byte-level AVI parse: validate the RIFF/AVI magic, walk the
+    top-level chunk list, read ``avih`` (frame count, dimensions), require
+    an MJPEG ``vids`` stream, and collect the ``movi`` list's ``00dc``
+    frame payloads (word-aligned). Returns ({width, height, n_frames,
+    us_per_frame}, [jpeg bytes]). Anything the parser cannot prove it
+    understands fails loudly."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF/AVI (magic {payload[:4]!r}/{payload[8:12]!r})")
+
+    avih = None
+    handler = None
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal avih, handler
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r} at byte {pos}")
+            if cid == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    walk(data, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                a = struct.unpack("<IIIIIIIIIIIIII", data[body_start : body_start + 56])
+                avih = {"us_per_frame": a[0], "n_frames": a[4],
+                        "width": a[8], "height": a[9]}
+            elif cid == b"strh":
+                fcc_type = data[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    handler = data[body_start + 4 : body_start + 8]
+            elif cid == b"00dc":
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # word alignment
+
+    walk(payload, 12, len(payload))
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    if handler != b"MJPG":
+        raise ValueError(f"unsupported AVI video handler {handler!r} (MJPG only)")
+    if len(frames) != avih["n_frames"]:
+        raise ValueError(
+            f"AVI frame count mismatch: avih promises {avih['n_frames']}, "
+            f"movi holds {len(frames)}"
+        )
+    return avih, frames
+
+
+def avi_sample_stats(payload: bytes, every: int = 2) -> dict:
+    """The frame-sampling pipeline stage over a REAL AVI/MJPEG container:
+    parse the RIFF structure, sample every ``every``-th frame, decode each
+    through the real JPEG decoder, return integer-exact channel sums."""
+    meta, frames = decode_avi_frames(payload)
+    sampled = frames[::every]
+    sums = [0, 0, 0]
+    for f in sampled:
+        rgb = decode_image_pixels(f).astype("int64")
+        for c in range(3):
+            sums[c] += int(rgb[:, :, c].sum())
+    return {
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_frames": meta["n_frames"],
+        "n_sampled": len(sampled),
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real codec dispatch by container magic: binary P6 PPM, uncompressed
     24-bit BMP, 8-bit truecolor PNG (deflate + all five scanline filters,
@@ -755,6 +882,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
         from spider_go_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi_sample_stats(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(

@@ -785,6 +785,118 @@ FROM px GROUP BY d
 
 
 # --------------------------------------------------------------------------
+# REAL AVI/MJPEG decode gate: genuine RIFF AVI containers (avih → strl
+# with a vids/MJPG stream → movi 00dc chunks → idx1) holding real baseline
+# JPEG frames. The sampler walks the real container, decodes every 2nd
+# frame through the real Huffman+IDCT pipeline; constant frames keep the
+# decoded value closed-form, so the oracle recomputes the sums
+# analytically while the bytes exercise RIFF list nesting, word alignment
+# and the full JPEG stack per frame.
+# --------------------------------------------------------------------------
+
+AVI_DOCS = 150
+# rule: doc d is an AVI of f = 1 + d%4 16×16 frames; frame k is constant
+# RGB ((d*7+k*29)%256, (d*11+k*31)%256, (d*13+k*37)%256); quality
+# 30 + (d*7)%65; the sampler takes frames 0, 2, ...
+
+
+def media_avi_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.jpeg import encode_jpeg
+    from spider_go_spark.functions.media import encode_avi_mjpeg, real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                f = 1 + d % 4
+                q = 30 + (d * 7) % 65
+                frames = []
+                for k in range(f):
+                    img = np.zeros((16, 16, 3), dtype=np.uint8)
+                    img[:] = (
+                        (d * 7 + k * 29) % 256,
+                        (d * 11 + k * 31) % 256,
+                        (d * 13 + k * 37) % 256,
+                    )
+                    frames.append(encode_jpeg(16, 16, img, quality=q))
+                payload = encode_avi_mjpeg(16, 16, 10, frames)
+                stats = real_decode(payload, "video")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(AVI_DOCS).repartition(8).mapInPandas(
+        gen_and_decode,
+        T_._parse_datatype_string(
+            "doc_id bigint, width int, height int, n_frames int, "
+            "n_sampled int, sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
+    )
+
+
+MEDIA_AVI_SQL = f"""
+WITH docs AS (
+  SELECT r AS d, 1 + r % 4 AS f, 30 + (r*7) % 65 AS qq
+  FROM range({AVI_DOCS}) t(r)
+), scaled AS (
+  SELECT *, CASE WHEN qq < 50 THEN 5000 // qq ELSE 200 - 2*qq END AS sc
+  FROM docs
+), qtabs AS (
+  SELECT *, least(255, greatest(1, (16*sc + 50) // 100)) AS qy,
+            least(255, greatest(1, (17*sc + 50) // 100)) AS qc
+  FROM scaled
+), frames AS (
+  SELECT qtabs.*, k FROM qtabs, range(4) tk(k) WHERE k < f AND k % 2 = 0
+), rgb AS (
+  SELECT *, (d*7 + k*29) % 256 AS r0, (d*11 + k*31) % 256 AS g0,
+            (d*13 + k*37) % 256 AS b0
+  FROM frames
+), ycc AS (
+  SELECT *,
+    (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS yy,
+    ((-11059)*r0 + (-21709)*g0 + 32768*b0 + 8421376) // 65536 AS cb,
+    (32768*r0 + (-27439)*g0 + (-5329)*b0 + 8421376) // 65536 AS cr
+  FROM rgb
+), f00 AS (
+  SELECT *,
+    {_fdiv('(yy-128)*2147766336 + 134217728', 268435456)} AS fy,
+    {_fdiv('(cb-128)*2147766336 + 134217728', 268435456)} AS fcb,
+    {_fdiv('(cr-128)*2147766336 + 134217728', 268435456)} AS fcr
+  FROM ycc
+), deq AS (
+  SELECT *, {_rha('fy', 'qy')} * qy AS dfy,
+            {_rha('fcb', 'qc')} * qc AS dfcb,
+            {_rha('fcr', 'qc')} * qc AS dfcr
+  FROM f00
+), rec AS (
+  SELECT *,
+    least(255, greatest(0, {_fdiv('dfy*33558849 + 134217728', 268435456)} + 128)) AS ry,
+    least(255, greatest(0, {_fdiv('dfcb*33558849 + 134217728', 268435456)} + 128)) AS rcb,
+    least(255, greatest(0, {_fdiv('dfcr*33558849 + 134217728', 268435456)} + 128)) AS rcr
+  FROM deq
+), px AS (
+  SELECT *,
+    least(255, greatest(0, ry + {_fdiv('91881*(rcr-128) + 32768', 65536)})) AS rr,
+    least(255, greatest(0, ry - {_fdiv('22554*(rcb-128) + 46802*(rcr-128) + 32768', 65536)})) AS gg,
+    least(255, greatest(0, ry + {_fdiv('116130*(rcb-128) + 32768', 65536)})) AS bb
+  FROM rec
+)
+SELECT d AS doc_id, 16 AS width, 16 AS height, max(f)::INTEGER AS n_frames,
+       ((max(f) + 1) // 2)::INTEGER AS n_sampled,
+       sum(256*rr)::BIGINT AS sum_r, sum(256*gg)::BIGINT AS sum_g,
+       sum(256*bb)::BIGINT AS sum_b
+FROM px GROUP BY d
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL IMA ADPCM decode gate: compressed-audio WAVs (format tag 0x0011)
 # synthesized from the same deterministic sample rule as the PCM gate,
 # 4-bit-quantized through the genuine step-table encoder, then decoded by
@@ -1384,6 +1496,7 @@ QUERIES = {
     "media_jpeg_decode": media_jpeg_decode,
     "media_adpcm_decode": media_adpcm_decode,
     "media_jpeg420_decode": media_jpeg420_decode,
+    "media_avi_decode": media_avi_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_resize_stats": image_resize_stats,
@@ -1405,6 +1518,7 @@ ORACLES = {
     "media_jpeg_decode": MEDIA_JPEG_SQL,
     "media_adpcm_decode": MEDIA_ADPCM_SQL,
     "media_jpeg420_decode": MEDIA_JPEG420_SQL,
+    "media_avi_decode": MEDIA_AVI_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,

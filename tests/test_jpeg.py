@@ -213,6 +213,52 @@ def test_video_container_with_jpeg_frames():
     assert [stats["sum_r"], stats["sum_g"], stats["sum_b"]] == expect
 
 
+def test_avi_mjpeg_container():
+    import struct
+
+    from spider_go_spark.functions.media import (
+        avi_sample_stats,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = []
+    for k in range(4):
+        img = np.full((16, 16, 3), 50 + 40 * k, dtype=np.uint8)
+        frames.append(encode_jpeg(16, 16, img, quality=75))
+    avi = encode_avi_mjpeg(16, 16, 12, frames)
+    meta, back = decode_avi_frames(avi)
+    assert back == frames  # byte-exact frame roundtrip through movi chunks
+    assert meta == {"us_per_frame": 83333, "n_frames": 4, "width": 16, "height": 16}
+    stats = avi_sample_stats(avi, every=2)
+    expect = [0, 0, 0]
+    for f in frames[::2]:
+        rgb = decode_jpeg_pixels(f).astype(int)
+        for c in range(3):
+            expect[c] += int(rgb[:, :, c].sum())
+    assert [stats["sum_r"], stats["sum_g"], stats["sum_b"]] == expect
+
+    # word alignment: an odd-sized frame chunk gets a pad byte that must
+    # not leak into the payload or derail the following chunk
+    oddf = b"\xFF\xD8" + b"x" * 7  # 9 bytes (container-level check only)
+    _, back_odd = decode_avi_frames(encode_avi_mjpeg(16, 16, 10, [oddf, frames[1]]))
+    assert back_odd == [oddf, frames[1]]
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="MJPG only"):
+        bad = bytearray(avi)
+        i = avi.index(b"strh") + 8 + 4
+        bad[i : i + 4] = b"H264"
+        decode_avi_frames(bytes(bad))
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        i = avi.index(b"avih") + 8
+        bad = avi[: i + 16] + struct.pack("<I", 9) + avi[i + 20 :]
+        decode_avi_frames(bad)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        encode_avi_mjpeg(8, 8, 10, [b"BMnot-a-jpeg"])
+
+
 def test_restart_marker_decode():
     # hand-assemble a DRI/RST stream: re-encode a 2-block-wide image, then
     # splice restart markers by re-running the encoder's entropy stage per
