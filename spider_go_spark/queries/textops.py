@@ -384,27 +384,14 @@ SELECT doc_id_a, doc_id_b, n_a, n_inter, containment_pm FROM (
 
 # --------------------------------------------------------------------------
 def minhash_signature_df(h: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, sig) — same integers as textkernel.minhash_signature, computed
-    as explode + a (doc, perm)-keyed min agg + ordered array re-assembly
-    instead of 16 interpreted HOF folds (HOF lambdas run outside codegen —
-    the fold form dominated minhash gate cost at sf0.01). Integer mins are
-    order-independent → bit-identical to the fold form on any partitioning.
-    Scale shape: two content-keyed shuffles sized corpus×16 — standard,
-    AQE-splittable. Callers must pre-filter empty hash sets (as both
-    existing call sites already do)."""
-    e = h.select(id_col, F.explode("hashes").alias("h"))
-    ei = e.select(
-        id_col, "h",
-        F.explode(F.sequence(F.lit(0), F.lit(tk.MINHASH_K - 1))).alias("i"),
-    )
-    m = ei.groupBy(id_col, "i").agg(
-        F.min(F.expr(f"((2*i + 1)*h + 10007*i + 3) % {tk.POLY_P}")).alias("s")
-    )
-    return (
-        m.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ps"))
-        .select(id_col, F.transform("ps", lambda p: p["s"]).alias("sig"))
-    )
+    """(id, sig) via the HOF fold form (textkernel.minhash_signature) —
+    measured FASTER warm than the Arrow kernel at sf0.1 (0.4 s vs 0.8 s:
+    16 cheap folds beat per-row list serialization into pandas; contrast
+    SimHash, whose 30 bit-matrix folds lose to Arrow 2× — see
+    functions/arrowkernels). Map-only either way — no shuffle at 10^10
+    docs; an explode+agg formulation was tried and rejected (corpus×16
+    shuffle, +60% at sf0.1)."""
+    return h.select(id_col, tk.minhash_signature(F.col("hashes")).alias("sig"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -460,30 +447,12 @@ GROUP BY 1, 2
 
 # --------------------------------------------------------------------------
 def _simhash_df(h: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — same integers as textkernel.simhash, computed as
-    explode + two hash aggregations instead of 30 interpreted HOF folds
-    (Spark evaluates higher-order lambdas outside codegen; the fold form
-    cost ~10 s at sf0.01). Integer majority votes are order-independent, so
-    this stays bit-identical to the fold form and to the SQL oracle on any
-    partitioning. Scale shape: two content-keyed shuffles sized corpus×30 —
-    the standard shape, AQE-splittable; no-shingle docs rejoin with
-    simhash 0 (the fold form's value for an empty array)."""
-    e = h.select("doc_id", F.explode("hashes").alias("h"))
-    ej = e.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(tk.SIMHASH_BITS - 1))).alias("j"),
-    )
-    votes = ej.groupBy("doc_id", "j").agg(
-        F.sum(F.expr("2 * (shiftright(h, j) % 2) - 1")).alias("v")
-    )
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
-    return h.select("doc_id").join(sim, "doc_id", "left").select(
-        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
-    )
+    """(doc_id, simhash) — same integers as textkernel.simhash, computed in
+    the Arrow-batched kernel (functions/arrowkernels.simhash_arrow; see
+    that module for the map-only-vs-HOF rationale)."""
+    from spider_go_spark.functions.arrowkernels import simhash_arrow
+
+    return h.select("doc_id", simhash_arrow("hashes").alias("simhash"))
 
 
 def simhash_values(spark: SparkSession, sf: str) -> DataFrame:
