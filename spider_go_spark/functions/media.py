@@ -384,6 +384,52 @@ def ahash_bits(rgb: "np.ndarray", grid: int = 8) -> str:
     return "".join("1" if int(v) > mean else "0" for v in flat.tolist())
 
 
+_PHASH_SHIFT = 26  # Q13 basis × Q13 basis → >>26 returns pixel scale
+
+
+def _phash_basis():
+    """8×32 integer DCT-II basis: M[u][x] = round(2^13·C(u)·cos((2x+1)uπ/64)),
+    C(0)=1/√2 — only the 8 lowest-frequency rows, which is all pHash keeps."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 32), dtype=np.int64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(32):
+            m[u, x] = int(round((1 << 13) * cu * math.cos((2 * x + 1) * u * math.pi / 64.0)))
+    return m
+
+
+_PHASH_M = None
+
+
+def phash_bits(rgb: "np.ndarray") -> str:
+    """Perceptual DCT hash (pHash) of a decoded RGB image, as a 64-char
+    '0'/'1' string: integer grayscale ((r+g+b)//3), nearest-neighbor
+    resize to 32×32 (the shared floor-index mapping of
+    :func:`resize_nearest`), 8×8 low-frequency block of an INTEGER 32-point
+    DCT (Q13 basis, single floor shift — the same fixed-point discipline as
+    functions/jpeg.py), bit = coefficient > lower-median of the 63 non-DC
+    coefficients. All-integer end to end, so the hash is bit-reproducible
+    across engines. Far more robust than aHash to re-encoding, mild noise
+    and global brightness structure — the industry-standard perceptual
+    dedup key; compare with Hamming distance (exact-collision bucketing
+    works for re-encodes, as with aHash)."""
+    import numpy as np
+
+    global _PHASH_M
+    if _PHASH_M is None:
+        _PHASH_M = _phash_basis()
+    gray = rgb.astype(np.int64).sum(axis=2) // 3
+    g32 = resize_nearest(gray[:, :, None], 32, 32)[:, :, 0]
+    f = (_PHASH_M @ g32 @ _PHASH_M.T) >> _PHASH_SHIFT  # floor shift, Q0
+    flat = f.reshape(-1)
+    med = int(np.sort(flat[1:])[31])  # lower median of the 63 non-DC coefs
+    return "".join("1" if int(v) > med else "0" for v in flat.tolist())
+
+
 def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     """Write a canonical RIFF/WAVE file: PCM (format 1), mono, 16-bit
     little-endian samples."""

@@ -1088,6 +1088,109 @@ FROM bits GROUP BY ahash ORDER BY ahash
 
 
 # --------------------------------------------------------------------------
+# Perceptual DCT-hash (pHash) dedup over REAL decoded bytes: the
+# industry-standard perceptual key (robust to re-encoding across codecs
+# and quality levels — tests pin BMP≡JPEG-q60≡JPEG-420 collisions).
+# Same pattern-rule corpus as the aHash gate; the oracle recomputes the
+# ENTIRE integer pipeline in SQL: grayscale → nearest 32×32 resize (each
+# source pixel repeats 2×2, folded into a precomputed 8×16 paired-basis
+# table M2[u][xs] = M[u][2xs]+M[u][2xs+1]) → 8×8 low-frequency integer DCT
+# (floor shift ≫26) → lower-median threshold → 64-bit string.
+# --------------------------------------------------------------------------
+
+
+def image_phash_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual DCT-hash image dedup: encode → REAL byte decode →
+    integer pHash (functions/media.phash_bits) → hash-groupBy. Same scale
+    shape as the aHash gate (one Arrow map stage + one hash agg); the
+    stronger perceptual key of the two — DCT low-frequency structure
+    survives re-encoding where block means drift."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.media import (
+        decode_bmp_pixels,
+        encode_bmp,
+        phash_bits,
+    )
+
+    n_px = AHASH_W * AHASH_W * 3
+
+    def gen_hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        j = np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                p = d % AHASH_PATTERNS
+                payload = encode_bmp(
+                    AHASH_W, AHASH_W, ((p * 37 + j * j * 11 + j * 7) % 256).astype(np.uint8)
+                )
+                rows.append({"doc_id": d, "phash": phash_bits(decode_bmp_pixels(payload))})
+            yield pd.DataFrame(rows)
+
+    hashed = (
+        spark.range(AHASH_DOCS)
+        .repartition(8)
+        .mapInPandas(gen_hash, "doc_id bigint, phash string")
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("phash")
+    )
+
+
+def _phash_oracle_sql() -> str:
+    from spider_go_spark.functions.media import _phash_basis
+
+    m = _phash_basis()
+    m2_rows = ",".join(
+        f"({u},{k},{int(m[u, 2 * k] + m[u, 2 * k + 1])})"
+        for u in range(8)
+        for k in range(16)
+    )
+    return f"""
+WITH m2(u, k, val) AS (VALUES {m2_rows}),
+px AS (
+  SELECT p, i % {AHASH_W} AS xs, i // {AHASH_W} AS ys,
+         (((p*37 + (3*i)*(3*i)*11 + (3*i)*7) % 256)
+        + ((p*37 + (3*i+1)*(3*i+1)*11 + (3*i+1)*7) % 256)
+        + ((p*37 + (3*i+2)*(3*i+2)*11 + (3*i+2)*7) % 256)) // 3 AS gray
+  FROM range({AHASH_PATTERNS}) t(p), range({AHASH_W * AHASH_W}) s(i)
+), coef AS (
+  SELECT px.p, a.u AS u, b.u AS v,
+         sum(px.gray * a.val * b.val) AS s
+  FROM px
+  JOIN m2 a ON a.k = px.ys  -- u rides the row (y) axis, as in M·g32·Mᵀ
+  JOIN m2 b ON b.k = px.xs
+  GROUP BY px.p, a.u, b.u
+), fq AS (
+  SELECT p, u, v, {_fdiv('s', 1 << 26)} AS f FROM coef
+), med AS (
+  SELECT p, (list_sort(list(f)))[32] AS med
+  FROM fq WHERE NOT (u = 0 AND v = 0) GROUP BY p
+), bits AS (
+  SELECT fq.p,
+         string_agg(CASE WHEN f > med THEN '1' ELSE '0' END, ''
+                    ORDER BY u, v) AS phash
+  FROM fq JOIN med ON fq.p = med.p GROUP BY fq.p
+)
+SELECT phash, sum({AHASH_DOCS // AHASH_PATTERNS})::BIGINT AS n_docs,
+       min(p)::BIGINT AS first_doc
+FROM bits GROUP BY phash ORDER BY phash
+"""
+
+
+MEDIA_PHASH_SQL = _phash_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Image resize gate: variable-size PNGs (through the REAL codec: DEFLATE +
 # rotated scanline filters) decoded and nearest-neighbor downsampled to a
 # fixed thumbnail grid (functions/media.resize_nearest) — the
@@ -1499,6 +1602,7 @@ QUERIES = {
     "media_avi_decode": media_avi_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
+    "image_phash_groups": image_phash_groups,
     "image_resize_stats": image_resize_stats,
     "audio_fingerprint_groups": audio_fingerprint_groups,
     "assemble_text_synth": assemble_text_synth,
@@ -1521,6 +1625,7 @@ ORACLES = {
     "media_avi_decode": MEDIA_AVI_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
+    "image_phash_groups": MEDIA_PHASH_SQL,
     "image_resize_stats": IMAGE_RESIZE_SQL,
     "audio_fingerprint_groups": AUDIO_FP_SQL,
     "assemble_text_synth": ASSEMBLE_TEXT_SQL,

@@ -174,6 +174,39 @@ def test_ahash_groups_reencodes():
     assert sum(a != b for a, b in zip(h1, h2)) <= 6
 
 
+def test_phash_cross_codec_collisions():
+    from spider_go_spark.functions.media import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        encode_bmp,
+        encode_png,
+        phash_bits,
+    )
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    img = np.where((xx[..., None] < 16) ^ (yy[..., None] < 16),
+                   40 + (xx[..., None] % 8), 210 - (yy[..., None] % 8)).astype(np.uint8)
+    img = np.broadcast_to(img, (32, 32, 3)).copy()
+    # the SAME image through four container/codec paths — lossless AND
+    # lossy at two qualities and two sampling layouts — lands in ONE
+    # perceptual bucket; that cross-codec collision is what pHash is for
+    hashes = {
+        phash_bits(decode_bmp_pixels(encode_bmp(32, 32, img.reshape(-1)))),
+        phash_bits(decode_png_pixels(encode_png(32, 32, img))),
+        phash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, img, quality=60))),
+        phash_bits(decode_jpeg_pixels(encode_jpeg(32, 32, img, quality=95, subsampling="420"))),
+    }
+    assert len(hashes) == 1
+    assert len(next(iter(hashes))) == 64
+    # structurally different content separates
+    assert phash_bits(255 - img) not in hashes
+    # global brightness shift flips few DCT-structure bits (AC coefficients
+    # are shift-invariant; only the DC bit and median ties can move)
+    shifted = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    h0, h1 = next(iter(hashes)), phash_bits(shifted)
+    assert sum(a != b for a, b in zip(h0, h1)) <= 4
+
+
 def test_malformed_inputs_fail_loudly():
     img = np.full((8, 8, 3), 90, dtype=np.uint8)
     good = encode_jpeg(8, 8, img, quality=85)
