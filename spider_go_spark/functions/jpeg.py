@@ -562,6 +562,43 @@ def encode_jpeg(width: int, height: int, rgb, quality: int = 85,
     return bytes(out)
 
 
+def encode_jpeg_gray(width: int, height: int, gray, quality: int = 85) -> bytes:
+    """Encode a (height, width) 8-bit grayscale array as a real baseline
+    single-component JFIF JPEG (luma tables only, 1×1 sampling) — the
+    common web layout for scanned/monochrome content. Deterministic."""
+    import numpy as np
+
+    gray = np.asarray(gray, dtype=np.uint8).reshape(height, width)
+    if width < 1 or height < 1 or width > 65535 or height > 65535:
+        raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    ql, _ = scaled_qtables(quality)
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    ph, pw = (height + 7) & ~7, (width + 7) & ~7
+    plane = _pad_replicate(gray.astype(np.int64), ph, pw)
+    coefs = _fdct_blocks(_to_blocks(plane - 128))
+
+    bw = _BitWriter()
+    pred = 0
+    for bi in range(len(coefs)):
+        pred = _encode_block(bw, coefs[bi], ql, dc_l, ac_l, pred)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(ql[ZIGZAG[i]] for i in range(64))
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    for tc_th, (bits, values) in ((0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + struct.pack(">BB", 1, 0x00)
+    out += b"\x00\x3F\x00"
+    out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -616,16 +653,23 @@ def decode_jpeg_pixels(payload: bytes):
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
-            if nc != 3:
-                raise ValueError(f"unsupported JPEG component count {nc} (YCbCr only)")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} (grayscale or YCbCr)"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 15, tq))
             samps = tuple((hh, vv) for _, hh, vv, _ in comps)
-            if samps not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
+            if samps not in (
+                ((1, 1),),  # grayscale
+                ((1, 1), (1, 1), (1, 1)),  # 4:4:4
+                ((2, 2), (1, 1), (1, 1)),  # 4:2:0
+            ):
                 raise ValueError(
-                    f"unsupported sampling layout {samps} (4:4:4 and 4:2:0 only)"
+                    f"unsupported sampling layout {samps} "
+                    "(grayscale, 4:4:4 and 4:2:0 only)"
                 )
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -651,8 +695,10 @@ def decode_jpeg_pixels(payload: bytes):
     if sof is None:
         raise ValueError("JPEG SOS before SOF0")
     ns = seg[0]
-    if ns != 3:
-        raise ValueError(f"unsupported scan component count {ns}")
+    if ns != len(sof[2]):
+        raise ValueError(
+            f"scan component count {ns} does not match SOF ({len(sof[2])})"
+        )
     scan = []
     for i in range(ns):
         cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -682,9 +728,9 @@ def decode_jpeg_pixels(payload: bytes):
     plane_bh = [mcuy * vv for _, _, _, _, vv in order]
     coefs = [
         np.zeros((plane_bh[c] * plane_bw[c], 64), dtype=np.int64)
-        for c in range(3)
+        for c in range(len(order))
     ]
-    pred = [0, 0, 0]
+    pred = [0] * len(order)
     mcu = 0
     expected_rst = 0
     while mcu < n_mcus:
@@ -729,7 +775,7 @@ def decode_jpeg_pixels(payload: bytes):
                     )
                 br.pos = p + 2
                 expected_rst = (expected_rst + 1) & 7
-                pred = [0, 0, 0]
+                pred = [0] * len(order)
         except _RestartMarker:
             raise ValueError("unexpected restart marker (no DRI)") from None
 
@@ -747,6 +793,9 @@ def decode_jpeg_pixels(payload: bytes):
         if hmax // hh > 1:
             plane = np.repeat(plane, hmax // hh, axis=1)
         planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
+    if len(planes) == 1:  # grayscale: the luma plane IS the image
+        g = planes[0][:h, :w].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
     ycc = np.stack(planes, axis=-1)[:h, :w]
     return ycbcr_to_rgb(ycc)
 

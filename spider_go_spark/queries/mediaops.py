@@ -785,6 +785,79 @@ FROM px GROUP BY d
 
 
 # --------------------------------------------------------------------------
+# REAL grayscale JPEG decode gate: single-component baseline files (the
+# common scanned/monochrome web layout) — one SOF component, luma tables
+# only, no color transform on either side. Block-constant input keeps the
+# decoded value closed-form: out = clamp(floor((rha(F00,qY)·qY·5793² +
+# 2^27)/2^28) + 128) replicated across RGB.
+# --------------------------------------------------------------------------
+
+JPEG_GRAY_DOCS = 200
+# rule: doc d is w=8·(1+d%2) × 8; block bi constant gray (d*13+bi*41)%256;
+# quality 30 + (d*7)%65
+
+
+def media_jpeg_gray_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_go_spark.functions.jpeg import encode_jpeg_gray
+    from spider_go_spark.functions.media import real_decode
+
+    def gen_and_decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 2), 8
+                img = np.zeros((h, w), dtype=np.uint8)
+                for bi in range(w // 8):
+                    img[:, bi * 8 : (bi + 1) * 8] = (d * 13 + bi * 41) % 256
+                payload = encode_jpeg_gray(w, h, img, quality=30 + (d * 7) % 65)
+                stats = real_decode(payload, "image")
+                rows.append({"doc_id": d, **stats})
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import types as T_
+
+    return spark.range(JPEG_GRAY_DOCS).repartition(8).mapInPandas(
+        gen_and_decode, T_._parse_datatype_string(JPEG_STATS_DDL)
+    )
+
+
+MEDIA_JPEG_GRAY_SQL = f"""
+WITH docs AS (
+  SELECT r AS d, 8*(1 + r % 2) AS w, 8 AS h, 30 + (r*7) % 65 AS qq
+  FROM range({JPEG_GRAY_DOCS}) t(r)
+), scaled AS (
+  SELECT *, CASE WHEN qq < 50 THEN 5000 // qq ELSE 200 - 2*qq END AS sc
+  FROM docs
+), qtabs AS (
+  SELECT *, least(255, greatest(1, (16*sc + 50) // 100)) AS qy
+  FROM scaled
+), blocks AS (
+  SELECT qtabs.*, bi FROM qtabs, range(2) tb(bi) WHERE bi < w//8
+), gv AS (
+  SELECT *, (d*13 + bi*41) % 256 AS g0 FROM blocks
+), f00 AS (
+  SELECT *, {_fdiv('(g0-128)*2147766336 + 134217728', 268435456)} AS fy FROM gv
+), rec AS (
+  SELECT *,
+    least(255, greatest(0,
+      {_fdiv(_rha('fy', 'qy') + '*qy*33558849 + 134217728', 268435456)} + 128)) AS gd
+  FROM f00
+)
+SELECT d AS doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+       (max(w)*max(h))::BIGINT AS n_pixels,
+       sum(64*gd)::BIGINT AS sum_r, sum(64*gd)::BIGINT AS sum_g,
+       sum(64*gd)::BIGINT AS sum_b
+FROM rec GROUP BY d
+"""
+
+
+# --------------------------------------------------------------------------
 # REAL AVI/MJPEG decode gate: genuine RIFF AVI containers (avih → strl
 # with a vids/MJPG stream → movi 00dc chunks → idx1) holding real baseline
 # JPEG frames. The sampler walks the real container, decodes every 2nd
@@ -1600,6 +1673,7 @@ QUERIES = {
     "media_adpcm_decode": media_adpcm_decode,
     "media_jpeg420_decode": media_jpeg420_decode,
     "media_avi_decode": media_avi_decode,
+    "media_jpeg_gray_decode": media_jpeg_gray_decode,
     "media_wav_decode": media_wav_decode,
     "image_ahash_groups": image_ahash_groups,
     "image_phash_groups": image_phash_groups,
@@ -1623,6 +1697,7 @@ ORACLES = {
     "media_adpcm_decode": MEDIA_ADPCM_SQL,
     "media_jpeg420_decode": MEDIA_JPEG420_SQL,
     "media_avi_decode": MEDIA_AVI_SQL,
+    "media_jpeg_gray_decode": MEDIA_JPEG_GRAY_SQL,
     "media_wav_decode": MEDIA_WAV_SQL,
     "image_ahash_groups": MEDIA_AHASH_SQL,
     "image_phash_groups": MEDIA_PHASH_SQL,

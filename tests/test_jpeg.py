@@ -174,6 +174,34 @@ def test_ahash_groups_reencodes():
     assert sum(a != b for a, b in zip(h1, h2)) <= 6
 
 
+def test_grayscale_jpeg():
+    from spider_go_spark.functions.jpeg import encode_jpeg_gray
+
+    xx, yy = np.meshgrid(np.arange(37), np.arange(21))
+    g = ((xx * 5 + yy * 3) % 200 + 20).astype(np.uint8)
+    p = encode_jpeg_gray(37, 21, g, quality=92)
+    out = decode_jpeg_pixels(p)
+    assert out.shape == (21, 37, 3)
+    # grayscale decodes with all three channels identical to the luma plane
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 12
+    # single component in SOF and scan
+    sof = p.find(b"\xFF\xC0")
+    assert p[sof + 9] == 1
+    # constant block: closed-form exactness through the 1-component stream
+    c = np.full((8, 8), 77, dtype=np.uint8)
+    o = decode_jpeg_pixels(encode_jpeg_gray(8, 8, c, quality=44))
+    assert len(np.unique(o)) == 1
+    # a scan whose component count contradicts the SOF fails loudly
+    import struct
+
+    color = encode_jpeg(8, 8, np.dstack([c, c, c]), quality=44)
+    sos = color.find(b"\xFF\xDA")
+    bad = color[:sos] + p[p.find(b"\xFF\xDA"):]
+    with pytest.raises(ValueError, match="does not match SOF"):
+        decode_jpeg_pixels(bad)
+
+
 def test_phash_cross_codec_collisions():
     from spider_go_spark.functions.media import (
         decode_bmp_pixels,
