@@ -31,10 +31,14 @@ def simhash_arrow(hs: pd.Series) -> pd.Series:
     j = np.arange(tk.SIMHASH_BITS, dtype=np.int64)
     out = np.empty(len(hs), dtype=np.int64)
     for i, h in enumerate(hs):
-        a = np.asarray(h, dtype=np.int64)
-        if a.size == 0:
+        if h is None or len(h) == 0:
+            # Null or empty shingle array → 0, exactly like the tk.simhash
+            # fold form: aggregate over a null array yields null votes, and
+            # when(null > 0, bit).otherwise(0) takes the otherwise branch,
+            # so every bit contributes 0 (verified empirically — NOT null).
             out[i] = 0
             continue
+        a = np.asarray(h, dtype=np.int64)
         ones = ((a[:, None] >> j) & 1).sum(axis=0)
         votes = 2 * ones - a.size
         out[i] = int(((votes > 0).astype(np.int64) << j).sum())

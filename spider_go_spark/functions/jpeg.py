@@ -2,11 +2,12 @@
 pure stdlib+numpy, deterministic integer arithmetic end to end.
 
 Scope (honest): baseline sequential DCT, 8-bit precision, 3-component
-YCbCr, 4:4:4 or 4:2:0 sampling (the dominant real-world layouts), standard
-JPEG Annex K Huffman + quantization tables with the classic IJG quality
-scaling. Progressive scans, other sampling layouts, arithmetic coding,
-12-bit precision and grayscale fail loudly — a decoder that guesses is
-worse than none.
+YCbCr at 4:4:4 or 4:2:0 sampling (the dominant real-world layouts) plus
+single-component grayscale (``encode_jpeg_gray``; the decoder accepts
+1-component SOF frames), standard JPEG Annex K Huffman + quantization
+tables with the classic IJG quality scaling. Progressive scans, other
+sampling layouts, arithmetic coding and 12-bit precision fail loudly — a
+decoder that guesses is worse than none.
 
 Everything here derives from public specs: ITU-T T.81 (the JPEG spec,
 incl. Annex K's example tables), the JFIF spec, and the widely published
@@ -627,6 +628,11 @@ def decode_jpeg_pixels(payload: bytes):
             raise ValueError("truncated JPEG: no SOS before end of data")
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{d[pos]:02X}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(d):
+            raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:

@@ -992,9 +992,18 @@ def _canonical_decode(payload: bytes) -> tuple[str, bytes, dict]:
     canonical bytes are the codec-independent content (row-major RGB for
     images and video frames, little-endian PCM for audio) — so the digest
     downstream is invariant under lossless re-encoding (the same pixels as
-    PPM, BMP or PNG hash identically)."""
+    PPM, BMP or PNG hash identically). Lossy containers (baseline JPEG,
+    AVI/MJPEG) hash by their DECODED pixels: two byte-different JPEG files
+    collide iff they decode to the same image, and a JPEG never collides
+    with the lossless original it was encoded from (quantization changed
+    the pixels — that difference is real content)."""
     import numpy as np
 
+    if payload[:2] == b"\xFF\xD8":
+        rgb = decode_image_pixels(payload)  # real baseline JPEG decode
+        return "image", rgb.tobytes(), {
+            "width": rgb.shape[1], "height": rgb.shape[0], "frame_count": None,
+        }
     if payload[:2] == b"BM":
         rgb = decode_bmp_pixels(payload)
         return "image", rgb.tobytes(), {
@@ -1019,8 +1028,13 @@ def _canonical_decode(payload: bytes) -> tuple[str, bytes, dict]:
         return "audio", samples.astype("<i2").tobytes(), {
             "width": None, "height": None, "frame_count": None,
         }
-    if payload[:4] == b"SGV1":
-        frames = decode_video_frames(payload)
+    if payload[:4] == b"SGV1" or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    ):
+        if payload[:4] == b"SGV1":
+            frames = decode_video_frames(payload)
+        else:
+            _, frames = decode_avi_frames(payload)
         decoded = [decode_image_pixels(f) for f in frames]
         first = decoded[0] if decoded else None
         return "video", b"".join(d.tobytes() for d in decoded), {

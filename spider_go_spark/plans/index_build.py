@@ -83,9 +83,60 @@ class IncrementalIndexer:
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             os.path.join(self.index_dir, f"round={rnd}")
         )
-        self._write_stats(rnd, post)
+        self._stamp_epoch(os.path.join(self.index_dir, f"round={rnd}"), 1)
+        self._write_stats(rnd, post, epoch=1)
 
-    def _write_stats(self, rnd: int, post: DataFrame) -> None:
+    # -- epoch markers -------------------------------------------------------
+    #
+    # Postings dirs and their stats sidecars are written in two separate
+    # steps; a crash between them (update: data→stats; delete_docs:
+    # replace→stats; sweep: promote-without-stats) leaves a round whose
+    # sidecar disagrees with its postings. Each writer therefore stamps the
+    # SAME integer epoch into ``round=N/_EPOCH`` and ``_stats/round=N/_EPOCH``
+    # (underscore names — invisible to Spark partition discovery, like
+    # _SUCCESS), and every sweep compares the two: any mismatch or missing
+    # marker triggers a stats recompute FROM THE POSTINGS THEMSELVES, the
+    # source of truth. Cost: O(#rounds) tiny driver-side file reads per
+    # sweep; a postings re-read only on an actual detected crash.
+
+    @staticmethod
+    def _read_epoch(d: str) -> int | None:
+        p = os.path.join(d, "_EPOCH")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _stamp_epoch(d: str, epoch: int) -> None:
+        with open(os.path.join(d, "_EPOCH"), "w") as f:
+            f.write(str(epoch))
+
+    def _verify_stats(self) -> None:
+        """Repair any round whose stats sidecar epoch disagrees with its
+        postings dir epoch (crash between data write and stats write, or a
+        stage promoted by the sweep): recompute the sidecar from the round's
+        postings. Rounds with matching epochs are untouched."""
+        for name in os.listdir(self.index_dir):
+            if not name.startswith("round="):
+                continue
+            rd = os.path.join(self.index_dir, name)
+            if not os.path.isdir(rd):
+                continue
+            rnd = int(name[len("round="):])
+            rd_epoch = self._read_epoch(rd)
+            st_epoch = self._read_epoch(
+                os.path.join(self.index_dir, "_stats", f"round={rnd}")
+            )
+            if rd_epoch is not None and st_epoch == rd_epoch:
+                continue
+            epoch = 1 if rd_epoch is None else rd_epoch
+            post = self.spark.read.parquet(rd)
+            self._stamp_epoch(rd, epoch)
+            self._write_stats(rnd, post, epoch=epoch)
+
+    def _write_stats(self, rnd: int, post: DataFrame, epoch: int = 1) -> None:
         # stats are DERIVED FROM POSTINGS (docs with ≥ 1 token): update and
         # delete_docs then agree by construction, and zero-token docs —
         # invisible to retrieval — never skew N
@@ -96,9 +147,11 @@ class IncrementalIndexer:
                 F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
             )
         )
-        agg.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, "_stats", f"round={rnd}")
-        )
+        stats_dir = os.path.join(self.index_dir, "_stats", f"round={rnd}")
+        agg.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+        # stamped AFTER the parquet (overwrite clears the dir): a crash
+        # in between leaves a missing marker → next sweep recomputes
+        self._stamp_epoch(stats_dir, epoch)
 
     def sink(self):
         """Adapter: ``CrawlEngine(docs_sink=indexer.sink())``."""
@@ -141,9 +194,11 @@ class IncrementalIndexer:
             tmp = self._staging_dir(rnd)
             shutil.rmtree(tmp, ignore_errors=True)
             keep.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+            epoch = (self._read_epoch(rd) or 0) + 1
+            self._stamp_epoch(tmp, epoch)  # travels with the promote
             shutil.rmtree(rd)
             os.replace(tmp, rd)
-            self._write_stats(rnd, keep)
+            self._write_stats(rnd, keep, epoch=epoch)
 
     def _staging_dir(self, rnd: int) -> str:
         # underscore prefix: invisible to Spark's partition discovery
@@ -169,6 +224,9 @@ class IncrementalIndexer:
                 os.replace(tmp, rd)
             else:
                 shutil.rmtree(tmp, ignore_errors=True)
+        # After promotion/cleanup, repair any stats sidecar the crash left
+        # disagreeing with its round's postings (epoch mismatch check).
+        self._verify_stats()
 
     # -- read path ----------------------------------------------------------
 
@@ -183,7 +241,9 @@ class IncrementalIndexer:
 
     def corpus_stats(self) -> tuple[int, int]:
         """(n_docs, total_dl) across all indexed rounds — reads only the
-        one-row-per-round stats sidecar."""
+        one-row-per-round stats sidecar (trustworthy after a crash because
+        every sweep repairs epoch-mismatched sidecars first)."""
+        self._sweep_staging()
         base = os.path.join(self.index_dir, "_stats")
         agg = (
             self.spark.read.option("basePath", base).parquet(base)

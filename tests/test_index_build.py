@@ -197,3 +197,70 @@ def test_staging_sweep_recovers_and_cleans(indexed):
     }
     assert got == before
     assert os.path.isdir(rd) and not os.path.isdir(stage)
+
+
+def test_stats_selfheal_crash_after_replace(indexed, monkeypatch):
+    # ADVICE r4: crash BETWEEN os.replace(tmp, rd) and _write_stats leaves
+    # no staging dir at all but a stale stats sidecar. The epoch markers
+    # (round=N/_EPOCH vs _stats/round=N/_EPOCH) must flag the mismatch and
+    # the next sweep recompute stats from the promoted postings.
+    spark, cfg, eng, indexer = indexed
+
+    keys = sorted(r["doc_key"] for r in
+                  indexer.postings().select("doc_key").distinct().collect())
+    victims = [k for k in keys if k >> 32 == 3][:2]
+    assert victims, "fixture must still have round-3 docs"
+
+    def boom(self, rnd, post, epoch=1):
+        raise RuntimeError("simulated crash before stats write")
+
+    monkeypatch.setattr(IncrementalIndexer, "_write_stats", boom)
+    with pytest.raises(RuntimeError):
+        indexer.delete_docs(victims)
+    monkeypatch.undo()
+
+    # stats sidecar is now stale (pre-delete). corpus_stats sweeps first,
+    # detects the epoch mismatch, and re-derives stats from the postings.
+    n_docs, total_dl = indexer.corpus_stats()
+    rows = indexer.postings().select("doc_key", "dl").distinct().collect()
+    assert {r["doc_key"] for r in rows}.isdisjoint(victims)
+    assert n_docs == len(rows)
+    assert total_dl == sum(r["dl"] for r in rows)
+
+
+def test_stats_selfheal_crash_before_replace(indexed, monkeypatch):
+    # ADVICE r4: crash AFTER the complete staging write but BEFORE
+    # os.replace — sweep promotes the stage; promoted postings differ from
+    # the stale stats sidecar, which the same sweep must then recompute.
+    import os as _os
+
+    spark, cfg, eng, indexer = indexed
+    keys = sorted(r["doc_key"] for r in
+                  indexer.postings().select("doc_key").distinct().collect())
+    victims = [k for k in keys if k >> 32 == 3][:1]
+    assert victims, "fixture must still have round-3 docs"
+
+    real_replace = _os.replace
+
+    def flaky_replace(src, dst):
+        if "_staging-round=" in str(src):
+            raise RuntimeError("simulated crash before promote")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", flaky_replace)
+    with pytest.raises(RuntimeError):
+        indexer.delete_docs(victims)
+    monkeypatch.undo()
+
+    rnd = victims[0] >> 32
+    stage = _os.path.join(indexer.index_dir, f"_staging-round={rnd}")
+    rd = _os.path.join(indexer.index_dir, f"round={rnd}")
+    assert _os.path.isdir(stage) and not _os.path.isdir(rd)
+
+    # any entry point recovers: promote + stats recompute in one sweep
+    n_docs, total_dl = indexer.corpus_stats()
+    assert _os.path.isdir(rd) and not _os.path.isdir(stage)
+    rows = indexer.postings().select("doc_key", "dl").distinct().collect()
+    assert {r["doc_key"] for r in rows}.isdisjoint(victims)
+    assert n_docs == len(rows)
+    assert total_dl == sum(r["dl"] for r in rows)

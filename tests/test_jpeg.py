@@ -421,3 +421,19 @@ def test_adpcm_property_fuzz():
         assert int(np.abs(out - sig).max()) <= 32767
 
     roundtrip()
+
+
+def test_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    the segment walk must skip them, not misread a garbage length."""
+    import numpy as np
+
+    from spider_go_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(16 * 24 * 3,), dtype=np.int64)
+    payload = encode_jpeg(24, 16, rgb.astype(np.uint8).tolist(), quality=85)
+    want = decode_jpeg_pixels(payload).tobytes()
+    for n_fill in (1, 3):
+        padded = payload[:2] + b"\xFF" * n_fill + payload[2:]
+        assert decode_jpeg_pixels(padded).tobytes() == want

@@ -118,3 +118,26 @@ def test_no_per_row_python_in_plan(spark, df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan  # not even pandas UDFs: pure Catalyst
+
+
+def test_simhash_arrow_null_matches_fold(spark):
+    """ADVICE r4: a null shingle array (e.g. null text upstream) must not
+    kill the Arrow kernel's stage — and both forms must agree. The fold
+    form yields 0 for a null array (when(null > 0).otherwise(0) takes the
+    otherwise branch on every bit), so the Arrow kernel does too."""
+    from spider_go_spark.functions.arrowkernels import simhash_arrow
+
+    sdf = spark.createDataFrame(
+        [(0, [3, 17, 255]), (1, None), (2, [])], "i int, h array<long>"
+    )
+    rows = {
+        r["i"]: (r["fold"], r["arrow"])
+        for r in sdf.select(
+            "i",
+            tk.simhash(F.col("h")).alias("fold"),
+            simhash_arrow(F.col("h")).alias("arrow"),
+        ).collect()
+    }
+    for i, (fold, arrow) in rows.items():
+        assert fold == arrow, (i, fold, arrow)
+    assert rows[1] == (0, 0) and rows[2] == (0, 0)

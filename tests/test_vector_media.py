@@ -682,3 +682,35 @@ def test_resize_nearest_kernel():
     assert (odd[2, 2] == src[2, 3]).all()
     with pytest.raises(ValueError):
         resize_nearest(src, 0, 2)
+
+
+def test_canonical_decode_covers_lossy_containers():
+    """ADVICE r4: _canonical_decode must accept every container the image/
+    video decoders support — one JPEG or AVI payload in a batch must not
+    fail the whole Spark stage. Lossy content hashes by DECODED pixels."""
+    import numpy as np
+
+    from spider_go_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+    from spider_go_spark.functions.media import (
+        _canonical_decode,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    jp = encode_jpeg(24, 16, rgb.reshape(-1).tolist(), quality=85)
+    kind, canon, feats = _canonical_decode(jp)
+    assert kind == "image"
+    assert (feats["width"], feats["height"]) == (24, 16)
+    assert canon == decode_jpeg_pixels(jp).tobytes()
+
+    frames = [
+        encode_jpeg(8, 8, rng.integers(0, 256, size=192, dtype=np.int64)
+                    .astype(np.uint8).tolist(), quality=90)
+        for _ in range(3)
+    ]
+    avi = encode_avi_mjpeg(8, 8, 10, frames)
+    kind, canon, feats = _canonical_decode(avi)
+    assert kind == "video"
+    assert feats["frame_count"] == 3
+    assert canon == b"".join(decode_jpeg_pixels(f).tobytes() for f in frames)
