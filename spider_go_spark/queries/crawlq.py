@@ -345,10 +345,14 @@ def crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: demand is one hash agg over distinct URLs; the two global
     scalars (Σdemand, Σfloor) are single-row broadcast joins; the remainder
-    ranking is a window over |hosts| rows — the host dimension, ~10^7 at
-    web scale, not the 10^10 URL corpus."""
-    from pyspark.sql import Window
-
+    ranking runs over |hosts| rows — the host dimension, ~10^7 at web
+    scale — through operators/ranking.global_rank (range-repartition +
+    per-partition offsets), NOT a global row_number window: an
+    unpartitioned WindowExec would drag every host row through ONE
+    partition and serialize the round's budget step on a single core.
+    global_rank is partition-count independent (tests/test_ranking), so
+    the allocation stays bit-identical to the former window form."""
+    from spider_go_spark.operators.ranking import global_rank
     from spider_go_spark.queries import T
 
     li = T(spark, sf, "lineitem")
@@ -372,10 +376,13 @@ def crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"({BUDGET_TOTAL} * demand) % total").alias("rem"),
     )
     sum_base = d.agg(F.sum("base").alias("sum_base"))
-    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    ranked = global_rank(
+        d.join(F.broadcast(sum_base)),
+        [F.desc("rem"), F.asc("host")],
+        rank_col="rnk",
+    )
     return (
-        d.join(F.broadcast(sum_base))
-        .withColumn("rnk", F.row_number().over(w))
+        ranked
         .select(
             "host",
             "demand",

@@ -249,21 +249,54 @@ def length_deciles(spark: SparkSession, sf: str) -> DataFrame:
     by (n_chars, doc_id) total order, then per-decile row count, char
     bounds, and char mass.
 
-    Scale shape: NTILE over a global order is a single-partition sort at
-    naive scale; this formulation accepts that for the 10-bucket report
-    (the output is 10 rows), and at 10^9 docs the same result comes from
-    histogram_quantiles-style pre-bucketing — documented trade-off, the
-    decile SEMANTICS (ties broken by doc_id) are what the gate verifies."""
-    from pyspark.sql import Window
-
+    Scale shape (the histogram pre-bucketing path, shipped as THE plan):
+    a naive NTILE over a global order is a single-partition sort of the
+    whole corpus. But every output statistic (n_docs, min/max/total chars
+    per decile) depends only on the MULTISET of lengths in each decile —
+    tied docs all share the same n_chars, so the doc_id tie-break decides
+    WHICH docs straddle a boundary but never changes any per-decile
+    number. The exact result therefore derives from the length histogram
+    alone: one map-side-combining hash agg over n_chars (the corpus scan,
+    fully distributed, zero row-level shuffle), then a driver-side prefix
+    walk over |distinct lengths| rows (bounded by max document length —
+    ~10^6 even at web scale, vs 10^10 docs) that splits histogram buckets
+    across NTILE's floor/ceil decile sizes. The NTILE formulation stays as
+    the DuckDB oracle, pinning the semantics this derivation must match."""
     d = T(spark, sf, "documents")
-    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    binned = d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
-    return binned.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    hist = sorted(
+        (int(r["n_chars"]), int(r["cnt"]))
+        for r in d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: one row per DISTINCT length, not per doc
+    )
+    n = sum(c for _, c in hist)
+    base, extra = divmod(n, 10)
+    out_rows = []
+    it = iter(hist)
+    cur_len, cur_cnt = next(it, (None, 0))
+    for k in range(1, 11):
+        size = base + (1 if k <= extra else 0)  # NTILE bucket size
+        if size == 0:
+            continue
+        need, n_docs, mn, mx, tot = size, 0, None, None, 0
+        while need > 0:
+            take = min(need, cur_cnt)
+            if take > 0:
+                n_docs += take
+                tot += take * cur_len
+                mn = cur_len if mn is None else min(mn, cur_len)
+                mx = cur_len if mx is None else max(mx, cur_len)
+                cur_cnt -= take
+                need -= take
+            if cur_cnt == 0:
+                cur_len, cur_cnt = next(it, (None, 0))
+                if cur_len is None and need > 0:
+                    raise AssertionError("histogram exhausted early")
+        out_rows.append((k, n_docs, mn, mx, tot))
+    return spark.createDataFrame(
+        out_rows,
+        "decile int, n_docs bigint, min_chars bigint, "
+        "max_chars bigint, total_chars bigint",
     )
 
 

@@ -331,8 +331,17 @@ def histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    hc = hist.withColumn("cum", F.sum("c").over(wcum))
+    # cumulative counts WITHOUT an unpartitioned running-sum window (which
+    # would force an Exchange SinglePartition): the histogram is ≤64 rows,
+    # so a broadcast triangular self-join (≤64² pairs) computes every
+    # prefix sum with no single-partition stage anywhere in the plan
+    hist = hist.localCheckpoint(eager=True)  # one histogram pass feeds both sides
+    hc = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.expr("b.bin <= a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.c").cast("bigint").alias("cum"))
+    )
     q = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in _Q_PPM])).alias("q_ppm")
     )
@@ -463,15 +472,18 @@ def hll_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("week").agg(F.count(F.lit(1)).alias("new_users"))
     )
     # running sum over ALL weeks (a week with no first-time users still
-    # carries the running total forward)
-    wk = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # carries the running total forward) — as a broadcast triangular
+    # self-join over the tiny distinct-week dimension, NOT an unpartitioned
+    # running-sum window (no Exchange SinglePartition in the plan)
+    news = news.localCheckpoint(eager=True)  # tiny; feeds the triangular join
     exact = (
-        e.select("week").distinct()
-        .join(news, "week", "left")
-        .select("week", F.coalesce("new_users", F.lit(0)).alias("new_users"))
-        .select(
-            "week",
-            F.sum("new_users").over(wk).cast("bigint").alias("exact_prefix_distinct"),
+        e.select("week").distinct().alias("a")
+        .join(F.broadcast(news.alias("b")), F.expr("b.week <= a.week"), "left")
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.coalesce(F.sum("b.new_users"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_prefix_distinct")
         )
     )
     return est.join(exact, "week").select(

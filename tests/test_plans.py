@@ -12,6 +12,37 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Lines of ``plan`` that are WindowExec nodes with NO partition spec
+    (Spark's 'moving all data to a single partition' warning case — the
+    scale killer the r4 verdict flagged). A partitioned window prints
+    ``Window [exprs], [partSpec], [orderSpec]`` (3 top-level bracket
+    groups); an unpartitioned ordered one prints only ``[exprs], [order]``
+    (2 groups, the last carrying ASC/DESC)."""
+    import re
+
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\s+(\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, buf = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    buf = ""
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(buf)
+            if depth > 0:
+                buf += ch
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            bad.append(line.strip())
+    return bad
+
+
 def test_filter_pushdown_and_column_pruning(spark):
     from spider_go_spark.queries.relational import pricing_summary
 
@@ -36,10 +67,19 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_no_batch_eval_python_anywhere(spark):
-    """Row-at-a-time Python UDFs (BatchEvalPython) are forbidden in every
-    registered query plan (SURVEY.md §7.4). Arrow stages
-    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the only
-    sanctioned Python."""
+    """Two full-registry plan audits in one pass (building ~170 plans is
+    the expensive part, so both properties share the loop):
+
+    - Row-at-a-time Python UDFs (BatchEvalPython) are forbidden in every
+      registered query plan (SURVEY.md §7.4). Arrow stages
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the only
+      sanctioned Python.
+    - Unpartitioned ordered windows (WindowExec with no partition spec —
+      Spark's 'moving all data to a single partition' case) are forbidden
+      in every registered query plan (r4 verdict task #1): a global
+      row_number/ntile/running-sum must go through
+      operators/ranking.global_rank, histogram pre-bucketing, or a
+      broadcast triangular self-join instead."""
     import __spark_entry__ as entry_mod
 
     for name, fn in entry_mod.queries().items():
@@ -47,6 +87,8 @@ def test_no_batch_eval_python_anywhere(spark):
             continue  # runs a full engine crawl; covered separately below
         plan = plan_of(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"per-row Python in {name}"
+        bad = unpartitioned_windows(plan)
+        assert not bad, f"single-partition window in {name}: {bad}"
 
 
 def test_crawl_schedule_plan_is_arrow_only(spark):
@@ -173,3 +215,18 @@ def test_bpe_and_source_stats_plan_shapes(spark):
     stats_plan = plan_of(corpus_source_stats(spark, SF))
     assert "partial_" in stats_plan.lower() or "HashAggregate" in stats_plan
     assert "BroadcastNestedLoopJoin" in stats_plan or "BroadcastExchange" in stats_plan
+
+
+def test_unpartitioned_window_detector_fires(spark):
+    """The audit above is only meaningful if the detector actually flags
+    the bad shape: build one unpartitioned and one partitioned window and
+    check the classifier on their real executed plans."""
+    from pyspark.sql import Window
+
+    df = spark.range(10).select(F.col("id").alias("a"), (F.col("id") % 2).alias("b"))
+    bad_plan = plan_of(df.withColumn("r", F.row_number().over(Window.orderBy("a"))))
+    good_plan = plan_of(
+        df.withColumn("r", F.row_number().over(Window.partitionBy("b").orderBy("a")))
+    )
+    assert unpartitioned_windows(bad_plan), bad_plan
+    assert not unpartitioned_windows(good_plan), good_plan
