@@ -5,6 +5,15 @@ oracle_sql() twin on DuckDB at sf0.01, compares row count, sorted column
 names, and an order-insensitive multiset hash of normalized values.
 
 Usage: python tools/parity_check.py [name ...]
+       python tools/parity_check.py --sample K --seed R [--cap N]
+
+``--sample K --seed R`` draws a deterministic K-query sample of the TAIL —
+the registry entries past the driver's 50-slot cap (cost-ordered exactly
+like __spark_entry__.queries(), so the tail is precisely the set the
+driver never re-checks). Seeding by round number gives each round a
+different-but-reproducible rotation through the expensive gates; the full
+173-query sweep stays available by passing no arguments. ``--cap``
+overrides the assumed driver cap (default 50).
 """
 
 from __future__ import annotations
@@ -50,9 +59,31 @@ def df_hash(pdf) -> tuple[int, list[str], str]:
     return len(pdf), cols, h
 
 
-def main(names: list[str]) -> int:
+DRIVER_CAP = 50  # the driver's correctness pass runs only this many gates
+
+
+def _parse_args(argv: list[str]) -> tuple[list[str], int | None, int, int]:
+    names, sample, seed, cap = [], None, 0, DRIVER_CAP
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sample":
+            sample, i = int(argv[i + 1]), i + 2
+        elif a == "--seed":
+            seed, i = int(argv[i + 1]), i + 2
+        elif a == "--cap":
+            cap, i = int(argv[i + 1]), i + 2
+        else:
+            names.append(a)
+            i += 1
+    return names, sample, seed, cap
+
+
+def main(argv: list[str]) -> int:
     import __spark_entry__ as entry_mod
     from spider_go_spark.session import get_spark
+
+    names, sample, seed, cap = _parse_args(argv)
 
     spark = get_spark("parity-check")
     con = duckdb.connect()
@@ -61,7 +92,14 @@ def main(names: list[str]) -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    targets = names or list(qs)
+    if sample is not None:
+        import random
+
+        tail = list(qs)[cap:]  # cost-ordered: exactly the driver-uncovered set
+        targets = sorted(random.Random(seed).sample(tail, min(sample, len(tail))))
+        print(f"sampled {len(targets)} of {len(tail)} tail gates (seed={seed}, cap={cap})")
+    else:
+        targets = names or list(qs)
     n_fail = 0
     for name in targets:
         t0 = time.time()
