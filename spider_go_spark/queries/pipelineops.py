@@ -1006,6 +1006,147 @@ ORDER BY weight DESC, pair LIMIT {BPE_TOP}
 """
 
 
+BPE_TRAIN_STEPS = 10
+
+
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016 ``learn_bpe``),
+    not just the first candidate count: iterate BPE_TRAIN_STEPS greedy
+    merges — each step counts adjacent symbol pairs weighted by token
+    frequency, picks the max (ties broken by the 'left right' string — a
+    strict total order both engines compare identically, symbols can never
+    contain the space separator), and rewrites every vocabulary word's
+    symbol sequence with that merge applied left-to-right non-overlapping.
+    Output: the learned merge table (step, left, right, weight) — the
+    artifact a training-data pipeline ships to its tokenizer.
+
+    The merge rewrite is a pure fold: append each symbol, except when the
+    accumulator ends with `left` and the symbol is `right` — then replace
+    the tail with the fused symbol. No just-merged flag is needed because
+    left+right can never equal `left` (symbols are non-empty), so a fused
+    tail never re-triggers the rule — which is also why repeatedly
+    replacing the LEFTMOST occurrence (the DuckDB oracle's recursive CTE)
+    is provably the same greedy scan.
+
+    Scale shape: the corpus is touched ONCE (the token-frequency hash
+    agg); every training step then runs over the DISTINCT-token vocabulary
+    only — a tiny pair agg + a 1-row top-1 collect + a map-side fold
+    rewrite, with eager localCheckpoint truncating the per-step lineage
+    exactly like the PageRank loop. At 10^10 docs the vocabulary is
+    O(10^7) words — the steps cost nothing next to the one corpus scan."""
+    d = T(spark, sf, "documents")
+    chars = F.split(F.col("tok"), "")
+    v = (
+        d.select(F.explode(tk.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("freq", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        n = F.size("syms")
+        pairs = v.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+            .orderBy(
+                F.col("w").desc(),
+                F.concat(F.col("p.l"), F.lit(" "), F.col("p.r")).asc(),
+            )
+            .limit(1)
+            .collect()  # exactly one row per step (convention: scalar probe)
+        )
+        if not best:
+            break
+        left, right, w = best[0]["p"]["l"], best[0]["p"]["r"], int(best[0]["w"])
+        merges.append((step, left, right, w))
+        fused = left + right
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        v = v.select("freq", merged.alias("syms")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, weight bigint"
+    )
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled recursive-CTE oracle for :func:`bpe_train_merges` (the
+    trigram-SBO unrolling pattern): per step, a MATERIALIZED pair count +
+    top-1, then a recursive CTE that repeatedly replaces the LEFTMOST
+    ' left right ' occurrence in each word's space-joined symbol string —
+    provably the same greedy merge as the Spark fold (see the builder's
+    docstring). MATERIALIZED is load-bearing: without it DuckDB inlines
+    each step's CTEs into the next, exponentially re-evaluating the
+    chain."""
+    steps = []
+    for s in range(1, BPE_TRAIN_STEPS + 1):
+        prev = f"v{s-1}"
+        pat = f"' ' || (SELECT l FROM b{s}) || ' ' || (SELECT r FROM b{s}) || ' '"
+        rep = f"' ' || (SELECT l FROM b{s}) || (SELECT r FROM b{s}) || ' '"
+        steps.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT (pr).l AS l, (pr).r AS r, sum(freq)::BIGINT AS w
+  FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                 i -> {{'l': syms[i], 'r': syms[i+1]}})) AS pr
+    FROM (SELECT freq, list_filter(string_split(seg, ' '), x -> x <> '') AS syms
+          FROM {prev})
+  ) GROUP BY 1, 2
+),
+b{s} AS MATERIALIZED (SELECT l, r, w FROM p{s} ORDER BY w DESC, l || ' ' || r ASC LIMIT 1),
+r{s} AS (
+  SELECT tok, freq, seg FROM {prev}
+  UNION ALL
+  SELECT tok, freq,
+         substr(seg, 1, instr(seg, {pat}) - 1) || {rep}
+           || substr(seg, instr(seg, {pat}) + length({pat}))
+  FROM r{s}
+  WHERE instr(seg, {pat}) > 0
+),
+v{s} AS MATERIALIZED (SELECT tok, freq, seg FROM r{s} WHERE instr(seg, {pat}) = 0)""")
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS step, l AS left, r AS right, w AS weight FROM b{s}"
+        for s in range(1, BPE_TRAIN_STEPS + 1)
+    )
+    return (
+        r"""WITH RECURSIVE v0 AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS freq,
+         ' ' || array_to_string(list_transform(range(1, length(tok)+1),
+                i -> tok[i:i]), ' ') || ' ' AS seg
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                  t -> length(t) > 0)) AS tok
+    FROM documents
+  ) GROUP BY tok
+),"""
+        + ",".join(steps)
+        + f"\nSELECT * FROM ({union}) ORDER BY step"
+    )
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
 # --------------------------------------------------------------------------
 # Filter funnel: per-stage rejection yield of the corpus filter pipeline
 # --------------------------------------------------------------------------
@@ -1429,6 +1570,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "hits_top_nodes": hits_top_nodes,
     "bpe_merge_pairs": bpe_merge_pairs,
+    "bpe_train_merges": bpe_train_merges,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -1457,6 +1599,7 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "hits_top_nodes": _hits_sql(),
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
+    "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

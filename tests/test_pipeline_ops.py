@@ -707,3 +707,49 @@ def test_retention_cohorts_matches_python(spark):
     assert got == sorted(want)
     # offset-0 cells retain everyone by construction
     assert all(pm == 1000 for _, off, _, _, pm in got if off == 0)
+
+
+def test_bpe_train_matches_python_replay(spark):
+    """Full BPE training loop (r4 verdict task #6): the engine's merge
+    table at sf0.001 must equal an independent pure-Python learn_bpe
+    (Sennrich-style: greedy left-to-right non-overlapping merges, max
+    pair by (weight DESC, 'left right' ASC))."""
+    import re
+    from collections import Counter
+
+    from spider_go_spark.queries.pipelineops import (
+        BPE_TRAIN_STEPS,
+        bpe_train_merges,
+    )
+
+    got = [
+        (r["step"], r["left"], r["right"], r["weight"])
+        for r in bpe_train_merges(spark, SF).orderBy("step").collect()
+    ]
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    vocab = Counter(t for x in texts for t in re.split(r"\s+", x) if t)
+    segs = {t: list(t) for t in vocab}
+    want = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        pc = Counter()
+        for t, f in vocab.items():
+            s = segs[t]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), w = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        want.append((step, a, b, w))
+        for t, s in segs.items():
+            out = []
+            for sym in s:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            segs[t] = out
+    assert got == want
