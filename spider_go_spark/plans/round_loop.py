@@ -1275,13 +1275,14 @@ class CrawlEngine:
                 # one dir/file per bucket by construction — compacting them
                 # would be a full-table rewrite for zero layout gain. The
                 # APPEND-bucketed seen set, however, gains one dir per
-                # bucket per round: compact it once any bucket's dir chain
-                # reaches the threshold (compact() folds each bucket back
-                # to a single dir while keeping the bucket mapping)
-                worst = max((len(d) for d in snap.bucket_dirs.values()), default=0)
-                if worst >= min_dirs:
-                    before = t.data_file_stats()
-                    t.compact(label="compact")
+                # bucket per round: fold ONLY the overgrown bucket chains
+                # (compact_buckets — partition-scoped, cost ∝ rows in those
+                # buckets, never the whole table), which also bounds the
+                # manifest at O(buckets · min_dirs) instead of O(rounds ·
+                # buckets) — the manifest is driver-read on every commit,
+                # so its growth is a metadata scale-killer at 10^10 URLs
+                before = t.data_file_stats()
+                if t.compact_buckets(min_dirs=min_dirs, label="compact") is not None:
                     after = t.data_file_stats()
                     compacted[name] = {
                         "dirs_before": before["n_data_dirs"],

@@ -433,6 +433,52 @@ class SnapshotTable:
             )
         return self._commit([rel], n, props)
 
+    def compact_buckets(
+        self,
+        min_dirs: int = 2,
+        label: str = "compact-buckets",
+        properties: dict | None = None,
+    ) -> "Snapshot | None":
+        """Partition-scoped manifest + layout fold for APPEND-bucketED
+        tables: rewrite ONLY the buckets whose dir chains hold
+        ``min_dirs``+ entries into one dir each; every other bucket carries
+        over into the new snapshot without being read or written.
+
+        Why this exists next to :meth:`compact`: bucket-scoped appends grow
+        one manifest dir entry per (round, bucket), so after R rounds the
+        manifest is O(R·B) — read and rewritten by the driver on EVERY
+        commit, a metadata scale-killer at the 10^10-URL design point long
+        before the data itself hurts. A full ``compact()`` folds the
+        manifest but re-reads and re-writes the WHOLE table; this fold
+        costs only the rows in the overgrown buckets, so maintenance can
+        run it every round and keep the manifest at O(buckets · min_dirs)
+        forever. Returns None when no bucket chain reached the threshold
+        (no commit made)."""
+        from pyspark.sql import functions as F  # noqa: F401  (parity w/ compact)
+
+        snap = self.snapshot()
+        if snap.bucket_dirs is None:
+            return None
+        touched = {b for b, dirs in snap.bucket_dirs.items() if len(dirs) >= min_dirs}
+        if not touched:
+            return None
+        props = dict(snap.properties)
+        props.update(properties or {})
+        props["compacted_from_snapshot"] = snap.snapshot_id
+        df = self.read_buckets_tagged(touched)
+        # one task per touched bucket → exactly one file+dir per bucket
+        df = df.repartition(max(len(touched), 1), "__bucket")
+        before = sum((snap.bucket_rows or {}).get(b, 0) for b in touched)
+        out = self.replace_buckets(df, touched=touched, label=label, properties=props)
+        after = sum((out.bucket_rows or {}).get(b, 0) for b in touched)
+        if before != after:
+            raise RuntimeError(
+                f"bucket compaction row drift in {sorted(touched)}: "
+                f"{before} -> {after} (table left on the new snapshot for "
+                "inspection; roll back with rollback_to)"
+            )
+        return out
+
     def data_file_stats(self) -> dict:
         """Layout health of the current snapshot: dir/file counts and bytes
         — the numbers a maintenance scheduler thresholds on."""
