@@ -282,6 +282,12 @@ class FlowRuntime:
         self.spark = spark
         self.catalog = catalog
         self.workers = workers
+        # per-(run, action) job sequence for subprocess workers: the
+        # interpreter enumerates batches deterministically, so (run_id,
+        # action_key, seq) is a stable job identity across a restart —
+        # the exactly-once promote key (plans/flowworker.py)
+        self._run_id = "run"
+        self._job_seq: dict[str, int] = {}
 
     def _is_parent(self, key: str) -> bool:
         return any(e.parent_key == key for e in self.catalog._edges)
@@ -293,6 +299,10 @@ class FlowRuntime:
         SendOutput order within a task, used for deterministic child task
         ids)."""
         worker = self.workers[action.action_id]
+        from spider_go_spark.plans.flowworker import SubprocessWorker
+
+        if isinstance(worker, SubprocessWorker):
+            return self._run_subprocess(action, batch, worker)
         out_struct = T._parse_datatype_string(worker.output_schema)
         out_schema = T.StructType(
             [
@@ -320,6 +330,46 @@ class FlowRuntime:
         if "val" in batch.columns:
             flat_cols.append("val.*")
         return batch.select(*flat_cols).mapInPandas(run, out_schema)
+
+    def _run_subprocess(self, action: "FlowAction", batch: DataFrame, worker) -> DataFrame:
+        """Out-of-process handler execution (plans/flowworker.py): write
+        the delivery batch to the job's ``input/`` parquet dir, spawn the
+        worker executable (or promote an already-committed ``output/``
+        from a previous attempt — exactly-once across kill/restart), and
+        read the committed output back for the normal routing stage. The
+        batch never passes through driver memory."""
+        import json
+        import os
+
+        from spider_go_spark.plans.flowworker import run_job
+
+        seq = self._job_seq.get(action.key, 0)
+        self._job_seq[action.key] = seq + 1
+        job_dir = os.path.join(
+            worker.workdir, self._run_id, action.key, f"job-{seq:06d}"
+        )
+        out_dir = os.path.join(job_dir, "output")
+        if not os.path.isdir(out_dir):  # not yet committed: (re)stage input
+            os.makedirs(job_dir, exist_ok=True)
+            flat_cols = ["task_id"]
+            if "val" in batch.columns:
+                flat_cols.append("val.*")
+            batch.select(*flat_cols).write.mode("overwrite").parquet(
+                os.path.join(job_dir, "input")
+            )
+            with open(os.path.join(job_dir, "config.json"), "w") as fh:
+                json.dump(action.config, fh, sort_keys=True)
+        run_job(worker, job_dir)
+        out_struct = T._parse_datatype_string(worker.output_schema)
+        out_schema = T.StructType(
+            [
+                T.StructField("task_id", T.StringType(), False),
+                T.StructField("meta_output", T.StringType(), False),
+                T.StructField("emit_idx", T.LongType(), False),
+                *out_struct.fields,
+            ]
+        )
+        return self.spark.read.schema(out_schema).parquet(out_dir)
 
     # -- one hop ------------------------------------------------------------
     def _route(
@@ -387,12 +437,20 @@ class FlowRuntime:
         meta_output: str,
         values: DataFrame,
         max_hops: int = 25,
+        run_id: str = "run",
     ) -> FlowRunResult:
         """≙ a trigger message batch (workflow.go:83-127): ``values``'s
         rows each start one session at action ``key``; the trigger
         action's own handler is NOT run — its values enter the context
         directly and route along (key, meta_output) edges. Row identity:
-        a ``task_id`` column if present, else a generated ordinal."""
+        a ``task_id`` column if present, else a generated ordinal.
+
+        ``run_id`` names this logical run for subprocess workers: re-call
+        trigger with the SAME run_id (and the same values) to resume after
+        a crash — committed jobs are promoted, not re-executed. Use a
+        fresh run_id for a genuinely new payload."""
+        self._run_id = run_id
+        self._job_seq = {}
         action = self.catalog.action(key)
         dropped = 0
         if action.disabled:
