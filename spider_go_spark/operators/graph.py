@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
+# largest per-node in-sum whose ·SCALE rescale product still fits int64
+# (hits_int runtime bound; see COVERAGE.md int64-bounds table)
+_MAX_RESCALE_SUM = 9_223_372_036_854_775_807 // SCALE
 DAMPING_PPM = 850_000  # d = 0.85
 TELEPORT_U = SCALE - DAMPING_PPM  # (1-d) in micro-units = 150_000
 
@@ -111,7 +114,13 @@ def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(a_max))
             .select(
                 "node",
-                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("auth_u"),
+                F.expr(
+                    f"CASE WHEN coalesce(s, 0) <= {_MAX_RESCALE_SUM} "
+                    f"THEN coalesce(s, 0) * {SCALE} div m "
+                    "ELSE cast(assert_true(false, 'hits_int: auth in-sum "
+                    "exceeds the int64 rescale bound (max in-degree too "
+                    "large for SCALE products)') as bigint) END"
+                ).cast("long").alias("auth_u"),
             )
             .localCheckpoint(eager=True)
         )
@@ -126,7 +135,13 @@ def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(h_max))
             .select(
                 "node",
-                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("hub_u"),
+                F.expr(
+                    f"CASE WHEN coalesce(s, 0) <= {_MAX_RESCALE_SUM} "
+                    f"THEN coalesce(s, 0) * {SCALE} div m "
+                    "ELSE cast(assert_true(false, 'hits_int: hub in-sum "
+                    "exceeds the int64 rescale bound (max out-degree too "
+                    "large for SCALE products)') as bigint) END"
+                ).cast("long").alias("hub_u"),
             )
             .localCheckpoint(eager=True)
         )
@@ -158,7 +173,17 @@ def pagerank_weighted_int(edges: DataFrame, iters: int = 5) -> DataFrame:
     ranks = nodes.withColumn("rank_u", F.lit(SCALE).cast("long"))
     for _ in range(iters):
         contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
-            F.col("dst").alias("node"), F.expr("(rank_u * w) div out_w").alias("c")
+            F.col("dst").alias("node"),
+            # runtime int64 bound (r5 audit): rank_u·w must not wrap —
+            # reachable when N·SCALE·w_max ≥ 2^63 (e.g. 10^9 hosts with
+            # 10^4-weight edges); non-ANSI Spark would wrap silently
+            F.expr(
+                "CASE WHEN rank_u <= 9223372036854775807 div w "
+                "THEN (rank_u * w) div out_w "
+                "ELSE cast(assert_true(false, 'pagerank_weighted_int: "
+                "rank_u*w exceeds int64 — rescale weights or shard the "
+                "graph') as bigint) END"
+            ).alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
@@ -1063,7 +1088,13 @@ def salsa_int(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(a_max))
             .select(
                 "node",
-                F.expr(f"coalesce(s, 0) * {SCALE} div m").cast("long").alias("auth_u"),
+                F.expr(
+                    f"CASE WHEN coalesce(s, 0) <= {_MAX_RESCALE_SUM} "
+                    f"THEN coalesce(s, 0) * {SCALE} div m "
+                    "ELSE cast(assert_true(false, 'hits_int: auth in-sum "
+                    "exceeds the int64 rescale bound (max in-degree too "
+                    "large for SCALE products)') as bigint) END"
+                ).cast("long").alias("auth_u"),
             )
             .localCheckpoint(eager=True)
         )

@@ -1314,11 +1314,13 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: bigram counting is one explode (zip_with over two slices —
     no self-join) + hash agg on the bigram string; unigram counts are a
     second hash agg joined back TWICE by token (broadcastable — it's the
-    vocabulary); top-k is TakeOrderedAndProject. Overflow: n_ab·N·SCALE ≤
-    N²·SCALE needs N < 3·10^6 tokens per... NO — n_ab ≤ N so the product is
-    ≤ N²·10^6; at N = 10^12 corpus tokens this overflows int64, so at full
-    scale the ratio must drop SCALE or pre-divide; documented here, exact
-    at every test SF."""
+    vocabulary); top-k is TakeOrderedAndProject. Overflow (r5 audit): the
+    cross-ratio numerator n_ab·N·SCALE is ≤ N²·10^6 — wraps int64 beyond
+    N ≈ 3·10^6 corpus tokens, so the product runs in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB), the jain_ppm recipe. The RATIO itself is
+    ≤ N·SCALE/PMI_MIN_COUNT (worst case n_a = n_b = n_ab), which fits
+    int64 for any N < 4.6·10^13 tokens; a runtime assert guards the final
+    bigint cast so even that limit can never wrap silently."""
     d = T(spark, sf, "documents")
     toks = d.select("doc_id", tk.tokens(F.col("text")).alias("tokens"))
     n = F.size("tokens")
@@ -1346,9 +1348,21 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.concat("w1", F.lit(" "), "w2").alias("bigram"),
             "n_ab",
-            F.expr(f"n_ab * n_total * {PMI_SCALE} div (n_a * n_b)").alias(
-                "pmi_ratio_u"
-            ),
+            F.expr(
+                f"cast(n_ab as decimal(38,0)) * n_total * {PMI_SCALE}"
+                " div (cast(n_a as decimal(38,0)) * n_b)"
+            ).alias("ratio_wide"),
+        )
+        .select(
+            "bigram",
+            "n_ab",
+            F.expr(
+                "CASE WHEN ratio_wide <= 9223372036854775807 "
+                "THEN cast(ratio_wide as bigint) "
+                "ELSE cast(assert_true(false, 'pmi_collocations: ratio "
+                "exceeds int64 (corpus past the 4.6e13-token bound)') "
+                "as bigint) END"
+            ).alias("pmi_ratio_u"),
         )
     )
     return scored.orderBy(
@@ -1373,8 +1387,8 @@ WITH toks AS (
   HAVING count(*) >= {PMI_MIN_COUNT}
 )
 SELECT bigram, n_ab,
-       ((n_ab * (SELECT sum(n_tok) FROM ucnt) * {PMI_SCALE})
-         // (a.n_tok * b.n_tok))::BIGINT AS pmi_ratio_u
+       ((n_ab::HUGEINT * (SELECT sum(n_tok) FROM ucnt) * {PMI_SCALE})
+         // (a.n_tok::HUGEINT * b.n_tok))::BIGINT AS pmi_ratio_u
 FROM pcnt
 JOIN ucnt a ON a.tok = string_split(bigram, ' ')[1]
 JOIN ucnt b ON b.tok = string_split(bigram, ' ')[2]

@@ -753,3 +753,17 @@ def test_bpe_train_matches_python_replay(spark):
                     out.append(sym)
             segs[t] = out
     assert got == want
+
+
+def test_weighted_pagerank_overflow_guard_fires(spark):
+    """r5 int64-bound audit: rank_u·w products that would wrap int64 must
+    raise (assert_true in the contrib expression), never wrap silently."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from spider_go_spark.operators.graph import pagerank_weighted_int
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1 << 62), (2, 1, 1 << 62)], "src long, dst long, w long"
+    )
+    with pytest.raises(Exception, match="rank_u\\*w exceeds int64"):
+        pagerank_weighted_int(edges, iters=1).collect()
