@@ -1034,6 +1034,16 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     rewrite, with eager localCheckpoint truncating the per-step lineage
     exactly like the PageRank loop. At 10^10 docs the vocabulary is
     O(10^7) words — the steps cost nothing next to the one corpus scan."""
+    merges, _ = _bpe_train(spark, sf)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, weight bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf: str):
+    """Shared training loop: returns (merge list, final segmented vocab
+    DataFrame (freq, syms)) — bpe_train_merges reports the merges,
+    bpe_vocab_symbols tokenizes the corpus with them."""
     d = T(spark, sf, "documents")
     chars = F.split(F.col("tok"), "")
     v = (
@@ -1084,9 +1094,7 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(s))),
         )
         v = v.select("freq", merged.alias("syms")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, weight bigint"
-    )
+    return merges, v
 
 
 def _bpe_train_sql() -> str:
@@ -1145,6 +1153,54 @@ v{s} AS MATERIALIZED (SELECT tok, freq, seg FROM r{s} WHERE instr(seg, {pat}) = 
 
 
 BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
+BPE_SYMBOL_TOP = 20
+
+
+def bpe_vocab_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """The APPLY side of the trained tokenizer: segment the corpus with
+    the BPE_TRAIN_STEPS learned merges and report the top-20 subword
+    symbols by corpus frequency (freq = Σ over vocabulary words of
+    word_freq · occurrences in the word's final segmentation; ties broken
+    by symbol ASC). This is what a training pipeline ships next to the
+    merge table — the effective subword vocabulary and its mass, the
+    fertility/coverage dashboard for the tokenizer it just trained.
+
+    Scale shape: identical to training (one corpus scan, then
+    vocabulary-only folds) plus one explode + hash agg over the final
+    |vocab|·avg_syms segmentation — still never corpus-sized."""
+    _, v = _bpe_train(spark, sf)
+    return (
+        v.select("freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("symbol"))
+        .limit(BPE_SYMBOL_TOP)
+    )
+
+
+def _bpe_vocab_symbols_sql() -> str:
+    """Oracle: the training chain's final vocab CTE (v{N}) exploded back
+    to symbols — shares every training-step CTE with the train oracle."""
+    train = _bpe_train_sql()
+    prefix = train[: train.rindex("\nSELECT * FROM (")]
+    return (
+        prefix
+        + f"""
+SELECT symbol, sum(freq)::BIGINT AS freq
+FROM (
+  SELECT freq, unnest(list_filter(string_split(seg, ' '), x -> x <> '')) AS symbol
+  FROM v{BPE_TRAIN_STEPS}
+)
+GROUP BY symbol
+ORDER BY freq DESC, symbol ASC
+LIMIT {BPE_SYMBOL_TOP}
+"""
+    )
+
+
+BPE_VOCAB_SYMBOLS_SQL = _bpe_vocab_symbols_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1585,6 +1641,7 @@ QUERIES = {
     "hits_top_nodes": hits_top_nodes,
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_vocab_symbols": bpe_vocab_symbols,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -1614,6 +1671,7 @@ ORACLES = {
     "hits_top_nodes": _hits_sql(),
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
+    "bpe_vocab_symbols": BPE_VOCAB_SYMBOLS_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

@@ -718,13 +718,18 @@ def test_bpe_train_matches_python_replay(spark):
     from collections import Counter
 
     from spider_go_spark.queries.pipelineops import (
+        BPE_SYMBOL_TOP,
         BPE_TRAIN_STEPS,
         bpe_train_merges,
+        bpe_vocab_symbols,
     )
 
     got = [
         (r["step"], r["left"], r["right"], r["weight"])
         for r in bpe_train_merges(spark, SF).orderBy("step").collect()
+    ]
+    got_syms = [
+        (r["symbol"], r["freq"]) for r in bpe_vocab_symbols(spark, SF).collect()
     ]
 
     texts = [
@@ -753,6 +758,13 @@ def test_bpe_train_matches_python_replay(spark):
                     out.append(sym)
             segs[t] = out
     assert got == want
+    # apply side: top subword symbols of the final segmentation
+    sym_freq = Counter()
+    for t, f in vocab.items():
+        for sym in segs[t]:
+            sym_freq[sym] += f
+    want_syms = sorted(sym_freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_SYMBOL_TOP]
+    assert got_syms == want_syms
 
 
 def test_weighted_pagerank_overflow_guard_fires(spark):
