@@ -376,6 +376,151 @@ FROM stats s JOIN cents c USING (cid)
 """
 
 
+KM_TRAIN_ITERS = 4
+
+
+def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL Lloyd's k-means training (KM_TRAIN_ITERS iterations), not the
+    single step: seed centroids from vec_id < KM_K, then repeat
+    assign-by-integer-squared-L2 → element-wise floor-mean update.
+    Everything lives in the same int64 fixed point as :func:`kmeans_step`
+    (quantize floor(x·10^6) + shift; ties → smallest centroid id; an
+    emptied cluster carries its previous centroid forward — the standard
+    Lloyd convention, deterministic on both engines). Output mirrors
+    kmeans_step — (cluster_id, size, inertia, centroid_q) of the FINAL
+    assignment against the last-but-one centroids, with the final updated
+    centroid string — so KM_TRAIN_ITERS=1 would reproduce the step gate
+    exactly. The training-loop upgrade of the one-step op, same as
+    bpe_merge_pairs → bpe_train_merges.
+
+    Scale shape per iteration (10^9 vectors): centroids broadcast as K
+    literal rows, assignment is a map-side broadcast join + struct-min
+    hash agg (no window, no O(N·C) shuffle), the update shuffles ≤ K·D
+    partial sums, and the ONLY driver traffic is one K·D-value collect —
+    the centroid model, the same bounded-model convention as the PQ
+    codebooks and PCA's 64-value vector."""
+    e = (
+        T(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(float(KM_SCALE))).cast("long")
+                + F.lit(KM_SHIFT),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)  # one quantize pass feeds every iteration
+    )
+    cents: dict[int, list[int]] = {
+        int(r["vec_id"]): [int(x) for x in r["v"]]
+        for r in e.filter(F.col("vec_id") < KM_K).collect()
+    }
+    last_stats: list = []
+    for _ in range(KM_TRAIN_ITERS):
+        cent_df = spark.createDataFrame(
+            sorted((cid, cv) for cid, cv in cents.items()), "cid int, cv array<long>"
+        )
+        j = e.crossJoin(F.broadcast(cent_df))
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = (
+            j.select("vec_id", "v", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cid"), F.col("v"))).alias("m"))
+            .select(
+                "vec_id", F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"), F.col("m.v").alias("v"),
+            )
+            .localCheckpoint(eager=True)  # one assignment feeds stats + update
+        )
+        last_stats = best.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum("d2").cast("bigint").alias("inertia"),
+        ).collect()
+        coords = (
+            best.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(x) div count(1)").alias("cq"))
+            .collect()  # ≤ K·D rows — the model, not the data
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in coords:
+            new_cents.setdefault(int(r["cid"]), [0] * DIMS)[int(r["dim"])] = int(r["cq"])
+        for cid, cv in cents.items():  # emptied cluster keeps its centroid
+            new_cents.setdefault(cid, cv)
+        cents = new_cents
+    rows = [
+        (
+            int(s["cid"]),
+            int(s["size"]),
+            int(s["inertia"]),
+            ",".join(str(c - KM_SHIFT) for c in cents[int(s["cid"])]),
+        )
+        for s in sorted(last_stats, key=lambda s: int(s["cid"]))
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id int, size bigint, inertia bigint, centroid_q string"
+    )
+
+
+def _kmeans_train_sql() -> str:
+    """Unrolled oracle: cent0 = seeds; per iteration a MATERIALIZED
+    assign (row_number argmin) + floor-mean centroid update with
+    carry-forward for emptied clusters; final select = last assignment's
+    stats joined to the last centroids."""
+    its = KM_TRAIN_ITERS
+    parts = [f"""
+WITH sq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT + {KM_SHIFT}) AS v
+  FROM embeddings
+), cent0 AS MATERIALIZED (
+  SELECT vec_id::INT AS cid, v AS cv FROM sq WHERE vec_id < {KM_K}
+)"""]
+    for i in range(1, its + 1):
+        parts.append(f""",
+scored{i} AS (
+  SELECT s.vec_id, c.cid,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, {DIMS + 1}), j -> (s.v[j]-c.cv[j])*(s.v[j]-c.cv[j]))),
+           (a, b) -> a + b) AS d2
+  FROM sq s CROSS JOIN cent{i - 1} c
+),
+assign{i} AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM scored{i}
+  ) WHERE rk = 1
+),
+dims{i} AS (
+  SELECT a.cid, j AS dim, (sum(s.v[j]) // count(*))::BIGINT AS cq
+  FROM assign{i} a JOIN sq s USING (vec_id), range(1, {DIMS + 1}) t(j)
+  GROUP BY a.cid, j
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.cid,
+         CASE WHEN count(d.cq) = 0 THEN p.cv
+              ELSE list(d.cq ORDER BY d.dim) END AS cv
+  FROM cent{i - 1} p
+  LEFT JOIN dims{i} d ON d.cid = p.cid
+  GROUP BY p.cid, p.cv
+)""")
+    parts.append(f"""
+SELECT a.cid AS cluster_id, count(*)::BIGINT AS size, sum(a.d2)::BIGINT AS inertia,
+       c.txt AS centroid_q
+FROM assign{its} a
+JOIN (SELECT cid, list_reduce(list_transform(cv, x -> (x - {KM_SHIFT})::VARCHAR),
+             (s, t) -> s || ',' || t) AS txt FROM cent{its}) c USING (cid)
+GROUP BY a.cid, c.txt
+""")
+    return "".join(parts)
+
+
+KMEANS_TRAIN_SQL = _kmeans_train_sql()
+
+
 # --------------------------------------------------------------------------
 # int8-quantized ANN — the memory-scale path (4× smaller vectors, integer
 # dot products). Exact integer arithmetic → value-exact oracle.
@@ -1138,6 +1283,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "kmeans_step": kmeans_step,
+    "kmeans_train": kmeans_train,
     "ann_int8_topk": ann_int8_topk,
     "pq_ann_topk": pq_ann_topk,
     "semdedup_pairs": semdedup_pairs,
@@ -1153,6 +1299,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "kmeans_step": KMEANS_STEP_SQL,
+    "kmeans_train": KMEANS_TRAIN_SQL,
     "ann_int8_topk": ANN_INT8_TOPK_SQL,
     "pq_ann_topk": PQ_ANN_TOPK_SQL,
     "semdedup_pairs": SEMDEDUP_PAIRS_SQL,

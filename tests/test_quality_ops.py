@@ -304,3 +304,58 @@ def test_rp_ann_recall_vs_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert r["cosine"] == exact[key]
+
+
+def test_kmeans_train_matches_python_lloyd(spark):
+    """Full Lloyd loop (r5): the engine's KM_TRAIN_ITERS-iteration
+    training must equal an independent pure-python Lloyd's in the same
+    int64 fixed point (floor-quantize, squared-L2 argmin with cid
+    tie-break, floor-mean update, emptied clusters carry forward), and
+    per-iteration total inertia must be non-increasing."""
+    import math
+
+    K, SCALE, SHIFT, ITERS = (
+        vectorops.KM_K, vectorops.KM_SCALE, vectorops.KM_SHIFT,
+        vectorops.KM_TRAIN_ITERS,
+    )
+    vecs = {
+        int(r["vec_id"]): [math.floor(float(x) * SCALE) + SHIFT for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    cents = {cid: list(vecs[cid]) for cid in range(K)}
+    inertias = []
+    stats = {}
+    for _ in range(ITERS):
+        assign = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cv)), cid)
+                for cid, cv in cents.items()
+            )
+            assign[vid] = best
+        inertias.append(sum(d2 for d2, _ in assign.values()))
+        stats = {}
+        for vid, (d2, cid) in assign.items():
+            s = stats.setdefault(cid, [0, 0])
+            s[0] += 1
+            s[1] += d2
+        new_cents = {}
+        for cid in cents:
+            members = [vecs[vid] for vid, (_, c) in assign.items() if c == cid]
+            if members:
+                new_cents[cid] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+            else:
+                new_cents[cid] = cents[cid]
+        cents = new_cents
+    assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias
+    want = sorted(
+        (cid, s[0], s[1], ",".join(str(c - SHIFT) for c in cents[cid]))
+        for cid, s in stats.items()
+    )
+    got = sorted(
+        (r["cluster_id"], r["size"], r["inertia"], r["centroid_q"])
+        for r in vectorops.kmeans_train(spark, SF).collect()
+    )
+    assert got == want
