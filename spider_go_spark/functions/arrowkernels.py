@@ -43,3 +43,47 @@ def simhash_arrow(hs: pd.Series) -> pd.Series:
         votes = 2 * ones - a.size
         out[i] = int(((votes > 0).astype(np.int64) << j).sum())
     return pd.Series(out)
+
+
+# -- content-defined chunking ------------------------------------------------
+
+CDC_W = 8
+CDC_B, CDC_P = 257, 1_000_003
+CDC_MASK = 64
+_CDC_POWS = np.array([pow(CDC_B, j, CDC_P) for j in range(CDC_W)], dtype=np.int64)
+
+
+@pandas_udf("array<string>")
+def cdc_chunks_arrow(texts: pd.Series) -> pd.Series:
+    """Split each text at content-defined boundaries: position i (1-based)
+    ends a chunk iff the trailing-window polynomial hash
+    h_i = Σ_j code(c_{i-j})·B^j mod P is ≡ 0 mod CDC_MASK. The window is
+    FIXED (not a running gear hash), so every position's boundary decision
+    is independent — one vectorized numpy pass per doc instead of an
+    interpreted Spark HOF per (position × window) element (measured: the
+    HOF form cost ~80 s at sf0.01 vs <2 s here, identical values — the
+    SimHash lesson again). Docs shorter than the window form one chunk;
+    null/empty texts yield an empty chunk list."""
+    out = []
+    for text in texts:
+        if not text:
+            out.append([])
+            continue
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        n = len(codes)
+        if n < CDC_W:
+            out.append([text])
+            continue
+        h = np.zeros(n - CDC_W + 1, dtype=np.int64)
+        for j in range(CDC_W):
+            h += codes[CDC_W - 1 - j : n - j] * _CDC_POWS[j]
+        # h[k] is the window hash ENDING at 0-based position k + CDC_W - 1
+        ends = np.nonzero((h % CDC_P) % CDC_MASK == 0)[0] + CDC_W  # 1-based end
+        chunks, start = [], 0
+        for e in ends:
+            if e < n:
+                chunks.append(text[start:e])
+                start = e
+        chunks.append(text[start:n])
+        out.append(chunks)
+    return pd.Series(out)

@@ -1255,6 +1255,93 @@ def filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+from spider_go_spark.functions.arrowkernels import (  # noqa: E402
+    CDC_MASK,
+    CDC_P,
+    CDC_W,
+    _CDC_POWS,
+)
+
+CDC_POWS = [int(x) for x in _CDC_POWS]
+CDC_TOP = 20
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/rsync family): split
+    every document at content-derived boundaries — position i ends a chunk
+    iff the polynomial hash of the trailing CDC_W-char window is ≡ 0
+    mod CDC_MASK — then report the top-20 most-duplicated chunks
+    (n_occurrences, distinct docs, chunk length; ties by hash). Unlike
+    fixed-width shingles, CDC boundaries RESYNC after an insertion, so a
+    boilerplate block shared by thousands of pages lands in identical
+    chunks no matter where it sits in each page — the storage/near-dup
+    primitive behind rsync, restic, and chunk-level corpus dedup.
+
+    The window hash is h_i = Σ_j code(c_{i-j})·B^j mod P over the FIXED
+    trailing window — each position's boundary decision is independent of
+    every other, so the chunker is one vectorized Arrow pass per doc
+    (functions/arrowkernels.cdc_chunks_arrow; the pure-HOF form computed
+    identical values but paid an interpreted lambda per position×window
+    element — ~80 s vs <2 s at sf0.01, the SimHash lesson) and the DuckDB
+    oracle is the equivalent list expression. Docs shorter than the window
+    form one chunk.
+
+    Scale shape: chunking is a pure Arrow map (O(len·W) vectorized integer
+    ops per doc, no shuffle); the only shuffle is the chunk-hash groupBy
+    (uniform md5 keys, map-side combined); top-k is
+    TakeOrderedAndProject."""
+    from spider_go_spark.functions.arrowkernels import cdc_chunks_arrow
+
+    d = T(spark, sf, "documents").filter(F.length("text") > 0)
+    c = d.select(
+        "doc_id", F.explode(cdc_chunks_arrow(F.col("text"))).alias("chunk")
+    )
+    return (
+        c.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_md5"))
+        .limit(CDC_TOP)
+    )
+
+
+_CDC_TERMS_SQL = " + ".join(
+    f"codes[i - {j}] * {CDC_POWS[j]}" for j in range(CDC_W)
+)
+
+CDC_CHUNK_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) + 1), i -> ascii(text[i:i])) AS codes
+  FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT doc_id, text, len(codes) AS n,
+         list_filter(range({CDC_W}, len(codes) + 1),
+                     i -> (({_CDC_TERMS_SQL}) % {CDC_P}) % {CDC_MASK} = 0) AS bounds
+  FROM d
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(
+             list_prepend(1, list_transform(list_filter(bounds, x -> x < n), x -> x + 1)),
+             list_append(list_filter(bounds, x -> x < n), n)),
+           p -> substr(text, p[1], p[2] - p[1] + 1))) AS chunk
+  FROM b
+)
+SELECT md5(chunk) AS chunk_md5,
+       count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(length(chunk))::BIGINT AS chunk_len
+FROM chunks
+GROUP BY 1
+ORDER BY n_occurrences DESC, chunk_md5 ASC
+LIMIT {CDC_TOP}
+"""
+
+
 FILTER_FUNNEL_SQL = r"""
 WITH scored AS (
   SELECT doc_id, lang, n_chars::BIGINT AS n_chars, md5(text) AS text_md5,
@@ -1642,6 +1729,7 @@ QUERIES = {
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_symbols": bpe_vocab_symbols,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -1672,6 +1760,7 @@ ORACLES = {
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
     "bpe_vocab_symbols": BPE_VOCAB_SYMBOLS_SQL,
+    "cdc_chunk_dedup": CDC_CHUNK_DEDUP_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

@@ -779,3 +779,54 @@ def test_weighted_pagerank_overflow_guard_fires(spark):
     )
     with pytest.raises(Exception, match="rank_u\\*w exceeds int64"):
         pagerank_weighted_int(edges, iters=1).collect()
+
+
+def _py_cdc_chunks(text):
+    from spider_go_spark.functions.arrowkernels import (
+        CDC_MASK, CDC_P, CDC_W, _CDC_POWS,
+    )
+
+    if not text:
+        return []
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    if n < CDC_W:
+        return [text]
+    chunks, start = [], 0
+    for i in range(CDC_W, n + 1):  # 1-based window end
+        h = sum(codes[i - 1 - j] * int(_CDC_POWS[j]) for j in range(CDC_W))
+        if (h % CDC_P) % CDC_MASK == 0 and i < n:
+            chunks.append(text[start:i])
+            start = i
+    chunks.append(text[start:])
+    return chunks
+
+
+def test_cdc_chunker_matches_python_and_resyncs(spark):
+    """r5: the Arrow CDC kernel must equal a scalar python replay on
+    corpus docs, and exhibit the defining CDC property — an insertion
+    changes only chunks near the edit, with the chunk stream resyncing
+    after it (fixed-width chunking would shift every later chunk)."""
+    from spider_go_spark.functions.arrowkernels import cdc_chunks_arrow
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    rows = df.select(
+        "text", cdc_chunks_arrow(F.col("text")).alias("chunks")
+    ).collect()
+    for r in rows:
+        assert r["chunks"] == _py_cdc_chunks(r["text"]), r["text"][:80]
+        assert "".join(r["chunks"]) == (r["text"] or "")
+
+    import random
+
+    rng = random.Random(42)  # varied windows: repeated prose may never hit
+    base = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    edited = base[:100] + "INSERTED-TEXT-HERE " + base[100:]
+    a, b = _py_cdc_chunks(base), _py_cdc_chunks(edited)
+    # suffix chunks resynchronize: everything ≥ window-past-the-edit is shared
+    tail_shared = 0
+    while (tail_shared < min(len(a), len(b))
+           and a[-1 - tail_shared] == b[-1 - tail_shared]):
+        tail_shared += 1
+    assert len(a) >= 10, len(a)  # the base text must actually chunk
+    assert tail_shared >= len(a) - 6, (len(a), len(b), tail_shared)
