@@ -87,3 +87,43 @@ def cdc_chunks_arrow(texts: pd.Series) -> pd.Series:
         chunks.append(text[start:n])
         out.append(chunks)
     return pd.Series(out)
+
+
+# -- unigram-LM Viterbi segmentation ----------------------------------------
+
+UNI_NMAX = 4  # max piece length (chars)
+
+
+def make_unigram_segmenter(cost):
+    """Factory for the unigram-LM Viterbi kernel (queries/pipelineops.
+    unigram_viterbi_pieces): ``cost`` maps piece → integer Q20 cost
+    (−log2 P in the shared fixed point); the returned pandas_udf segments
+    each word to minimum total cost, ties → fewest pieces, then the
+    shortest final piece (l ascending + strict <). Lives here because
+    pandas_udf needs REAL pd.Series annotations — this module bans
+    postponed annotations (see module docstring)."""
+
+    @pandas_udf("array<string>")
+    def segment(toks: pd.Series) -> pd.Series:
+        out = []
+        for tok in toks:
+            n = len(tok)
+            dp = [None] * (n + 1)  # dp[i] = (cost, n_pieces, pieces)
+            dp[0] = (0, 0, [])
+            for i in range(1, n + 1):
+                best = None
+                for l in range(1, min(UNI_NMAX, i) + 1):
+                    prev = dp[i - l]
+                    if prev is None:
+                        continue
+                    c = cost.get(tok[i - l : i])
+                    if c is None:
+                        continue
+                    cand = (prev[0] + c, prev[1] + 1)
+                    if best is None or cand < (best[0], best[1]):
+                        best = (cand[0], cand[1], prev[2] + [tok[i - l : i]])
+                dp[i] = best  # never None: every 1-gram is in the model
+            out.append(dp[n][2])
+        return pd.Series(out)
+
+    return segment

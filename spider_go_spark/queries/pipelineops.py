@@ -1265,6 +1265,165 @@ from spider_go_spark.functions.arrowkernels import (  # noqa: E402
 CDC_POWS = [int(x) for x in _CDC_POWS]
 CDC_TOP = 20
 
+from spider_go_spark.functions.arrowkernels import UNI_NMAX  # noqa: E402
+
+UNI_MIN = 5  # support floor for multi-char pieces
+UNI_TOP = 48  # multi-char piece budget (1-grams always kept: segmentability)
+UNI_OUT = 20
+
+
+def unigram_viterbi_pieces(spark: SparkSession, sf: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenization (Kudo 2018), the other
+    major tokenizer family next to BPE: build a piece inventory from the
+    corpus (every 1-gram — so any token is segmentable — plus the top
+    UNI_TOP 2..4-grams with support ≥ UNI_MIN), give each piece the exact
+    integer cost ``cost_u = log2_q20(Σcnt, cnt)`` (≙ −log P(piece) in Q20,
+    via the shared shift-and-square kernel — bit-identical on every
+    engine), Viterbi-segment every vocabulary word to the MINIMUM total
+    cost (ties → fewest pieces, then the shortest final piece — a strict
+    total order both engines implement identically), and report the
+    top-20 pieces by corpus-weighted usage. This is the inference step a
+    unigram-LM tokenizer runs per document at training-data scale.
+
+    Scale shape: gram counting and the usage aggregation are
+    vocabulary-scale hash aggs (never corpus-scale); the piece model is
+    ≤ alphabet + UNI_TOP rows collected once (the PQ-codebook bounded-
+    model convention) with costs computed driver-side by the SAME integer
+    kernel the oracle replays; the Viterbi DP is a vectorized-per-batch
+    Arrow map over vocabulary words (O(len·4) integer ops each).
+    Oracle: the DP replayed as a recursive CTE that carries the trailing
+    UNI_NMAX states (cost, n_pieces, piece list) through each position —
+    struct sort gives the same composite argmin."""
+    from spider_go_spark.functions.intmath import int_log2_q20
+
+    d = T(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(tk.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=True)  # feeds gram count AND segmentation
+    )
+    per_n = [
+        F.when(
+            F.length("tok") >= n,
+            F.expr(
+                f"transform(sequence(1, length(tok) - {n} + 1),"
+                f" i -> substring(tok, i, {n}))"
+            ),
+        ).otherwise(F.expr("array()"))
+        for n in range(1, UNI_NMAX + 1)
+    ]
+    grams = (
+        vocab.select("freq", F.explode(F.flatten(F.array(*per_n))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ones = grams.filter(F.length("gram") == 1).collect()
+    multi = (
+        grams.filter((F.length("gram") >= 2) & (F.col("cnt") >= UNI_MIN))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(UNI_TOP)
+        .collect()
+    )
+    cnts = {r["gram"]: int(r["cnt"]) for r in [*ones, *multi]}
+    total = sum(cnts.values())
+    cost = {g: int_log2_q20(total, c) for g, c in cnts.items()}
+
+    from spider_go_spark.functions.arrowkernels import make_unigram_segmenter
+
+    segment = make_unigram_segmenter(cost)
+
+    return (
+        vocab.select("freq", F.explode(segment(F.col("tok"))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("used"))
+        .orderBy(F.desc("used"), F.asc("piece"))
+        .limit(UNI_OUT)
+    )
+
+
+def _unigram_viterbi_sql() -> str:
+    from spider_go_spark.functions.intmath import log2_q20_duckdb_ctes
+
+    ns = ", ".join(str(n) for n in range(1, UNI_NMAX + 1))
+    # candidate struct per l: prev state slot (a=dp[i], b=dp[i-1], …),
+    # piece = the l chars ending at position i+1 (substr start i+2-l)
+    slots = ["ac, an, ap", "bc, bn, bp", "cc, cn, cp", "dc, dn, dp_"]
+    cands = []
+    for l in range(1, UNI_NMAX + 1):
+        pc, pn, pp = slots[l - 1].split(", ")
+        cands.append(
+            f"CASE WHEN t.{pc} IS NOT NULL AND q{l}.cost_u IS NOT NULL THEN "
+            f"{{'c': t.{pc} + q{l}.cost_u, 'np': t.{pn} + 1, 'l': {l}, "
+            f"'ps': list_append(t.{pp}, substr(t.tok, t.i + 2 - {l}, {l}))}} END"
+        )
+    joins = "\n    ".join(
+        f"LEFT JOIN pcost q{l} ON q{l}.gram = substr(t.tok, t.i + 2 - {l}, {l}) "
+        f"AND t.i + 1 >= {l}"
+        for l in range(1, UNI_NMAX + 1)
+    )
+    return rf"""WITH RECURSIVE vocab AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS tok
+    FROM documents
+  ) GROUP BY tok
+), grams AS MATERIALIZED (
+  SELECT gram, sum(freq)::BIGINT AS cnt FROM (
+    SELECT v.freq,
+           unnest(list_transform(range(1, length(v.tok) - n.n + 2),
+                                 i -> substr(v.tok, i, n.n))) AS gram
+    FROM vocab v CROSS JOIN (SELECT unnest([{ns}]) AS n) n
+    WHERE length(v.tok) >= n.n
+  ) GROUP BY gram
+), pieces AS MATERIALIZED (
+  SELECT gram, cnt FROM grams WHERE length(gram) = 1
+  UNION ALL
+  SELECT gram, cnt FROM (
+    SELECT gram, cnt FROM grams
+    WHERE length(gram) >= 2 AND cnt >= {UNI_MIN}
+    ORDER BY cnt DESC, gram ASC LIMIT {UNI_TOP}
+  )
+), pc AS (
+  SELECT gram, cnt, (SELECT sum(cnt)::BIGINT FROM pieces) AS total FROM pieces
+), {log2_q20_duckdb_ctes("total", "cnt", "pc", "gram")},
+pcost AS MATERIALIZED (SELECT gram, log2_q20 AS cost_u FROM lg),
+vit AS (
+  SELECT v.tok, v.freq, 0 AS i,
+         0::BIGINT AS ac, 0::BIGINT AS an, []::VARCHAR[] AS ap,
+         NULL::BIGINT AS bc, NULL::BIGINT AS bn, NULL::VARCHAR[] AS bp,
+         NULL::BIGINT AS cc, NULL::BIGINT AS cn, NULL::VARCHAR[] AS cp,
+         NULL::BIGINT AS dc, NULL::BIGINT AS dn, NULL::VARCHAR[] AS dp_
+  FROM vocab v
+  UNION ALL
+  SELECT tok, freq, i + 1,
+         best.c, best.np, best.ps,
+         ac, an, ap, bc, bn, bp, cc, cn, cp
+  FROM (
+    SELECT t.tok, t.freq, t.i, t.ac, t.an, t.ap, t.bc, t.bn, t.bp,
+           t.cc, t.cn, t.cp,
+           list_sort(list_filter([
+             {", ".join(cands)}
+           ], x -> x IS NOT NULL))[1] AS best
+    FROM vit t
+    {joins}
+    WHERE t.i < length(t.tok)
+  )
+)
+SELECT piece, sum(freq)::BIGINT AS used
+FROM (
+  SELECT freq, unnest(ap) AS piece
+  FROM vit WHERE i = length(tok)
+)
+GROUP BY piece
+ORDER BY used DESC, piece ASC
+LIMIT {UNI_OUT}
+"""
+
+
+UNIGRAM_VITERBI_PIECES_SQL = _unigram_viterbi_sql()
+
 
 def cdc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking dedup (the FastCDC/rsync family): split
@@ -1730,6 +1889,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_vocab_symbols": bpe_vocab_symbols,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "unigram_viterbi_pieces": unigram_viterbi_pieces,
     "corpus_mix_weighted": corpus_mix_weighted,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
@@ -1761,6 +1921,7 @@ ORACLES = {
     "bpe_train_merges": BPE_TRAIN_MERGES_SQL,
     "bpe_vocab_symbols": BPE_VOCAB_SYMBOLS_SQL,
     "cdc_chunk_dedup": CDC_CHUNK_DEDUP_SQL,
+    "unigram_viterbi_pieces": UNIGRAM_VITERBI_PIECES_SQL,
     "corpus_mix_weighted": CORPUS_MIX_WEIGHTED_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,

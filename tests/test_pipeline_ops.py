@@ -830,3 +830,61 @@ def test_cdc_chunker_matches_python_and_resyncs(spark):
         tail_shared += 1
     assert len(a) >= 10, len(a)  # the base text must actually chunk
     assert tail_shared >= len(a) - 6, (len(a), len(b), tail_shared)
+
+
+def test_unigram_viterbi_matches_python_replay(spark):
+    """r5: the unigram-LM tokenizer gate must equal an independent
+    pure-python pipeline (gram counts → piece inventory → Q20 costs via
+    int_log2_q20 → Viterbi min-(cost, n_pieces) with l-ascending strict-<
+    tie-break → corpus-weighted usage top-20)."""
+    import re
+    from collections import Counter
+
+    from spider_go_spark.functions.intmath import int_log2_q20
+    from spider_go_spark.queries.pipelineops import (
+        UNI_MIN, UNI_NMAX, UNI_OUT, UNI_TOP, unigram_viterbi_pieces,
+    )
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    vocab = Counter(t for x in texts for t in re.split(r"\s+", x) if t)
+    grams = Counter()
+    for tok, f in vocab.items():
+        for n in range(1, UNI_NMAX + 1):
+            for i in range(len(tok) - n + 1):
+                grams[tok[i:i + n]] += f
+    ones = {g: c for g, c in grams.items() if len(g) == 1}
+    multi = sorted(
+        ((g, c) for g, c in grams.items() if len(g) >= 2 and c >= UNI_MIN),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_TOP]
+    cnts = {**ones, **dict(multi)}
+    total = sum(cnts.values())
+    cost = {g: int_log2_q20(total, c) for g, c in cnts.items()}
+
+    usage = Counter()
+    for tok, f in vocab.items():
+        n = len(tok)
+        dp = [None] * (n + 1)
+        dp[0] = (0, 0, [])
+        for i in range(1, n + 1):
+            best = None
+            for l in range(1, min(UNI_NMAX, i) + 1):
+                prev = dp[i - l]
+                c = cost.get(tok[i - l:i])
+                if prev is None or c is None:
+                    continue
+                cand = (prev[0] + c, prev[1] + 1)
+                if best is None or cand < (best[0], best[1]):
+                    best = (cand[0], cand[1], prev[2] + [tok[i - l:i]])
+            dp[i] = best
+        for piece in dp[n][2]:
+            usage[piece] += f
+    want = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_OUT]
+    got = [
+        (r["piece"], r["used"])
+        for r in unigram_viterbi_pieces(spark, SF).collect()
+    ]
+    assert got == want
