@@ -47,10 +47,8 @@ def simhash_arrow(hs: pd.Series) -> pd.Series:
 
 # -- content-defined chunking ------------------------------------------------
 
-CDC_W = 8
-CDC_B, CDC_P = 257, 1_000_003
-CDC_MASK = 64
-_CDC_POWS = np.array([pow(CDC_B, j, CDC_P) for j in range(CDC_W)], dtype=np.int64)
+CDC_W, CDC_P, CDC_MASK = tk.CDC_W, tk.CDC_P, tk.CDC_MASK
+_CDC_POWS = np.array(tk.CDC_POWS, dtype=np.int64)
 
 
 @pandas_udf("array<string>")
@@ -91,7 +89,7 @@ def cdc_chunks_arrow(texts: pd.Series) -> pd.Series:
 
 # -- unigram-LM Viterbi segmentation ----------------------------------------
 
-UNI_NMAX = 4  # max piece length (chars)
+UNI_NMAX = tk.UNI_NMAX
 
 
 def make_unigram_segmenter(cost):

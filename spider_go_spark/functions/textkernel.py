@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 # both Spark and any bigint SQL engine.
 POLY_P = 1_000_000_007
 
+# content-defined-chunking + unigram-tokenizer constants — they live HERE
+# (session-free module) because functions/arrowkernels defines pandas_udfs
+# at import time and therefore needs an active SparkSession; query modules
+# must stay importable without one (driver enumerates queries() first)
+CDC_W = 8  # rolling-hash window (chars)
+CDC_B, CDC_P = 257, 1_000_003  # poly base / modulus
+CDC_MASK = 64  # boundary when h % 64 == 0 → ~64-char average chunks
+CDC_POWS = [pow(CDC_B, j, CDC_P) for j in range(CDC_W)]  # B^j mod P
+UNI_NMAX = 4  # unigram tokenizer: max piece length (chars)
+
 # MinHash permutation family: perm_i(h) = (A_i·h + B_i) mod POLY_P with
 # A_i odd — pairwise-distinct affine permutations, deterministic across runs.
 MINHASH_K = 16

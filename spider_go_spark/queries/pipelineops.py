@@ -1255,17 +1255,15 @@ def filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-from spider_go_spark.functions.arrowkernels import (  # noqa: E402
+from spider_go_spark.functions.textkernel import (  # noqa: E402
     CDC_MASK,
     CDC_P,
+    CDC_POWS,
     CDC_W,
-    _CDC_POWS,
+    UNI_NMAX,
 )
 
-CDC_POWS = [int(x) for x in _CDC_POWS]
 CDC_TOP = 20
-
-from spider_go_spark.functions.arrowkernels import UNI_NMAX  # noqa: E402
 
 UNI_MIN = 5  # support floor for multi-char pieces
 UNI_TOP = 48  # multi-char piece budget (1-grams always kept: segmentability)
